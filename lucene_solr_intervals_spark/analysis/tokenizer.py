@@ -1,0 +1,109 @@
+"""Analysis chain: tokenizer -> lowercase -> stop filter (position holes).
+
+Mirrors the reference's StandardAnalyzer pipeline semantics
+(/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis/
+standard/StandardAnalyzer.java:84-89): Tokenizer -> LowerCaseFilter ->
+StopFilter.  Two behaviors are load-bearing for parity:
+
+* StopFilter preserves position increments (StopFilter.java:31 extends
+  FilteringTokenFilter): removed tokens leave HOLES in the position
+  sequence, so phrase/interval matching sees the original positions.
+* doclen counts only EMITTED tokens (DefaultIndexingChain.java:602-637
+  increments length per token reaching the index), i.e. after stop removal.
+
+Tokenizers provided:
+  * code_tokenize  — split on [^A-Za-z0-9_]+ and lowercase: the fixed
+    analyzer for the source-code corpus (FIXTURES.md F1).
+  * ws_tokenize    — whitespace split, used by the golden interval fixtures
+    (the reference interval tests use whitespace-delimited synthetic docs).
+
+Each returns (terms, positions, doclen) where positions carry pre-stop
+indexes.  The Spark-side wrapper is an Arrow-vectorized pandas UDF — no
+per-row Python at the DataFrame boundary.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+# English stopwords of the reference's StopAnalyzer
+# (/root/reference/lucene/analysis/common/src/java/org/apache/lucene/
+#  analysis/core/StopAnalyzer.java:38-49)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+_CODE_SPLIT = re.compile(r"[^A-Za-z0-9_]+")
+_WS_SPLIT = re.compile(r"\s+")
+
+# Lucene's StandardTokenizer drops tokens longer than maxTokenLength=255
+# (StandardAnalyzer.java:39); we keep the same cap.
+MAX_TOKEN_LENGTH = 255
+
+
+def _analyze(
+    raw_tokens: Iterable[str],
+    lowercase: bool,
+    stopwords: frozenset[str] | None,
+) -> tuple[list[str], list[int], int]:
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in raw_tokens:
+        if not tok or len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        t = tok.lower() if lowercase else tok
+        if stopwords is not None and t in stopwords:
+            pos += 1  # hole: position increments past the stopword
+            continue
+        terms.append(t)
+        positions.append(pos)
+        pos += 1
+    return terms, positions, len(terms)
+
+
+def code_tokenize(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+) -> tuple[list[str], list[int], int]:
+    """Fixed analyzer for the source-code corpus: [^A-Za-z0-9_]+ split, lower."""
+    if text is None:
+        return [], [], 0
+    return _analyze(_CODE_SPLIT.split(text), True, stopwords)
+
+
+def ws_tokenize(
+    text: str,
+    lowercase: bool = False,
+    stopwords: frozenset[str] | None = None,
+) -> tuple[list[str], list[int], int]:
+    """Whitespace tokenizer used by the golden interval fixtures."""
+    if text is None:
+        return [], [], 0
+    return _analyze(_WS_SPLIT.split(text), lowercase, stopwords)
+
+
+ANALYZERS = {
+    "code": code_tokenize,
+    "code_stop": lambda s: code_tokenize(s, ENGLISH_STOP_WORDS),
+    "ws": ws_tokenize,
+}
+
+
+def tokenize_series(texts, analyzer: str = "code"):
+    """pandas.Series[str] -> (Series[list[str]], Series[list[int]], Series[int]).
+
+    Vectorized entry point for pandas UDFs: one Python call per Arrow batch.
+    """
+    import pandas as pd
+
+    fn = ANALYZERS[analyzer]
+    terms_col, pos_col, len_col = [], [], []
+    for t in texts:
+        terms, positions, doclen = fn(t)
+        terms_col.append(terms)
+        pos_col.append(positions)
+        len_col.append(doclen)
+    return pd.Series(terms_col), pd.Series(pos_col), pd.Series(len_col)

@@ -1,0 +1,233 @@
+"""Logical query tree — the engine's `Query` dataclasses.
+
+Mirrors the reference's query surface (SURVEY.md §2.4/§2.5):
+
+  Term              org.apache.lucene.search.TermQuery (TermQuery.java:41)
+  Boolean           BooleanQuery MUST/SHOULD/MUST_NOT + minimumNumberShouldMatch
+                    (BooleanQuery.java:39, MinShouldMatchSumScorer.java:38)
+  Phrase            PhraseQuery exact/sloppy (PhraseQuery.java:49)
+  DisjunctionMax    DisjunctionMaxQuery (DisjunctionMaxQuery.java:45)
+  ConstantScore     ConstantScoreQuery (ConstantScoreQuery.java:37)
+  MatchAll          MatchAllDocsQuery (MatchAllDocsQuery.java:34)
+  Prefix/Wildcard/  multi-term queries expanded against the term dictionary
+  Regexp/Fuzzy/     (PrefixQuery.java:34, WildcardQuery.java:43,
+  TermRange          RegexpQuery.java:48, FuzzyQuery.java:54, TermRangeQuery.java:43)
+  NumericRange      NumericRangeQuery semantics on a numeric doc column
+  OrderedNear       intervals.OrderedNearQuery (OrderedNearQuery.java:36)
+  UnorderedNear     intervals.UnorderedNearQuery — NOTE adjusted slop
+                    slop + n_subqueries - 2 (UnorderedNearQuery.java:46)
+  NonOverlapping    intervals.NonOverlappingQuery (Brouwerian difference)
+  IntervalFiltered  intervals.IntervalFilterQuery with Within/Range/MinFreq/
+                    RangeFreq/Block filters (IntervalFilterQuery.java:51)
+
+These are pure logical nodes: no Spark, no I/O.  The planner rewrites them
+(rewrite fixpoint, multi-term expansion) and the executors interpret them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    """Marker base class for all logical query nodes."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAll(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Boolean(Query):
+    must: tuple[Query, ...] = ()
+    should: tuple[Query, ...] = ()
+    must_not: tuple[Query, ...] = ()
+    min_should_match: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiPhrase(Query):
+    """Phrase with term alternatives per slot (MultiPhraseQuery.java:63)."""
+
+    slots: tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMax(Query):
+    subs: tuple[Query, ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScore(Query):
+    inner: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    pattern: str  # Lucene syntax: * = any run, ? = one char
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regexp(Query):
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy(Query):
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class NumericRange(Query):
+    column: str
+    lower: float | None
+    upper: float | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+# ---------------------------------------------------------------- intervals
+
+
+@dataclass(frozen=True)
+class OrderedNear(Query):
+    """Subqueries must match in order with overall slop (AND<)."""
+
+    slop: int
+    subs: tuple[Query, ...]
+    collect_leaves: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class UnorderedNear(Query):
+    """Subqueries in any order within slop; internal slop is slop+n-2."""
+
+    slop: int
+    subs: tuple[Query, ...]
+    collect_leaves: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class NonOverlapping(Query):
+    """Minuend intervals that do not overlap any subtrahend interval."""
+
+    minuend: Query
+    subtrahend: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WithinFilter:
+    slop: int
+
+
+@dataclass(frozen=True)
+class RangeFilter:
+    start: int
+    end: int
+
+
+@dataclass(frozen=True)
+class MinFreqFilter:
+    min_freq: int
+
+
+@dataclass(frozen=True)
+class RangeFreqFilter:
+    min_freq: int
+    max_freq: int
+
+
+@dataclass(frozen=True)
+class BlockFilter:
+    pass
+
+
+IntervalFilter = WithinFilter | RangeFilter | MinFreqFilter | RangeFreqFilter | BlockFilter
+
+
+@dataclass(frozen=True)
+class IntervalFiltered(Query):
+    """IntervalFilterQuery: doc matches iff >=1 interval survives the filter.
+
+    Scoring: freq() is hardcoded to 1 and idf is the sum over all leaf terms
+    (IntervalFilterQuery.java:375-377, :135-151).
+    """
+
+    inner: Query
+    filt: IntervalFilter
+    collect_leaves: bool = False
+    boost: float = 1.0
+
+
+def terms_of(q: Query) -> tuple[str, ...]:
+    """All leaf terms of a query tree, in depth-first order (with repeats)."""
+    if isinstance(q, Term):
+        return (q.term,)
+    if isinstance(q, Phrase):
+        return tuple(q.terms)
+    if isinstance(q, MultiPhrase):
+        return tuple(t for slot in q.slots for t in slot)
+    out: list[str] = []
+    for child in children_of(q):
+        out.extend(terms_of(child))
+    return tuple(out)
+
+
+def children_of(q: Query) -> tuple[Query, ...]:
+    if isinstance(q, Boolean):
+        return (*q.must, *q.should, *q.must_not)
+    if isinstance(q, DisjunctionMax):
+        return tuple(q.subs)
+    if isinstance(q, ConstantScore):
+        return (q.inner,)
+    if isinstance(q, (OrderedNear, UnorderedNear)):
+        return tuple(q.subs)
+    if isinstance(q, NonOverlapping):
+        return (q.minuend, q.subtrahend)
+    if isinstance(q, IntervalFiltered):
+        return (q.inner,)
+    return ()
