@@ -1,0 +1,154 @@
+"""Vectorized posting-list codec: delta-gap + variable-byte, block-max metadata.
+
+Plays the role of the reference's Lucene41 postings format
+(/root/reference/lucene/core/src/java/org/apache/lucene/codecs/lucene41/
+Lucene41PostingsWriter.java: delta-gapped docIDs :281-287, FOR blocks :301,
+position deltas :324, VInt tail :415-425) re-expressed for a columnar world:
+postings are packed into Parquet BinaryType columns with numpy, and decoded
+with cumsum inside Arrow-batched kernels.  Per-128-doc block metadata
+(last docid + max tf) replaces the skip list (Lucene41SkipWriter.java:69) and
+doubles as the block-max structure WAND needs (SURVEY.md §4.2).
+
+All functions are vectorized: no per-value Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # matches Lucene41PostingsFormat.BLOCK_SIZE (:388)
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Variable-byte encode a non-negative int array (vectorized)."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    work = a.copy()
+    for k in range(int(nbytes.max())):
+        sel = nbytes > k
+        idx = starts[sel] + k
+        more = (nbytes[sel] > k + 1).astype(np.uint8)
+        out[idx] = (work[sel] & np.uint64(0x7F)).astype(np.uint8) | (more << 7)
+        work = work >> np.uint64(7)
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode a variable-byte buffer back to uint64 (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    n = int(is_last.sum())
+    val_id = np.zeros(b.size, dtype=np.int64)
+    val_id[1:] = np.cumsum(is_last[:-1])
+    last_idx = np.nonzero(is_last)[0]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = last_idx[:-1] + 1
+    offs = (np.arange(b.size, dtype=np.int64) - starts[val_id]).astype(np.uint64)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(vals, val_id, (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * offs))
+    return vals
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """Strictly/weakly increasing ints -> first value + gaps (docDelta :281-287)."""
+    a = np.asarray(sorted_values, dtype=np.int64)
+    out = np.empty_like(a)
+    if a.size:
+        out[0] = a[0]
+        out[1:] = np.diff(a)
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
+
+
+def pack_doc_ids(doc_ids: np.ndarray) -> bytes:
+    return vb_encode(delta_encode(doc_ids))
+
+
+def unpack_doc_ids(buf: bytes) -> np.ndarray:
+    return delta_decode(vb_decode(buf).astype(np.int64))
+
+
+def pack_tfs(tfs: np.ndarray) -> bytes:
+    return vb_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def unpack_tfs(buf: bytes) -> np.ndarray:
+    return vb_decode(buf).astype(np.int64)
+
+
+def pack_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+    """Concatenated per-doc position deltas (posDelta :324); boundaries come
+    from the tf stream (doc i contributes tf_i positions)."""
+    if not positions_per_doc:
+        return b""
+    deltas = [delta_encode(np.asarray(p, dtype=np.int64)) for p in positions_per_doc]
+    return vb_encode(np.concatenate(deltas).astype(np.uint64))
+
+
+def unpack_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of pack_positions given the tf stream."""
+    flat = vb_decode(buf).astype(np.int64)
+    out: list[np.ndarray] = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        seg = flat[off : off + tf]
+        out.append(np.cumsum(seg))
+        off += int(tf)
+    return out
+
+
+def unpack_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode to (flat_positions, doc_offsets) without a Python loop.
+
+    flat_positions[doc_offsets[i]:doc_offsets[i+1]] are doc i's positions.
+    """
+    flat = vb_decode(buf).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    offsets = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offsets[1:])
+    if flat.size:
+        # segmented cumsum: global cumsum minus the running total at each start
+        csum = np.cumsum(flat)
+        seg_base = np.zeros(flat.size, dtype=np.int64)
+        starts = offsets[:-1][tfs > 0]
+        seg_base[starts[1:]] = csum[starts[1:] - 1]
+        np.maximum.accumulate(seg_base, out=seg_base)
+        flat = csum - seg_base
+    return flat, offsets
+
+
+def block_meta(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Per-BLOCK_SIZE-docs (last_doc_id, max_tf): the skip-list + block-max
+    WAND structure.  Returned as two int32 binary columns."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    n_blocks = (d.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    last = np.empty(n_blocks, dtype=np.int64)
+    mx = np.empty(n_blocks, dtype=np.int64)
+    for i in range(n_blocks):
+        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+        last[i] = d[sl][-1]
+        mx[i] = t[sl].max()
+    return last.astype(np.int64).tobytes(), mx.astype(np.int32).tobytes()
+
+
+def decode_block_meta(last_buf: bytes, max_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        np.frombuffer(last_buf, dtype=np.int64).copy(),
+        np.frombuffer(max_buf, dtype=np.int32).copy(),
+    )

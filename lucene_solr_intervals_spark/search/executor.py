@@ -1,0 +1,492 @@
+"""Query execution over the exploded inverted index (DataFrame path).
+
+Maps the reference's search lifecycle (SURVEY.md §3.2) onto Spark:
+
+  Query.rewrite / createWeight (stats binding)  -> driver-side planning over
+                                                   broadcast term_stats
+  Scorer DAG (Conjunction/Disjunction/ReqExcl)  -> joins / groupBy over
+                                                   per-term hit DataFrames
+  TopScoreDocCollector (HitQueue.lessThan:76-80,
+  tie-break score desc then docID asc)          -> ORDER BY score DESC,
+                                                   doc_id ASC LIMIT k
+                                                   (Spark TakeOrderedAndProject
+                                                   = per-partition heap + merge)
+  IntervalFilterQuery scorers                   -> per-doc interval kernel in
+                                                   an Arrow-batched UDF over
+                                                   collected position arrays
+
+Scoring modes:
+  mode="sql"    float64 BM25 without norm quantization — ANSI-SQL-expressible,
+                replayed verbatim by the DuckDB oracle harness.
+  mode="lucene" float32 + byte315 norm quantization — rank-identical to the
+                reference (BM25Similarity.java:234-238); scored inside a
+                vectorized pandas UDF to keep float32 op order exact.
+
+Scoring semantics per node (Lucene 4.x):
+  TermQuery      score = idf(df,N) * (k1+1) * tf / (tf + norm)
+  BooleanQuery   sum of matching clause scores (coord == 1 under BM25:
+                 Similarity.coord default; BM25Similarity does not override)
+  PhraseQuery    freq = number of phrase matches; idf summed over terms
+                 (PhraseWeight via idfExplain(termStats[]))
+  sloppy phrase  freq = sum of sloppyFreq(matchDistance) = 1/(d+1)
+  Interval queries (Ordered/Unordered/NonOverlapping/IntervalFiltered)
+                 freq() == 1 (IntervalFilterQuery.java:375-377), idf summed
+                 over all leaf terms (:135-151)
+  MultiTermQuery (Prefix/Wildcard/Regexp/TermRange/Fuzzy) rewrite to
+                 constant-score over the expanded doc set
+                 (MultiTermQuery.CONSTANT_SCORE_AUTO_REWRITE_DEFAULT)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..index.builder import InvertedIndex
+from ..intervals import kernel as IK
+from . import queries as Q
+
+K1 = 1.2
+B = 0.75
+
+_INTERVAL_RESULT = T.StructType(
+    [
+        T.StructField("n", T.IntegerType()),
+        T.StructField(
+            "intervals",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("begin", T.IntegerType()), T.StructField("end", T.IntegerType())]
+                )
+            ),
+        ),
+        T.StructField("sloppy_freq", T.DoubleType()),
+    ]
+)
+
+
+def _lucene_wildcard_to_rlike(pattern: str) -> str:
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+class Searcher:
+    def __init__(
+        self,
+        index: InvertedIndex,
+        corpus: DataFrame | None = None,
+        mode: str = "sql",
+        k1: float = K1,
+        b: float = B,
+    ):
+        assert mode in ("sql", "lucene")
+        self.index = index
+        self.corpus = corpus
+        self.mode = mode
+        self.k1 = k1
+        self.b = b
+
+    # ------------------------------------------------------------- scoring
+
+    def _idf_col(self, df_col):
+        n = self.index.max_doc
+        return F.log(F.lit(1.0) + (F.lit(float(n)) - df_col + 0.5) / (df_col + 0.5))
+
+    def _norm_col(self, doclen_col):
+        avgdl = self.index.avgdl
+        return F.lit(self.k1) * (
+            F.lit(1.0 - self.b) + F.lit(self.b) * doclen_col / F.lit(avgdl)
+        )
+
+    def _score_col(self, idf_col, tf_col, doclen_col):
+        return idf_col * F.lit(self.k1 + 1.0) * tf_col / (tf_col + self._norm_col(doclen_col))
+
+    def _lucene_score_udf(self):
+        """float32-exact scorer: (tf, norm_byte, df) -> score, via the
+        quantized norm cache (BM25Similarity.java:206-238)."""
+        import numpy as np
+
+        from ..scoring.bm25 import idf as idf32
+        from ..scoring.bm25 import norm_cache
+
+        cache = norm_cache(self.index.avgdl, self.k1, self.b)
+        n_docs = self.index.max_doc
+        k1 = np.float32(self.k1)
+
+        @F.pandas_udf(T.FloatType())
+        def _score(tf: pd.Series, norm_byte: pd.Series, df: pd.Series) -> pd.Series:
+            tf32 = tf.to_numpy(dtype=np.float32)
+            i = idf32(df.to_numpy(dtype=np.int64), n_docs)
+            w = (i * (k1 + np.float32(1.0))).astype(np.float32)
+            norm = cache[norm_byte.to_numpy(dtype=np.int64) & 0xFF]
+            return pd.Series((w * tf32 / (tf32 + norm)).astype(np.float32))
+
+        return _score
+
+    def term_hits(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        """Per-(term, doc) scored hits for a list of terms.
+
+        postings.filter(isin) -> Parquet/cache pruning on `term`; term_stats
+        is broadcast (it is tiny after the filter); docs joined for norms.
+        """
+        idx = self.index
+        cols = ["term", "doc_id", "tf"] + (["positions"] if with_positions else [])
+        hits = (
+            idx.postings.select(*cols)
+            .where(F.col("term").isin(terms))
+            .join(F.broadcast(idx.term_stats.where(F.col("term").isin(terms))), "term")
+            .join(idx.docs, "doc_id")
+        )
+        if self.mode == "lucene":
+            score = self._lucene_score_udf()(F.col("tf"), F.col("norm_byte"), F.col("df"))
+        else:
+            score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"))
+        return hits.withColumn("score", score)
+
+    # ------------------------------------------------------- main entry
+
+    def search(self, q: Q.Query, k: int = 10) -> DataFrame:
+        """Top-k (doc_id, score), tie-break (score desc, doc_id asc) — the
+        HitQueue contract (HitQueue.java:76-80)."""
+        scored = self.scored(q)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def count(self, q: Q.Query) -> int:
+        """TotalHitCountCollector analog."""
+        return self.matching(q).count()
+
+    def search_after(self, q: Q.Query, k: int, after_score: float, after_doc: int) -> DataFrame:
+        """Keyset pagination (IndexSearcher.searchAfter, IndexSearcher.java:234-250)."""
+        scored = self.scored(q)
+        below = scored.where(
+            (F.col("score") < F.lit(after_score))
+            | ((F.col("score") == F.lit(after_score)) & (F.col("doc_id") > F.lit(after_doc)))
+        )
+        return below.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # --------------------------------------------------------- scored sets
+
+    def scored(self, q: Q.Query) -> DataFrame:
+        """All matching docs with scores: (doc_id, score)."""
+        if isinstance(q, Q.Term):
+            return self.term_hits([q.term]).select(
+                "doc_id", (F.col("score") * F.lit(q.boost)).alias("score")
+            )
+
+        if isinstance(q, Q.MatchAll):
+            return self.index.docs.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+        if isinstance(q, Q.ConstantScore):
+            return self.matching(q.inner).select(
+                "doc_id", F.lit(float(q.boost)).alias("score")
+            )
+
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.TermRange, Q.Fuzzy)):
+            # CONSTANT_SCORE rewrite: expand terms, constant score per doc
+            return self._expanded_docs(q).select(
+                "doc_id", F.lit(float(q.boost)).alias("score")
+            )
+
+        if isinstance(q, Q.NumericRange):
+            return self._numeric_range_docs(q).select(
+                "doc_id", F.lit(float(q.boost)).alias("score")
+            )
+
+        if isinstance(q, Q.Boolean):
+            return self._scored_boolean(q)
+
+        if isinstance(q, Q.DisjunctionMax):
+            parts = [
+                self.scored(sub).select("doc_id", "score") for sub in q.subs
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("doc_id").agg(
+                F.max("score").alias("mx"), F.sum("score").alias("sm")
+            )
+            score = F.col("mx") + F.lit(float(q.tie_breaker)) * (F.col("sm") - F.col("mx"))
+            return agg.select("doc_id", (score * F.lit(q.boost)).alias("score"))
+
+        if isinstance(q, Q.Phrase) and q.slop == 0:
+            return self._scored_positional(q, freq_mode="count")
+
+        if isinstance(q, Q.Phrase):
+            return self._scored_positional(q, freq_mode="sloppy")
+
+        if isinstance(q, Q.MultiPhrase):
+            return self._scored_positional(q, freq_mode="count")
+
+        if isinstance(q, (Q.OrderedNear, Q.UnorderedNear, Q.NonOverlapping, Q.IntervalFiltered)):
+            # IntervalFilterQuery: freq() == 1 (IntervalFilterQuery.java:375-377)
+            return self._scored_positional(q, freq_mode="one")
+
+        raise ValueError(f"cannot score query type {type(q).__name__}")
+
+    def _scored_boolean(self, q: Q.Boolean) -> DataFrame:
+        parts = []
+        for c in q.must:
+            parts.append(
+                self.scored(c).select(
+                    "doc_id", "score", F.lit(1).alias("is_must"), F.lit(0).alias("is_should")
+                )
+            )
+        for c in q.should:
+            parts.append(
+                self.scored(c).select(
+                    "doc_id", "score", F.lit(0).alias("is_must"), F.lit(1).alias("is_should")
+                )
+            )
+        if not parts:
+            raise ValueError("boolean query with no positive clauses")
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("is_must").alias("n_must"),
+            F.sum("is_should").alias("n_should"),
+        )
+        cond = F.col("n_must") == len(q.must)
+        msm = q.min_should_match if q.should else 0
+        if not q.must and q.should:
+            msm = max(msm, 1)
+        if msm:
+            cond = cond & (F.col("n_should") >= msm)
+        out = agg.where(cond).select("doc_id", (F.col("score") * F.lit(q.boost)).alias("score"))
+        for c in q.must_not:
+            out = out.join(self.matching(c), "doc_id", "left_anti")
+        return out
+
+    # ------------------------------------------------------ doc-level match
+
+    def matching(self, q: Q.Query) -> DataFrame:
+        """Matching doc_ids without scoring (filter context)."""
+        if isinstance(q, Q.Term):
+            return (
+                self.index.postings.where(F.col("term") == q.term)
+                .select("doc_id")
+                .distinct()
+            )
+        if isinstance(q, Q.MatchAll):
+            return self.index.docs.select("doc_id")
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.TermRange, Q.Fuzzy)):
+            return self._expanded_docs(q)
+        if isinstance(q, Q.NumericRange):
+            return self._numeric_range_docs(q)
+        if isinstance(q, Q.ConstantScore):
+            return self.matching(q.inner)
+        if isinstance(q, Q.Boolean):
+            out = None
+            for c in q.must:
+                m = self.matching(c)
+                out = m if out is None else out.join(m, "doc_id", "left_semi")
+            if q.should:
+                parts = [self.matching(c) for c in q.should]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                shoulds = u.distinct()
+                out = shoulds if out is None else out
+                if not q.must and q.min_should_match > 1:
+                    cnt = u.groupBy("doc_id").count()
+                    out = cnt.where(F.col("count") >= q.min_should_match).select("doc_id")
+            for c in q.must_not:
+                out = out.join(self.matching(c), "doc_id", "left_anti")
+            return out
+        # positional queries: reuse the scored path (kernel decides matches)
+        return self.scored(q).select("doc_id")
+
+    def _expand_terms(self, q: Q.Query) -> DataFrame:
+        """Multi-term expansion against the term dictionary (term_stats).
+
+        PrefixQuery.java:34 / WildcardQuery.java:43 / RegexpQuery.java:48 /
+        TermRangeQuery.java:43 / FuzzyQuery.java:54 — the term dict scan; the
+        sorted/partitioned term_stats plays the BlockTree role.
+        """
+        ts = self.index.term_stats
+        if isinstance(q, Q.Prefix):
+            return ts.where(F.col("term").startswith(q.prefix)).select("term")
+        if isinstance(q, Q.Wildcard):
+            return ts.where(F.col("term").rlike(_lucene_wildcard_to_rlike(q.pattern))).select(
+                "term"
+            )
+        if isinstance(q, Q.Regexp):
+            return ts.where(F.col("term").rlike("^" + q.pattern + "$")).select("term")
+        if isinstance(q, Q.TermRange):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+            return ts.where(cond).select("term")
+        if isinstance(q, Q.Fuzzy):
+            return ts.where(
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            ).select("term")
+        raise ValueError(type(q).__name__)
+
+    def _expanded_docs(self, q: Q.Query) -> DataFrame:
+        terms = self._expand_terms(q)
+        return (
+            self.index.postings.join(F.broadcast(terms), "term", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+
+    def _numeric_range_docs(self, q: Q.NumericRange) -> DataFrame:
+        if self.corpus is None:
+            raise ValueError("NumericRange requires a corpus DataFrame")
+        col = F.col(q.column)
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (col >= q.lower if q.include_lower else col > q.lower)
+        if q.upper is not None:
+            cond = cond & (col <= q.upper if q.include_upper else col < q.upper)
+        return self.corpus.where(cond).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    # --------------------------------------------------- positional kernel
+
+    def _scored_positional(self, q: Q.Query, freq_mode: str) -> DataFrame:
+        """Interval-kernel execution: gather per-doc positions for the leaf
+        terms (pre-filtered to candidate docs by a required-term semi-join),
+        run the minimal-interval kernel per doc inside an Arrow-batched UDF,
+        score with the IntervalFilterQuery semantics."""
+        leaf_terms = sorted(set(Q.terms_of(q)))
+        required = _required_terms(q)
+        hits = self.term_hits(leaf_terms, with_positions=True).select(
+            "doc_id", "term", "positions", "doclen", "norm_byte", "df"
+        )
+        if required:
+            # docs must contain every required term: count-distinct semi-filter
+            req = (
+                self.index.postings.where(F.col("term").isin(sorted(required)))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("nreq"))
+                .where(F.col("nreq") == len(required))
+                .select("doc_id")
+            )
+            hits = hits.join(req, "doc_id", "left_semi")
+
+        per_doc = hits.groupBy("doc_id", "doclen", "norm_byte").agg(
+            F.collect_list(F.struct("term", "positions")).alias("tp")
+        )
+
+        query = q  # closure capture (dataclasses pickle fine)
+
+        @F.pandas_udf(_INTERVAL_RESULT)
+        def _kernel(tp: pd.Series) -> pd.DataFrame:
+            ns, ivs, sfreqs = [], [], []
+            for entries in tp:
+                pos = {e["term"]: list(e["positions"]) for e in entries}
+                it = IK.build_iter(query, pos)
+                if it is None:
+                    ns.append(0)
+                    ivs.append([])
+                    sfreqs.append(0.0)
+                    continue
+                items = (
+                    it.items
+                    if isinstance(it, IK.ReplayIter)
+                    else IK._materialize(it)
+                )
+                ns.append(len(items))
+                ivs.append([{"begin": iv.begin, "end": iv.end} for iv, _ in items])
+                sfreqs.append(float(sum(1.0 / (d + 1) if d >= 0 else 1.0 for _, d in items)))
+            return pd.DataFrame({"n": ns, "intervals": ivs, "sloppy_freq": sfreqs})
+
+        evaluated = per_doc.withColumn("res", _kernel(F.col("tp"))).where(F.col("res.n") > 0)
+
+        # summed idf over leaf terms (IntervalFilterQuery.getSimWeight:135-151)
+        stats = {
+            r["term"]: int(r["df"])
+            for r in self.index.term_stats.where(F.col("term").isin(leaf_terms)).collect()
+        }
+        n = self.index.max_doc
+        import math
+
+        sum_idf = 0.0
+        for t in Q.terms_of(q):  # repeats count, like termStats[] does
+            df = stats.get(t, 0)
+            sum_idf += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+        if freq_mode == "one":
+            freq = F.lit(1.0)
+        elif freq_mode == "count":
+            freq = F.col("res.n").cast("double")
+        else:  # sloppy
+            freq = F.col("res.sloppy_freq")
+
+        boost = getattr(q, "boost", 1.0)
+        score = (self._score_col(F.lit(sum_idf), freq, F.col("doclen")) * F.lit(boost)).alias(
+            "score"
+        )
+        return evaluated.select("doc_id", score)
+
+    def intervals(self, q: Q.Query) -> DataFrame:
+        """(doc_id, begin, end) of every surviving interval — the highlighter
+        feed (HighlightingIntervalCollector analog)."""
+        leaf_terms = sorted(set(Q.terms_of(q)))
+        hits = self.term_hits(leaf_terms, with_positions=True).select(
+            "doc_id", "term", "positions"
+        )
+        per_doc = hits.groupBy("doc_id").agg(
+            F.collect_list(F.struct("term", "positions")).alias("tp")
+        )
+        query = q
+
+        @F.pandas_udf(_INTERVAL_RESULT)
+        def _kernel(tp: pd.Series) -> pd.DataFrame:
+            ns, ivs, sf = [], [], []
+            for entries in tp:
+                pos = {e["term"]: list(e["positions"]) for e in entries}
+                m = IK.match_intervals(query, pos)
+                ns.append(len(m) if m else 0)
+                ivs.append([{"begin": b, "end": e} for b, e in (m or [])])
+                sf.append(0.0)
+            return pd.DataFrame({"n": ns, "intervals": ivs, "sloppy_freq": sf})
+
+        return (
+            per_doc.withColumn("res", _kernel(F.col("tp")))
+            .where(F.col("res.n") > 0)
+            .select("doc_id", F.explode("res.intervals").alias("iv"))
+            .select("doc_id", F.col("iv.begin").alias("begin"), F.col("iv.end").alias("end"))
+        )
+
+
+def _required_terms(q: Q.Query) -> set[str]:
+    """Terms that must all be present for a doc to match (conjunction gate)."""
+    if isinstance(q, Q.Term):
+        return {q.term}
+    if isinstance(q, (Q.Phrase,)):
+        return set(q.terms)
+    if isinstance(q, (Q.OrderedNear, Q.UnorderedNear)):
+        out: set[str] = set()
+        for c in q.subs:
+            out |= _required_terms(c)
+        return out
+    if isinstance(q, Q.NonOverlapping):
+        return _required_terms(q.minuend)
+    if isinstance(q, Q.IntervalFiltered):
+        return _required_terms(q.inner)
+    if isinstance(q, Q.Boolean):
+        out = set()
+        for c in q.must:
+            out |= _required_terms(c)
+        return out
+    return set()
