@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: lucene_solr_intervals_spark — a PySpark-native inverted-index +
+BM25 + minimal-interval query engine (see SURVEY.md).  The driver's verify
+runs ``entry(spark)`` as a smoke check, runs each ``queries()[name]`` at
+sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
+DuckDB (row-count + schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -15,24 +15,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: build the inverted index
+    over `documents`, run a BM25 boolean top-10 through the engine."""
+    from lucene_solr_intervals_spark import driver_queries as DQ
+    from lucene_solr_intervals_spark.search import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = DQ.searcher(spark, sf_dir, mode="sql")
+    q = Q.Boolean(should=(Q.Term("vector"), Q.Term("window")), must=(Q.Term("merge"),))
+    return DQ._topk(s.scored(q), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from lucene_solr_intervals_spark import driver_queries as DQ
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(DQ.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names/types).
+    Entries absent here (minhash/simhash/ann — they use Spark-side hash
+    functions DuckDB lacks) get the driver's weaker rows-only check."""
+    from lucene_solr_intervals_spark import driver_queries as DQ
+
+    return dict(DQ.ORACLES)

@@ -1,0 +1,784 @@
+"""Driver-facing query registry: Spark queries + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 gets (a) a `queries()` entry running
+through the engine (build_index + Searcher / ops.*) and (b) an equivalent
+ANSI-SQL string the driver replays in DuckDB over the same parquet tables.
+
+Scoring parity note: driver-checked queries use the engine's `sql` scoring
+mode — float64 BM25 with the exact doclen (no byte315 quantization) — since
+that formula is SQL-expressible.  The Lucene-exact float32 + quantized-norm
+mode (`lucene`) is the rank-parity target vs the reference and is verified
+in pytest against a pure-Python oracle (tests/test_spark_search.py,
+tests/test_scoring.py).  Both modes share the same plans.
+
+Columns are aliased identically on both sides; scores are rounded to 4
+decimals on both sides BEFORE ordering so top-k tie-breaks are engine-
+independent (tie-break: score desc, doc_id asc — HitQueue.java:76-80).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .index.builder import InvertedIndex, build_index
+from .ops import dedup as D
+from .ops import multimodal as M
+from .ops import similarity as SIM
+from .ops import text as TX
+from .search import queries as Q
+from .search.executor import Searcher
+
+# --------------------------------------------------------------------- glue
+
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+_CORPUS_CACHE: dict[str, DataFrame] = {}
+
+
+def get_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = f"{sf_dir}/documents"
+    if key not in _CORPUS_CACHE:
+        _CORPUS_CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _CORPUS_CACHE[key]
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    if sf_dir not in _INDEX_CACHE:
+        _INDEX_CACHE[sf_dir] = build_index(
+            get_docs(spark, sf_dir), id_col="doc_id", text_col="text", analyzer="code"
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def searcher(spark: SparkSession, sf_dir: str, mode: str = "sql") -> Searcher:
+    return Searcher(get_index(spark, sf_dir), corpus=get_docs(spark, sf_dir), mode=mode)
+
+
+def _topk(scored: DataFrame, k: int = 10) -> DataFrame:
+    s = scored.withColumn("score", F.round("score", 4))
+    return (
+        s.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------- SQL fragments
+
+# Tokenization prelude — MUST match analysis.tokenizer.code_tokenize:
+# split [^a-z0-9_]+ on lowered text, drop empties, pos = emitted index.
+_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+           generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS idx
+    FROM documents
+  ) raw
+  WHERE term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT sum(dl) FROM dl) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+),
+tfp AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dfp AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfp GROUP BY term)
+"""
+
+# BM25 (sql-parity mode): same operation order as Searcher._score_col
+_SCORE = (
+    "ln(1 + (cs.n - dfp.df + 0.5)/(dfp.df + 0.5)) * 2.2 * tfp.tf"
+    " / (tfp.tf + 1.2*(0.25 + 0.75*dl.dl/cs.avgdl))"
+)
+
+
+def _hits_cte(terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f", hits AS (SELECT tfp.doc_id, tfp.term, {_SCORE} AS score"
+        f" FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs"
+        f" WHERE tfp.term IN ({tl}))"
+    )
+
+
+def _sum_idf_sql(terms: list[str]) -> str:
+    """Summed idf over leaf terms (IntervalFilterQuery.getSimWeight)."""
+    parts = [
+        f"ln(1 + (cs.n - (SELECT df FROM dfp WHERE term = '{t}') + 0.5)"
+        f"/((SELECT df FROM dfp WHERE term = '{t}') + 0.5))"
+        for t in terms
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _const_freq_score_sql(terms: list[str], freq_expr: str = "1.0") -> str:
+    """score = sum_idf * (k1+1) * freq / (freq + norm(dl))."""
+    return (
+        f"{_sum_idf_sql(terms)} * 2.2 * {freq_expr}"
+        f" / ({freq_expr} + 1.2*(0.25 + 0.75*dl.dl/cs.avgdl))"
+    )
+
+
+# ================================================================ SEARCH ===
+
+T_RARE = "dup"  # df=25 at sf0.01 — the planted near-duplicate marker
+T_A, T_B, T_C = "vector", "window", "merge"
+
+
+@register(
+    "bm25_term_topk",
+    _PRELUDE
+    + _hits_cte([T_RARE])
+    + """
+SELECT doc_id, round(score, 4) AS score FROM hits
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def bm25_term_topk(spark, sf_dir):
+    """TermQuery + TopScoreDocCollector (TermQuery.java:41, TermScorer.java:30)."""
+    return _topk(searcher(spark, sf_dir).scored(Q.Term(T_RARE)))
+
+
+@register(
+    "bm25_term_topk_common",
+    _PRELUDE
+    + _hits_cte([T_C])
+    + """
+SELECT doc_id, round(score, 4) AS score FROM hits
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def bm25_term_topk_common(spark, sf_dir):
+    return _topk(searcher(spark, sf_dir).scored(Q.Term(T_C)))
+
+
+@register(
+    "bool_or_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_B])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def bool_or_topk(spark, sf_dir):
+    """BooleanQuery SHOULD: DisjunctionSumScorer (DisjunctionSumScorer.java:28)."""
+    q = Q.Boolean(should=(Q.Term(T_A), Q.Term(T_B)))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "bool_and_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_B])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits
+GROUP BY doc_id HAVING count(*) = 2
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def bool_and_topk(spark, sf_dir):
+    """BooleanQuery MUST: leapfrog conjunction (ConjunctionScorer.java:30)."""
+    q = Q.Boolean(must=(Q.Term(T_A), Q.Term(T_B)))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "bool_and_not",
+    _PRELUDE
+    + _hits_cte(["scan"])
+    + f"""
+SELECT h.doc_id, round(h.score, 4) AS score FROM hits h
+WHERE NOT EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = h.doc_id AND tok.term = '{T_RARE}')
+ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT 10
+""",
+)
+def bool_and_not(spark, sf_dir):
+    """MUST + MUST_NOT: ReqExclScorer (ReqExclScorer.java:33)."""
+    q = Q.Boolean(must=(Q.Term("scan"),), must_not=(Q.Term(T_RARE),))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "bool_min_should_match",
+    _PRELUDE
+    + _hits_cte([T_RARE, T_A, T_B])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits
+GROUP BY doc_id HAVING count(*) >= 2
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def bool_min_should_match(spark, sf_dir):
+    """minimumNumberShouldMatch (MinShouldMatchSumScorer.java:38)."""
+    q = Q.Boolean(
+        should=(Q.Term(T_RARE), Q.Term(T_A), Q.Term(T_B)), min_should_match=2
+    )
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "phrase_topk",
+    _PRELUDE
+    + f"""
+, pfreq AS (
+  SELECT t1.doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'table' AND t2.term = 'hash'
+  GROUP BY t1.doc_id
+)
+SELECT p.doc_id,
+       round({_const_freq_score_sql(['table', 'hash'], 'p.freq')}, 4) AS score
+FROM pfreq p JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN cs
+ORDER BY 2 DESC, p.doc_id ASC LIMIT 10
+""",
+)
+def phrase_topk(spark, sf_dir):
+    """Exact PhraseQuery: freq = #matches, summed idf (PhraseQuery.java:49)."""
+    q = Q.Phrase(("table", "hash"))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "ordered_near",
+    _PRELUDE
+    + f"""
+, m AS (
+  SELECT DISTINCT t1.doc_id
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+  WHERE t1.term = '{T_A}' AND t2.term = '{T_B}'
+    AND t2.pos > t1.pos AND t2.pos - t1.pos - 1 <= 3
+)
+SELECT m.doc_id, round({_const_freq_score_sql([T_A, T_B])}, 4) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN cs
+ORDER BY 2 DESC, m.doc_id ASC LIMIT 10
+""",
+)
+def ordered_near(spark, sf_dir):
+    """OrderedNearQuery(slop=3): AND< + WithinOrderedFilter
+    (OrderedNearQuery.java:44-47); freq()==1 scoring."""
+    q = Q.OrderedNear(3, (Q.Term(T_A), Q.Term(T_B)))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "unordered_near",
+    _PRELUDE
+    + """
+, m AS (
+  SELECT DISTINCT t1.doc_id
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+  WHERE t1.term = 'table' AND t2.term = 'hash'
+    AND abs(t2.pos - t1.pos) - 1 <= 2
+)
+SELECT m.doc_id, round("""
+    + _const_freq_score_sql(["table", "hash"])
+    + """, 4) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN cs
+ORDER BY 2 DESC, m.doc_id ASC LIMIT 10
+""",
+)
+def unordered_near(spark, sf_dir):
+    """UnorderedNearQuery(slop=2): adjusted slop slop+n-2
+    (UnorderedNearQuery.java:46)."""
+    q = Q.UnorderedNear(2, (Q.Term("table"), Q.Term("hash")))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "nonoverlapping_intervals",
+    _PRELUDE
+    + """
+SELECT t.doc_id, t.pos AS begin, t.pos AS "end"
+FROM tok t
+WHERE t.term = 'hash'
+  AND NOT EXISTS (
+    SELECT 1 FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'hash'
+      AND a.doc_id = t.doc_id AND a.pos <= t.pos AND t.pos <= b.pos
+  )
+ORDER BY t.doc_id, t.pos
+""",
+)
+def nonoverlapping_intervals(spark, sf_dir):
+    """NonOverlappingQuery (Brouwerian): 'hash' not inside phrase
+    'table hash' (BrouwerianIntervalIterator.java:71-97)."""
+    q = Q.NonOverlapping(Q.Term("hash"), Q.Phrase(("table", "hash")))
+    s = searcher(spark, sf_dir)
+    return s.intervals(q).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("begin").cast("int").alias("begin"),
+        F.col("end").cast("int").alias("end"),
+    )
+
+
+@register(
+    "interval_range_filter",
+    _PRELUDE
+    + f"""
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n
+FROM tok WHERE term = '{T_RARE}' AND pos <= 9
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def interval_range_filter(spark, sf_dir):
+    """RangeIntervalFilter: term within first 10 positions
+    (RangeIntervalFilter.java:27)."""
+    q = Q.IntervalFiltered(Q.Term(T_RARE), Q.RangeFilter(0, 9))
+    s = searcher(spark, sf_dir)
+    iv = s.intervals(q).groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return iv.select(F.col("doc_id").cast("long").alias("doc_id"), "n")
+
+
+@register(
+    "min_freq_filter",
+    _PRELUDE
+    + f"""
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n
+FROM tok WHERE term = '{T_C}'
+GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id
+""",
+)
+def min_freq_filter(spark, sf_dir):
+    """MinFrequencyFilter: doc matches only with >= 3 intervals
+    (MinFrequencyFilter.java:22)."""
+    q = Q.IntervalFiltered(Q.Term(T_C), Q.MinFreqFilter(3))
+    s = searcher(spark, sf_dir)
+    iv = s.intervals(q).groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return iv.select(F.col("doc_id").cast("long").alias("doc_id"), "n")
+
+
+@register(
+    "prefix_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'val%' ORDER BY doc_id
+""",
+)
+def prefix_docs(spark, sf_dir):
+    """PrefixQuery via term-dictionary expansion, constant-score rewrite
+    (PrefixQuery.java:34, MultiTermQuery.java:92)."""
+    s = searcher(spark, sf_dir)
+    return s.matching(Q.Prefix("val")).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
+    "wildcard_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^s.*t$') ORDER BY doc_id
+""",
+)
+def wildcard_docs(spark, sf_dir):
+    """WildcardQuery s*t (WildcardQuery.java:43)."""
+    s = searcher(spark, sf_dir)
+    return s.matching(Q.Wildcard("s*t")).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
+    "term_range_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT doc_id FROM tok WHERE term >= 'a' AND term < 'c' ORDER BY doc_id
+""",
+)
+def term_range_docs(spark, sf_dir):
+    """TermRangeQuery [a, c) (TermRangeQuery.java:43)."""
+    s = searcher(spark, sf_dir)
+    return s.matching(Q.TermRange("a", "c")).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
+    "fuzzy_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT t.doc_id FROM tok t
+JOIN (SELECT DISTINCT term FROM dfp WHERE levenshtein(term, 'qery') <= 1) e
+  ON t.term = e.term
+ORDER BY t.doc_id
+""",
+)
+def fuzzy_docs(spark, sf_dir):
+    """FuzzyQuery <=1 edit (FuzzyQuery.java:54)."""
+    s = searcher(spark, sf_dir)
+    return s.matching(Q.Fuzzy("qery", max_edits=1)).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
+    "numeric_range_docs",
+    "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id",
+)
+def numeric_range_docs(spark, sf_dir):
+    """NumericRangeQuery semantics — native column range (Spark wins outright,
+    NumericRangeQuery.java:168 trie encoding unnecessary)."""
+    s = searcher(spark, sf_dir)
+    return s.matching(Q.NumericRange("n_chars", 100, 300)).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
+    "dismax_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_B])
+    + """
+SELECT doc_id,
+       round(max(score) + 0.3 * (sum(score) - max(score)), 4) AS score
+FROM hits GROUP BY doc_id
+ORDER BY 2 DESC, doc_id ASC LIMIT 10
+""",
+)
+def dismax_topk(spark, sf_dir):
+    """DisjunctionMaxQuery, tieBreaker 0.3 (DisjunctionMaxQuery.java:45)."""
+    q = Q.DisjunctionMax((Q.Term(T_A), Q.Term(T_B)), tie_breaker=0.3)
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "search_after_page2",
+    _PRELUDE
+    + _hits_cte([T_C])
+    + """
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(score, 4) AS score,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM hits
+) WHERE rn BETWEEN 11 AND 20
+""",
+)
+def search_after_page2(spark, sf_dir):
+    """searchAfter keyset pagination (IndexSearcher.java:234-250): page 2."""
+    s = searcher(spark, sf_dir)
+    scored = s.scored(Q.Term(T_C)).withColumn("score", F.round("score", 4))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+
+
+@register("match_all_count", "SELECT count(*) AS n FROM documents")
+def match_all_count(spark, sf_dir):
+    """MatchAllDocsQuery + TotalHitCountCollector."""
+    s = searcher(spark, sf_dir)
+    return s.matching(Q.MatchAll()).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "total_hits",
+    _PRELUDE
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT doc_id FROM tok WHERE term IN ('{T_A}', '{T_B}')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+""",
+)
+def total_hits(spark, sf_dir):
+    """TotalHitCountCollector over a conjunction."""
+    s = searcher(spark, sf_dir)
+    q = Q.Boolean(must=(Q.Term(T_A), Q.Term(T_B)))
+    return s.matching(q).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "facet_by_source",
+    _PRELUDE
+    + f"""
+SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}') h
+JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY source
+""",
+)
+def facet_by_source(spark, sf_dir):
+    """Facet counting over the hit set (FacetsCollector.java:51 analog)."""
+    s = searcher(spark, sf_dir)
+    hits = s.matching(Q.Term(T_RARE))
+    docs = get_docs(spark, sf_dir)
+    return (
+        hits.join(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "group_top2_per_source",
+    _PRELUDE
+    + _hits_cte([T_A])
+    + """
+SELECT source, doc_id, score FROM (
+  SELECT d.source AS source, h.doc_id, round(h.score, 4) AS score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY round(h.score, 4) DESC, h.doc_id ASC) AS rn
+  FROM hits h JOIN documents d USING (doc_id)
+) WHERE rn <= 2
+""",
+)
+def group_top2_per_source(spark, sf_dir):
+    """Grouping / field collapse: top-2 per group by score
+    (GroupingSearch.java:53 two-pass -> one window)."""
+    s = searcher(spark, sf_dir)
+    hits = s.scored(Q.Term(T_A)).withColumn("score", F.round("score", 4))
+    docs = get_docs(spark, sf_dir)
+    joined = hits.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("source", F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+
+
+# ====================================================== TRAINING-DATA OPS ==
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, md5(text) AS h FROM documents)
+GROUP BY h HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (one groupBy, no pairs)."""
+    return D.exact_dedup(get_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    _PRELUDE
+    + """
+SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fingerprint
+FROM (SELECT DISTINCT doc_id, term FROM tok)
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Bag-of-words fingerprint: md5 over sorted distinct tokens."""
+    return TX.fingerprint(get_docs(spark, sf_dir))
+
+
+@register(
+    "token_stats",
+    r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS BIGINT) AS code_tokens,
+       CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''))) AS BIGINT) AS distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+)
+def token_stats(spark, sf_dir):
+    """Token counting (whitespace + analyzer regex) per doc."""
+    return TX.token_stats(get_docs(spark, sf_dir))
+
+
+_STOPLIST_SQL = (
+    "['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it',"
+    "'no','not','of','on','or','such','that','the','their','then','there','these',"
+    "'they','this','to','was','will','with']"
+)
+
+
+@register(
+    "quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS ttr,
+       round(CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS mean_token_len
+FROM t ORDER BY doc_id
+""",
+)
+def quality_score(spark, sf_dir):
+    """Pre-training quality signals: TTR, stopword ratio, mean token length."""
+    return TX.quality_score(get_docs(spark, sf_dir))
+
+
+@register(
+    "lang_id",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS ratio
+  FROM t
+)
+SELECT doc_id, round(ratio, 4) AS stop_ratio,
+       CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM r ORDER BY doc_id
+""",
+)
+def lang_id(spark, sf_dir):
+    """Stopword-density language-ID heuristic."""
+    return TX.lang_id(get_docs(spark, sf_dir))
+
+
+@register("minhash_lsh_pairs")  # xxhash64 not in DuckDB -> rows-only check
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates verified by exact Jaccard."""
+    return D.minhash_lsh_pairs(
+        get_docs(spark, sf_dir), num_hashes=32, bands=8, n=3, threshold=0.4
+    )
+
+
+@register("simhash_signatures")  # xxhash64 not in DuckDB -> rows-only check
+def simhash_signatures(spark, sf_dir):
+    """64-bit SimHash sketch per doc."""
+    return D.simhash(get_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT e.vec_id,
+         unnest(e.embedding) AS x,
+         unnest(q.qe) AS y
+  FROM embeddings e CROSS JOIN q
+),
+s AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS ny
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+FROM s ORDER BY 2 DESC, vec_id ASC LIMIT 10
+""",
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the embedding of vec_id 0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    return SIM.cosine_topk(emb, qvec, k=10)
+
+
+@register("ann_lsh_topk")  # hyperplane constants Spark-side -> rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN: hash to sign-pattern buckets, exact-rerank bucket."""
+    import random
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(len(qvec))] for _ in range(4)]
+    return SIM.ann_lsh_topk(emb, qvec, planes, k=10, multi_probe=2)
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id AS media_id, sha256(text) AS payload_sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents ORDER BY doc_id
+""",
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing: mapInPandas feature extraction over opaque
+    payloads (decode stubbed deterministically — no media libs here)."""
+    media = M.text_as_media(get_docs(spark, sf_dir))
+    return M.extract_features(media).select("media_id", "payload_sha256", "payload_bytes")
+
+
+@register(
+    "events_hourly_window",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_hourly_window(spark, sf_dir):
+    """Tumbling-window aggregation (the Structured Streaming operator run in
+    batch mode — identical plan under readStream + watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """Session-gap (30 min) sessionization via lag window — the batch twin of
+    applyInPandasWithState session windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    g = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return g.groupBy("user_id").agg(F.sum("new_session").cast("long").alias("n_sessions"))

@@ -1,0 +1,89 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Brute force is the correctness baseline (and is exactly what a 100 TB scan
+does per query if you let it).  The scale path is random-hyperplane LSH:
+bucket vectors by sign pattern, search only matching buckets — candidate
+set shrinks ~2^bits while recall stays high for near-duplicates.
+All vector math is JVM-side (zip_with/aggregate) — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5
+    sim = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        embeddings.select(F.col(id_col).cast("long").alias("vec_id"), F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign pattern across random hyperplanes."""
+    bits = []
+    for i, hp in enumerate(hyperplanes):
+        hlit = F.array(*[F.lit(float(v)) for v in hp])
+        bits.append(
+            F.when(_dot(F.col(vec_col), hlit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    hyperplanes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: int = 0,
+) -> DataFrame:
+    """LSH-bucketed ANN: hash query, exact-rerank only its bucket (plus
+    optional 1-bit multi-probe neighbors for recall)."""
+    bucketed = lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    qb = 0
+    for i, hp in enumerate(hyperplanes):
+        if sum(a * b for a, b in zip(query_vec, hp)) >= 0:
+            qb |= 1 << i
+    probes = [qb] + [qb ^ (1 << i) for i in range(min(multi_probe, len(hyperplanes)))]
+    cand = bucketed.where(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding")

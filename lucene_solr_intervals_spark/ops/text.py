@@ -1,0 +1,82 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in pyspark.sql.functions — whole-stage codegen, no
+Python in the hot path): tokenization statistics, language-ID heuristic,
+quality scoring, fingerprinting.  Each has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+TOKEN_SPLIT = "[^a-z0-9_]+"
+
+
+def tokens_col(text_col):
+    """array<string> of code-analyzer tokens, JVM-side (matches code_tokenize)."""
+    return F.filter(F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: whitespace tokens, analyzer tokens, distinct."""
+    toks = tokens_col(F.col(text_col))
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("code_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, type-token ratio, stopword ratio,
+    mean token length.  The classic pre-training quality filters."""
+    toks = tokens_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(n_distinct / F.greatest(n, F.lit(1)).cast("double"), 4).alias("ttr"),
+        F.round(n_stop / F.greatest(n, F.lit(1)).cast("double"), 4).alias("stopword_ratio"),
+        F.round(total_len / F.greatest(n, F.lit(1)).cast("double"), 4).alias("mean_token_len"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword density.
+
+    A real deployment would swap in fastText/cld3 via mapInPandas; the
+    Spark plumbing (columnar ratio computation, threshold classify) is the
+    operator being exercised.
+    """
+    toks = tokens_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalized document fingerprint: md5 over the sorted distinct token
+    set (shingle-free variant of Broder's fingerprinting; dedup key for
+    bag-of-words-identical docs)."""
+    toks = tokens_col(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(canon).alias("fingerprint"),
+    )
