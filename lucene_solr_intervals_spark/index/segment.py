@@ -1,0 +1,462 @@
+"""Packed segment store: LSM-style immutable segments + manifest.
+
+Maps the reference's segment architecture (SURVEY.md §3.1) to Spark:
+
+  DocumentsWriterPerThread (shared-nothing ingest) -> one Spark task per
+      segment: groupBy(seg).applyInPandas builds a whole segment with zero
+      cross-partition traffic (the only shuffle is the seg hash)
+  FreqProxTermsWriter.flush (term-sorted postings)  -> per-segment invert +
+      sort + numpy varbyte pack (codecs.varbyte)
+  Lucene41 skip data                                -> per-128-doc block
+      metadata (last docid, max tf, min norm byte) = block-max WAND input
+  segments_N two-phase commit                       -> manifest.json written
+      via temp file + atomic rename after all segment parquet lands
+  TieredMergePolicy + SegmentMerger                 -> plan_merges() +
+      merge_segments(): repartitionByRange(term) sort-merge, concat posting
+      streams (doc ids are global and segments hold disjoint contiguous doc
+      ranges, so concatenation in doc_base order is already sorted — the
+      docID-rebasing step of SegmentMerger.mergeTerms:110 is a no-op here
+      by construction)
+  CheckIndex                                        -> verify_index()
+
+Resumability (north rule): the manifest records per-segment status +
+lineage + metrics; build_segments(resume=True) skips segments already
+'done', so a killed job continues where it stopped.
+
+Layout under index_dir/:
+  postings/seg=<id>/*.parquet   (term-sorted within files)
+  docs/seg=<id>/*.parquet
+  manifest.json                 {segments: [{seg, doc_base, n_docs, ...}]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis.tokenizer import ANALYZERS
+from ..codecs.varbyte import (
+    BLOCK_SIZE,
+    block_meta,
+    pack_doc_ids,
+    pack_positions,
+    pack_tfs,
+    unpack_doc_ids,
+    unpack_positions,
+    unpack_tfs,
+)
+from ..scoring.smallfloat import encode_norm
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("ttf", T.LongType()),
+        T.StructField("doc_ids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("positions", T.BinaryType()),
+        T.StructField("block_last", T.BinaryType()),
+        T.StructField("block_max_tf", T.BinaryType()),
+        T.StructField("block_max_nb", T.BinaryType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("doclen", T.IntegerType()),
+        T.StructField("norm_byte", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Build one segment's postings from tokenized docs (runs per seg group).
+
+    In-memory invert (term -> docs/tfs/positions), term-sorted output —
+    the FreqProxTermsWriter flush, with numpy varbyte packing per term.
+    """
+    seg = int(pdf["seg"].iloc[0])
+    pdf = pdf.sort_values("doc_id")
+    inv: dict[str, list[tuple[int, np.ndarray]]] = {}
+    for doc_id, terms, positions in zip(pdf["doc_id"], pdf["terms"], pdf["positions"]):
+        per_term: dict[str, list[int]] = {}
+        for t, p in zip(terms, positions):
+            per_term.setdefault(t, []).append(p)
+        for t, plist in per_term.items():
+            inv.setdefault(t, []).append((int(doc_id), np.asarray(plist, dtype=np.int64)))
+    nb_by_doc = dict(zip(pdf["doc_id"].astype(int), pdf["norm_byte"].astype(int)))
+    rows = []
+    for term in sorted(inv):
+        postings = inv[term]  # already doc-sorted (pdf sorted by doc_id)
+        doc_ids = np.array([d for d, _ in postings], dtype=np.int64)
+        tfs = np.array([len(p) for _, p in postings], dtype=np.int64)
+        nbs = np.array([nb_by_doc[int(d)] for d in doc_ids], dtype=np.int64)
+        last_b, max_b = block_meta(doc_ids, tfs)
+        n_blocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+        max_nb = np.array(
+            [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(n_blocks)],
+            dtype=np.int32,
+        )
+        rows.append(
+            {
+                "seg": seg,
+                "term": term,
+                "df": int(doc_ids.size),
+                "ttf": int(tfs.sum()),
+                "doc_ids": pack_doc_ids(doc_ids),
+                "tfs": pack_tfs(tfs),
+                "positions": pack_positions([p for _, p in postings]),
+                "block_last": last_b,
+                "block_max_tf": max_b,
+                "block_max_nb": max_nb.tobytes(),
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[f.name for f in POSTINGS_SCHEMA.fields],
+    )
+
+
+def build_segments(
+    corpus: DataFrame,
+    index_dir: str,
+    n_segments: int = 32,
+    id_col: str | None = None,
+    text_col: str = "text",
+    analyzer: str = "code",
+    order_cols: tuple[str, ...] = ("repo", "path"),
+    resume: bool = False,
+) -> dict:
+    """Tokenize + invert + pack the corpus into `n_segments` parquet segments.
+
+    Deterministic global_doc_id: either `id_col` (already dense) or
+    row_number over `order_cols` - 1 (FIXTURES.md F1 canonical ordering —
+    fixes the (score, docID) tie-break so runs are reproducible).
+    seg = doc_id % n_segments? NO — contiguous ranges: seg = doc_id * n / N
+    keeps each segment a disjoint contiguous doc range so merges never
+    re-sort doc ids.
+    """
+    from pyspark.sql.window import Window
+
+    t0 = time.time()
+    spark = corpus.sparkSession
+    n_total = corpus.count()
+    docs_per_seg = max(1, (n_total + n_segments - 1) // n_segments)
+
+    if id_col is None:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        corpus = corpus.withColumn("doc_id", F.row_number().over(w) - 1)
+        id_col = "doc_id"
+
+    done: set[int] = set()
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        done = {s["seg"] for s in prev["segments"] if s.get("status") == "done"}
+
+    tok_udf = _tokenize_for_segments(analyzer)
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("sha256"),
+    ).withColumn("seg", (F.col("doc_id") / F.lit(docs_per_seg)).cast("int"))
+    if done:
+        base = base.where(~F.col("seg").isin(sorted(done)))
+
+    tokenized = base.select(
+        "seg", "doc_id", "sha256", tok_udf(F.col("_text")).alias("t")
+    ).select("seg", "doc_id", "sha256", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
+
+    # dynamic partition overwrite: a resumed build rewrites exactly the
+    # partitions of the segments it re-processes (idempotent even if a
+    # previous run died mid-write of a segment)
+    overwrite_mode = "dynamic" if done else "static"
+    docs_df = tokenized.select("seg", "doc_id", "doclen", "norm_byte", "sha256")
+    docs_df.write.mode("overwrite").option(
+        "partitionOverwriteMode", overwrite_mode
+    ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
+
+    postings = tokenized.groupBy("seg").applyInPandas(_invert_segment, POSTINGS_SCHEMA)
+    postings.write.mode("overwrite").option(
+        "partitionOverwriteMode", overwrite_mode
+    ).partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
+
+    # manifest: per-segment doc stats + lineage; two-phase commit via rename
+    seg_stats = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("doc_base"),
+            F.sum("doclen").alias("sum_doclen"),
+        )
+        .collect()
+    )
+    wall = time.time() - t0
+    segments = [
+        {
+            "seg": int(r["seg"]),
+            "doc_base": int(r["doc_base"]),
+            "n_docs": int(r["n_docs"]),
+            "sum_doclen": int(r["sum_doclen"]),
+            "status": "done",
+            "lineage": [],
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        for r in sorted(seg_stats, key=lambda r: r["seg"])
+    ]
+    manifest = {
+        "version": 1,
+        "n_docs": int(sum(s["n_docs"] for s in segments)),
+        "sum_doclen": int(sum(s["sum_doclen"] for s in segments)),
+        "analyzer": analyzer,
+        "segments": segments,
+        "metrics": {"build_wall_sec": wall, "docs_per_sec": n_total / wall if wall else 0},
+    }
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def _tokenize_for_segments(analyzer: str):
+    schema = T.StructType(
+        [
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+            T.StructField("doclen", T.IntegerType()),
+            T.StructField("norm_byte", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _tok(texts: pd.Series) -> pd.DataFrame:
+        fn = ANALYZERS[analyzer]
+        terms_col, pos_col, len_col = [], [], []
+        for t in texts:
+            terms, positions, doclen = fn(t)
+            terms_col.append(terms)
+            pos_col.append(positions)
+            len_col.append(doclen)
+        lens = np.maximum(np.array(len_col, dtype=np.int64), 1)
+        return pd.DataFrame(
+            {
+                "terms": terms_col,
+                "positions": pos_col,
+                "doclen": len_col,
+                "norm_byte": encode_norm(lens).astype(np.int32),
+            }
+        )
+
+    return _tok
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    path = os.path.join(index_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)  # atomic commit, like segments_N
+
+
+def read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "postings"))
+
+
+def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "docs"))
+
+
+# ------------------------------------------------------------------- merge
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge one term's postings across segments (runs per term group).
+
+    Segments hold disjoint contiguous doc ranges, so concatenating streams
+    in doc_base order keeps doc_ids sorted — no rebase, no re-sort.
+    """
+    pdf = pdf.sort_values("seg")
+    term = pdf["term"].iloc[0]
+    new_seg = int(pdf["new_seg"].iloc[0])
+    all_ids = np.concatenate([unpack_doc_ids(b) for b in pdf["doc_ids"]])
+    all_tfs = np.concatenate([unpack_tfs(b) for b in pdf["tfs"]])
+    all_pos: list[np.ndarray] = []
+    all_nb: list[np.ndarray] = []
+    for pos_buf, tf_buf, nb_buf in zip(pdf["positions"], pdf["tfs"], pdf["block_max_nb"]):
+        all_pos.extend(unpack_positions(pos_buf, unpack_tfs(tf_buf)))
+    # block meta must be recomputed (block boundaries move); max-norm-byte
+    # per new block would need per-doc norms, so keep the conservative
+    # per-source max (a valid, looser WAND upper bound)
+    last_b, max_b = block_meta(all_ids, all_tfs)
+    n_blocks = (all_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    old_max = max(int(np.frombuffer(b, dtype=np.int32).max()) for b in pdf["block_max_nb"])
+    max_nb = np.full(n_blocks, old_max, dtype=np.int32)
+    return pd.DataFrame(
+        [
+            {
+                "seg": new_seg,
+                "term": term,
+                "df": int(all_ids.size),
+                "ttf": int(all_tfs.sum()),
+                "doc_ids": pack_doc_ids(all_ids),
+                "tfs": pack_tfs(all_tfs),
+                "positions": pack_positions(all_pos),
+                "block_last": last_b,
+                "block_max_tf": max_b,
+                "block_max_nb": max_nb.tobytes(),
+            }
+        ],
+        columns=[f.name for f in POSTINGS_SCHEMA.fields],
+    )
+
+
+def merge_segments(
+    spark: SparkSession, index_dir: str, seg_ids: list[int], new_seg: int
+) -> dict:
+    """Sort-merge compaction of `seg_ids` into `new_seg` (SegmentMerger.merge).
+
+    One shuffle: repartitionByRange on term (range-partitioned like the
+    BlockTree term dict), then per-term concat+repack.  Manifest updated
+    with lineage; old segment files are superseded, not deleted (point-in-
+    time readers keep working — DirectoryReader snapshot semantics).
+    """
+    manifest = read_manifest(index_dir)
+    live = {s["seg"] for s in manifest["segments"] if s.get("status") == "done"}
+    assert set(seg_ids) <= live, f"segments {set(seg_ids) - live} not live"
+
+    postings = load_postings(spark, index_dir).where(F.col("seg").isin(seg_ids))
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    merged = (
+        postings.withColumn("new_seg", F.lit(new_seg))
+        .repartitionByRange(n_part, "term")
+        .groupBy("term")
+        .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+    )
+    merged.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
+
+    docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
+    docs.withColumn("seg", F.lit(new_seg)).write.mode("append").partitionBy("seg").parquet(
+        os.path.join(index_dir, "docs")
+    )
+
+    old = [s for s in manifest["segments"] if s["seg"] in set(seg_ids)]
+    for s in manifest["segments"]:
+        if s["seg"] in set(seg_ids):
+            s["status"] = "merged"
+    manifest["segments"].append(
+        {
+            "seg": new_seg,
+            "doc_base": min(s["doc_base"] for s in old),
+            "n_docs": sum(s["n_docs"] for s in old),
+            "sum_doclen": sum(s["sum_doclen"] for s in old),
+            "status": "done",
+            "lineage": sorted(seg_ids),
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    )
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def plan_merges(manifest: dict, segs_per_tier: int = 10) -> list[list[int]]:
+    """TieredMergePolicy-lite (TieredMergePolicy.java:81-86): group live
+    segments of similar size into merge candidates of `segs_per_tier`."""
+    live = sorted(
+        (s for s in manifest["segments"] if s.get("status") == "done"),
+        key=lambda s: s["n_docs"],
+    )
+    plans = []
+    for i in range(0, len(live) - segs_per_tier + 1, segs_per_tier):
+        plans.append([s["seg"] for s in live[i : i + segs_per_tier]])
+    return plans
+
+
+# ------------------------------------------------------------------ verify
+
+
+def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None = None,
+                 text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """CheckIndex analog (CheckIndex.java:62): structural invariants.
+
+    - df == decoded doc_id count; ttf == sum(tfs); positions count == tf sum
+    - doc_ids strictly increasing
+    - manifest doc counts match the docs table
+    - optional: per-row sha256 parity against the source corpus
+    """
+    manifest = read_manifest(index_dir)
+    live = [s["seg"] for s in manifest["segments"] if s.get("status") == "done"]
+    postings = load_postings(spark, index_dir).where(F.col("seg").isin(live))
+
+    @F.pandas_udf(T.StringType())
+    def _check(doc_ids: pd.Series, tfs: pd.Series, positions: pd.Series,
+               dfv: pd.Series, ttfv: pd.Series) -> pd.Series:
+        out = []
+        for db, tb, pb, dfx, ttfx in zip(doc_ids, tfs, positions, dfv, ttfv):
+            ids = unpack_doc_ids(db)
+            tf = unpack_tfs(tb)
+            msgs = []
+            if ids.size != dfx:
+                msgs.append(f"df {dfx} != {ids.size}")
+            if int(tf.sum()) != ttfx:
+                msgs.append(f"ttf {ttfx} != {int(tf.sum())}")
+            if ids.size > 1 and not bool(np.all(np.diff(ids) > 0)):
+                msgs.append("doc_ids not strictly increasing")
+            pos = unpack_positions(pb, tf)
+            if sum(len(p) for p in pos) != int(tf.sum()):
+                msgs.append("positions count != ttf")
+            if any((len(p) > 1 and not bool(np.all(np.diff(p) >= 0))) for p in pos):
+                msgs.append("positions not sorted")
+            out.append(";".join(msgs))
+        return pd.Series(out)
+
+    errs = (
+        postings.select(
+            _check("doc_ids", "tfs", "positions", "df", "ttf").alias("err")
+        )
+        .where(F.col("err") != "")
+        .limit(20)
+        .collect()
+    )
+    problems = [r["err"] for r in errs]
+
+    docs = load_docs(spark, index_dir).where(F.col("seg").isin(live))
+    n_docs = docs.count()
+    if n_docs != manifest["n_docs"] and not any(
+        s.get("status") == "merged" for s in manifest["segments"]
+    ):
+        problems.append(f"manifest n_docs {manifest['n_docs']} != docs table {n_docs}")
+
+    sha_ok = None
+    if corpus is not None:
+        # per-row content sha256 parity (BASELINE.json per-row invariant)
+        src = corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("sha_src"),
+        )
+        mismatches = (
+            docs.select("doc_id", "sha256")
+            .join(src, "doc_id", "inner")
+            .where(F.col("sha256") != F.col("sha_src"))
+            .count()
+        )
+        sha_ok = mismatches == 0
+        if not sha_ok:
+            problems.append(f"{mismatches} sha256 mismatches")
+
+    return {"ok": not problems, "problems": problems, "n_docs": n_docs, "sha_ok": sha_ok}

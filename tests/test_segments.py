@@ -1,0 +1,159 @@
+"""Segment store tests: build -> verify -> merge -> query (WAND == exhaustive
+== exploded-index lucene-mode search)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_intervals_spark.index.builder import build_index
+from lucene_solr_intervals_spark.index.segment import (
+    build_segments,
+    load_docs,
+    load_postings,
+    merge_segments,
+    plan_merges,
+    read_manifest,
+    verify_index,
+)
+from lucene_solr_intervals_spark.search import queries as Q
+from lucene_solr_intervals_spark.search.executor import Searcher
+from lucene_solr_intervals_spark.search.wand import search_segments
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)] + ["rare1", "rare2"]
+    rows = []
+    for i in range(400):
+        n = rng.randint(5, 60)
+        words = [vocab[min(int(rng.expovariate(0.12)), len(vocab) - 1)] for _ in range(n)]
+        if i % 37 == 0:
+            words.append("rare1")
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, corpus):
+    d = str(tmp_path_factory.mktemp("segidx"))
+    m = build_segments(corpus, d, n_segments=8, id_col="doc_id", analyzer="code")
+    assert m["n_docs"] == 400
+    return d
+
+
+def test_verify_index(spark, index_dir, corpus):
+    res = verify_index(spark, index_dir, corpus=corpus)
+    assert res["ok"], res["problems"]
+    assert res["sha_ok"] is True
+
+
+def test_manifest_contiguous_segments(index_dir):
+    m = read_manifest(index_dir)
+    segs = sorted(m["segments"], key=lambda s: s["doc_base"])
+    covered = 0
+    for s in segs:
+        assert s["doc_base"] == covered
+        covered += s["n_docs"]
+    assert covered == 400
+
+
+def test_wand_equals_exhaustive_equals_dataframe(spark, index_dir, corpus):
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(idx, mode="lucene")
+    for terms in [["w0"], ["w1", "w5"], ["rare1", "w3"], ["w2", "w7", "w11"]]:
+        k = 10
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in search_segments(spark, index_dir, terms, k=k, mode="wand").collect()
+        ]
+        exh = [
+            (r["doc_id"], r["score"])
+            for r in search_segments(
+                spark, index_dir, terms, k=k, mode="exhaustive"
+            ).collect()
+        ]
+        assert wand == exh, terms
+        q = (
+            Q.Term(terms[0])
+            if len(terms) == 1
+            else Q.Boolean(should=tuple(Q.Term(t) for t in terms))
+        )
+        df_path = [(r["doc_id"], r["score"]) for r in s.search(q, k=k).collect()]
+        assert [d for d, _ in wand] == [d for d, _ in df_path], terms
+        for (wd, wsc), (dd, dsc) in zip(wand, df_path):
+            assert wsc == pytest.approx(dsc, rel=1e-6)
+    idx.unpersist()
+
+
+def test_conjunctive_segments(spark, index_dir, corpus):
+    got = [
+        r["doc_id"]
+        for r in search_segments(
+            spark, index_dir, ["rare1", "w0"], k=100, conjunctive=True
+        ).collect()
+    ]
+    rows = corpus.collect()
+    want = {
+        r["doc_id"]
+        for r in rows
+        if "rare1" in r["text"].split() and "w0" in r["text"].split()
+    }
+    assert set(got) == want
+
+
+def test_merge_preserves_results(spark, index_dir, corpus, tmp_path):
+    import shutil
+
+    d2 = str(tmp_path / "merged")
+    shutil.copytree(index_dir, d2)
+    before = [
+        (r["doc_id"], r["score"])
+        for r in search_segments(spark, d2, ["w1", "w5"], k=10).collect()
+    ]
+    m = read_manifest(d2)
+    live = [s["seg"] for s in m["segments"] if s["status"] == "done"]
+    merge_segments(spark, d2, live[:4], new_seg=100)
+    m2 = read_manifest(d2)
+    live2 = [s["seg"] for s in m2["segments"] if s["status"] == "done"]
+    assert 100 in live2 and len(live2) == len(live) - 3
+    after = [
+        (r["doc_id"], r["score"])
+        for r in search_segments(spark, d2, ["w1", "w5"], k=10).collect()
+    ]
+    assert before == after
+    res = verify_index(spark, d2, corpus=corpus)
+    assert res["ok"], res["problems"]
+    # lineage recorded
+    merged_entry = [s for s in m2["segments"] if s["seg"] == 100][0]
+    assert merged_entry["lineage"] == sorted(live[:4])
+
+
+def test_resume_skips_done_segments(spark, corpus, tmp_path):
+    d = str(tmp_path / "resume")
+    m1 = build_segments(corpus, d, n_segments=4, id_col="doc_id")
+    # simulate a partial build: drop the last segment from the manifest
+    m1["segments"] = m1["segments"][:-1]
+    m1["n_docs"] = sum(s["n_docs"] for s in m1["segments"])
+    with open(f"{d}/manifest.json", "w") as f:
+        json.dump(m1, f)
+    m2 = build_segments(corpus, d, n_segments=4, id_col="doc_id", resume=True)
+    assert m2["n_docs"] == 400
+    assert len([s for s in m2["segments"] if s["status"] == "done"]) == 4
+
+
+def test_plan_merges():
+    manifest = {
+        "segments": [
+            {"seg": i, "n_docs": 100, "status": "done"} for i in range(25)
+        ]
+    }
+    plans = plan_merges(manifest, segs_per_tier=10)
+    assert len(plans) == 2
+    assert all(len(p) == 10 for p in plans)
