@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""N vs 4N scaling-efficiency harness (BASELINE.md sandbox protocol).
+
+Runs the identical bench workload at two parallelism levels (local[8] and
+local[32] by default — N and 4N cores) on the same deterministic input, in
+separate processes (a JVM's master can't change in-process).  Reports per-
+phase throughput at both levels and scaling efficiency
+(throughput@4N / throughput@N) / 4 into BENCH/BASELINE.md.
+
+Usage: python BENCH/run_scaling.py [--low 8] [--high 32] [--docs 40000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, docs: int, sf_dir: str) -> dict:
+    out_path = f"/tmp/lsi_scaling_{cpus}.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        BENCH_CORPUS_DOCS=str(docs),
+        BENCH_OUT=out_path,
+    )
+    t0 = time.time()
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        check=True,
+        cwd=REPO,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    with open(out_path) as f:
+        res = json.loads(f.read())
+    res["wall_total"] = time.time() - t0
+    return res
+
+
+PHASES = {
+    "segment build (files/sec)": lambda r: r["corpus_docs"] / r["queries"]["build_segments"],
+    "documents index build (docs/sec)": lambda r: r["documents_rows"]
+    / r["queries"]["build_documents_index"],
+    "WAND top-10 (queries/sec)": lambda r: 5.0 / r["queries"]["wand_term_top10_x5"],
+    "query battery (queries/sec)": lambda r: 10.0
+    / sum(v for k, v in r["queries"].items() if not k.startswith(("build", "verify", "minhash", "cosine"))),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=40000)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    lo = run_level(args.low, args.docs, args.sf_dir)
+    hi = run_level(args.high, args.docs, args.sf_dir)
+    factor = args.high / args.low
+
+    lines = [
+        "# BENCH/BASELINE.md — measured throughput + scaling efficiency",
+        "",
+        f"Workload: bench.py (same deterministic input at both levels; F1 corpus "
+        f"= {args.docs} files, documents table = {lo['documents_rows']} rows at "
+        f"{args.sf_dir}).",
+        f"Levels: local[{args.low}] (N) vs local[{args.high}] (4N); "
+        f"spark.sql.shuffle.partitions scaled with cores (2x cores).",
+        "",
+        "| phase | throughput@N | throughput@4N | scaling efficiency |",
+        "|---|---|---|---|",
+    ]
+    effs = {}
+    for name, fn in PHASES.items():
+        tlo, thi = fn(lo), fn(hi)
+        eff = (thi / tlo) / factor
+        effs[name] = eff
+        lines.append(f"| {name} | {tlo:.1f} | {thi:.1f} | {eff:.2f} |")
+    lines += [
+        "",
+        f"Raw results: N={json.dumps(lo['queries'])}",
+        f"4N={json.dumps(hi['queries'])}",
+        "",
+        "Protocol: BASELINE.md 'Sandbox scaling protocol' — same job, same",
+        "input, two parallelism levels; efficiency = (thr@4N / thr@N) / 4.",
+        "Note: single-machine core scaling under-states cluster scaling for",
+        "the build phase (shared memory bandwidth, one JVM heap); the build",
+        "is shuffle-free per segment, so executor-count scaling on a real",
+        "cluster is embarrassingly parallel by construction.",
+    ]
+    md = "\n".join(lines) + "\n"
+    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"efficiency": {k: round(v, 3) for k, v in effs.items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + BM25 top-10 query latency.
+
+Phases (the north-rule pipeline end to end):
+  build_documents   exploded inverted index over $SF_DIR/documents.parquet
+  build_segments    packed-segment build (tokenize -> invert -> varbyte pack
+                    -> manifest) over the deterministic F1 source-code corpus
+  verify            CheckIndex invariants + per-row content sha256 parity
+  query battery     WAND top-10 (single/OR/AND), exploded-path BM25,
+                    positional (phrase / ordered near), dedup + ANN ops
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32) -> master local[N], shuffle=2N
+  BENCH_CORPUS_DOCS    (default 20000) F1 corpus size
+  BENCH_OUT            optional path to also write the JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.index.segment import build_segments, verify_index
+    from lucene_solr_intervals_spark.ops.dedup import minhash_lsh_pairs
+    from lucene_solr_intervals_spark.ops.similarity import cosine_topk
+    from lucene_solr_intervals_spark.search import queries as Q
+    from lucene_solr_intervals_spark.search.executor import Searcher
+    from lucene_solr_intervals_spark.search.wand import search_segments
+    from lucene_solr_intervals_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lsi-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "sf_dir": sf_dir, "corpus_docs": n_corpus}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 4)
+        return out
+
+    total0 = time.time()
+
+    # ---- phase 1: exploded index over the driver's documents table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    idx = timed("build_documents_index", lambda: build_index(docs, analyzer="code"))
+    extras["documents_rows"] = n_docs
+    extras["documents_build_docs_per_sec"] = round(
+        n_docs / queries["build_documents_index"], 1
+    )
+
+    # ---- phase 2: packed segments over the F1 source-code corpus
+    index_dir = tempfile.mkdtemp(prefix="lsi_bench_idx_")
+    corpus = generate_corpus(spark, n_corpus).persist()
+    corpus.count()  # materialize generation outside the build timing
+    manifest = timed(
+        "build_segments",
+        lambda: build_segments(
+            corpus, index_dir, n_segments=cpus * 2, id_col="doc_id",
+            text_col="content", analyzer="code",
+        ),
+    )
+    extras["segments_build_files_per_sec"] = round(
+        n_corpus / queries["build_segments"], 1
+    )
+    extras["n_segments"] = len(manifest["segments"])
+
+    ver = timed("verify_sha256", lambda: verify_index(
+        spark, index_dir, corpus=corpus, text_col="content", id_col="doc_id"
+    ))
+    extras["verify_ok"] = bool(ver["ok"]) and ver["sha_ok"] is True
+
+    # ---- phase 3: query battery
+    s = Searcher(idx, mode="lucene")
+
+    head_terms = ["get_index", "set_posting", "build_segment", "merge_term", "scan_doc"]
+    probe = "interval_probe_alpha"
+
+    def wand_many():
+        for t in head_terms:
+            search_segments(spark, index_dir, [t], k=10, mode="wand").collect()
+
+    timed("wand_term_top10_x5", wand_many)
+    extras["wand_qps"] = round(5.0 / queries["wand_term_top10_x5"], 2)
+
+    timed(
+        "wand_or2_top10",
+        lambda: search_segments(
+            spark, index_dir, ["get_index", "merge_posting"], k=10, mode="wand"
+        ).collect(),
+    )
+    timed(
+        "wand_and2_top10",
+        lambda: search_segments(
+            spark, index_dir, [probe, "get_index"], k=10, conjunctive=True
+        ).collect(),
+    )
+    timed(
+        "exhaustive_or2_top10",
+        lambda: search_segments(
+            spark, index_dir, ["get_index", "merge_posting"], k=10, mode="exhaustive"
+        ).collect(),
+    )
+
+    timed("df_term_top10", lambda: s.search(Q.Term("merge"), k=10).collect())
+    timed(
+        "df_bool_or_top10",
+        lambda: s.search(Q.Boolean(should=(Q.Term("vector"), Q.Term("window"))), k=10).collect(),
+    )
+    timed("df_phrase_top10", lambda: s.search(Q.Phrase(("table", "hash")), k=10).collect())
+    timed(
+        "df_ordered_near_top10",
+        lambda: s.search(Q.OrderedNear(3, (Q.Term("vector"), Q.Term("window"))), k=10).collect(),
+    )
+    timed(
+        "df_unordered_near_top10",
+        lambda: s.search(Q.UnorderedNear(2, (Q.Term("table"), Q.Term("hash"))), k=10).collect(),
+    )
+
+    # ---- phase 4: training-data ops
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.4).collect(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    timed("cosine_top10", lambda: cosine_topk(emb, qvec, k=10).collect())
+
+    total = time.time() - total0
+    out = {
+        "metric": "index-build files/sec + BM25 top-10 battery",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }
+    line = json.dumps(out)
+    print(line)
+    path = os.environ.get("BENCH_OUT")
+    if path:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

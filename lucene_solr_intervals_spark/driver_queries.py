@@ -562,6 +562,234 @@ def group_top2_per_source(spark, sf_dir):
     )
 
 
+@register(
+    "query_parser_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_B, T_RARE])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits
+GROUP BY doc_id
+HAVING sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) = 1
+   AND sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 1
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def query_parser_topk(spark, sf_dir):
+    """Classic query parser: string -> tree -> rewrite -> execute
+    (QueryParserBase.parse:109; rewrite fixpoint IndexSearcher.java:675)."""
+    from .search.parser import parse
+    from .search.planner import rewrite
+
+    q = rewrite(parse("vector AND window dup"))
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "rescore_topk",
+    _PRELUDE
+    + _hits_cte([T_C])
+    + f"""
+, first_pass AS (
+  SELECT doc_id, round(score, 4) AS first_score
+  FROM hits ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
+),
+pfreq AS (
+  SELECT t1.doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'table' AND t2.term = 'hash'
+  GROUP BY t1.doc_id
+),
+second_pass AS (
+  SELECT p.doc_id,
+         round({_const_freq_score_sql(['table', 'hash'], 'p.freq')}, 4) AS second_score
+  FROM pfreq p JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN cs
+)
+SELECT f.doc_id, round(f.first_score + 2.0 * coalesce(s.second_score, 0.0), 4) AS score
+FROM first_pass f LEFT JOIN second_pass s USING (doc_id)
+ORDER BY 2 DESC, f.doc_id ASC LIMIT 10
+""",
+)
+def rescore_topk(spark, sf_dir):
+    """QueryRescorer: top-20 by term, re-ranked by phrase match * 2.0
+    (QueryRescorer.java:31)."""
+    s = searcher(spark, sf_dir)
+    top_n = _topk(s.scored(Q.Term(T_C)), k=20).withColumnRenamed("score", "first_score")
+    second = (
+        s.scored(Q.Phrase(("table", "hash")))
+        .withColumn("second_score", F.round("score", 4))
+        .select("doc_id", "second_score")
+    )
+    combined = top_n.join(F.broadcast(second), "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.col("first_score") + F.lit(2.0) * F.coalesce(F.col("second_score"), F.lit(0.0)),
+            4,
+        ).alias("score"),
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "query_time_join",
+    _PRELUDE
+    + f"""
+SELECT d.doc_id FROM documents d
+WHERE d.source IN (
+  SELECT DISTINCT dd.source FROM documents dd
+  JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}') h
+    ON dd.doc_id = h.doc_id
+)
+ORDER BY d.doc_id
+""",
+)
+def query_time_join(spark, sf_dir):
+    """JoinUtil.createJoinQuery semantics (JoinUtil.java:31): docs whose
+    `source` appears among docs matching the inner query — a semi-join."""
+    s = searcher(spark, sf_dir)
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    hit_sources = (
+        s.matching(Q.Term(T_RARE)).join(docs, "doc_id").select("source").distinct()
+    )
+    return docs.join(F.broadcast(hit_sources), "source", "left_semi").select("doc_id")
+
+
+@register(
+    "multiphrase_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT t1.doc_id
+FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.term IN ('table', 'row') AND t2.term = 'hash'
+ORDER BY t1.doc_id
+""",
+)
+def multiphrase_docs(spark, sf_dir):
+    """MultiPhraseQuery: per-slot term alternatives (MultiPhraseQuery.java:63)."""
+    s = searcher(spark, sf_dir)
+    q = Q.MultiPhrase((("table", "row"), ("hash",)))
+    return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
+    "common_terms_topk",
+    _PRELUDE
+    + _hits_cte([T_RARE, "the"])
+    + f"""
+SELECT doc_id, round(sum(score), 4) AS score FROM hits
+GROUP BY doc_id
+HAVING sum(CASE WHEN term = '{T_RARE}' THEN 1 ELSE 0 END) = 1
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def common_terms_topk(spark, sf_dir):
+    """CommonTermsQuery (CommonTermsQuery.java:64): high-df terms demoted to
+    SHOULD; the selective term drives execution, common term still scores."""
+    from .search.planner import common_terms_split
+
+    s = searcher(spark, sf_dir)
+    stats = {
+        r["term"]: int(r["df"])
+        for r in s.index.term_stats.where(F.col("term").isin([T_RARE, "the"])).collect()
+    }
+    q = common_terms_split(
+        Q.Boolean(must=(Q.Term(T_RARE), Q.Term("the"))), stats, s.index.max_doc, cutoff=0.5
+    )
+    return _topk(s.scored(q))
+
+
+@register(
+    "sloppy_phrase_topk",
+    _PRELUDE
+    + f"""
+, pairs AS (
+  SELECT t1.doc_id, t1.pos AS p1, t2.pos AS p2
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+  WHERE t1.term = '{T_A}' AND t2.term = '{T_B}'
+),
+-- minimal unordered conjunction intervals per doc: for each left-endpoint
+-- candidate, keep the tightest span; antichain = spans not containing
+-- another span (matches ConjunctionIntervalIterator minimal semantics for
+-- two distinct terms: consecutive-pair spans)
+spans AS (
+  SELECT doc_id, least(p1, p2) AS b, greatest(p1, p2) AS e
+  FROM pairs
+),
+minimal AS (
+  SELECT DISTINCT s.doc_id, s.b, s.e FROM spans s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s2
+    WHERE s2.doc_id = s.doc_id AND (s2.b > s.b AND s2.e <= s.e OR s2.b >= s.b AND s2.e < s.e)
+  )
+),
+survivors AS (
+  SELECT doc_id, sum(1.0 / (CAST(e - b - 1 AS DOUBLE) + 1.0)) AS sloppy_freq
+  FROM minimal WHERE e - b - 1 <= 4 GROUP BY doc_id
+)
+SELECT sv.doc_id,
+       round({_const_freq_score_sql([T_A, T_B], 'sv.sloppy_freq')}, 4) AS score
+FROM survivors sv JOIN dl ON dl.doc_id = sv.doc_id CROSS JOIN cs
+ORDER BY 2 DESC, sv.doc_id ASC LIMIT 10
+""",
+)
+def sloppy_phrase_topk(spark, sf_dir):
+    """Sloppy PhraseQuery: freq = sum(1/(matchDistance+1)) over surviving
+    minimal intervals (SloppyPhraseScorer semantics via the interval kernel;
+    BM25Similarity.sloppyFreq:70-72)."""
+    q = Q.Phrase((T_A, T_B), slop=4)
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _PRELUDE
+    + """
+, sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle,
+           lead(term, 2) OVER w AS last_t
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE last_t IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.3
+ORDER BY 1, 2
+""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.3 (candidates only via
+    shingles with df <= 50 — the skew guard)."""
+    return D.ngram_jaccard_pairs(
+        get_docs(spark, sf_dir), n=3, threshold=0.3, max_shingle_df=50
+    )
+
+
+@register("more_like_this")  # tf*idf term selection ties -> rows-only check
+def more_like_this(spark, sf_dir):
+    """MoreLikeThis: top tf*idf terms of doc 0 -> OR query (MoreLikeThis.java:147)."""
+    s = searcher(spark, sf_dir)
+    return s.more_like_this(0, max_terms=5, k=10).withColumn(
+        "score", F.round("score", 4)
+    )
+
+
 # ====================================================== TRAINING-DATA OPS ==
 
 

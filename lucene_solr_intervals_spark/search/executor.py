@@ -166,6 +166,49 @@ class Searcher:
         """TotalHitCountCollector analog."""
         return self.matching(q).count()
 
+    def rescore(
+        self, first: Q.Query, second: Q.Query, n_top: int, k: int, weight: float = 1.0
+    ) -> DataFrame:
+        """QueryRescorer (QueryRescorer.java:31): re-rank the first-pass
+        top-N with combined = first + weight * second (0 if no match)."""
+        top_n = self.search(first, n_top).withColumnRenamed("score", "first_score")
+        second_scores = self.scored(second).withColumnRenamed("score", "second_score")
+        combined = top_n.join(F.broadcast(second_scores), "doc_id", "left").select(
+            "doc_id",
+            (
+                F.col("first_score")
+                + F.lit(weight) * F.coalesce(F.col("second_score"), F.lit(0.0))
+            ).alias("score"),
+        )
+        return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def more_like_this(self, doc_id: int, max_terms: int = 10, k: int = 10) -> DataFrame:
+        """MoreLikeThis (MoreLikeThis.java:147): top tf*idf terms of the doc
+        -> OR query (excluding the seed doc).  Term selection deterministic:
+        (tf*idf desc, term asc)."""
+        idx = self.index
+        doc_terms = (
+            idx.postings.where(F.col("doc_id") == doc_id)
+            .join(idx.term_stats, "term")
+            .withColumn("tfidf", F.col("tf") * self._idf_col(F.col("df")))
+            .orderBy(F.desc("tfidf"), F.asc("term"))
+            .limit(max_terms)
+            .select("term")
+            .collect()
+        )
+        terms = [r["term"] for r in doc_terms]
+        if not terms:
+            return self.index.docs.select("doc_id").where(F.lit(False)).withColumn(
+                "score", F.lit(0.0)
+            )
+        q = Q.Boolean(should=tuple(Q.Term(t) for t in terms))
+        return (
+            self.scored(q)
+            .where(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_after(self, q: Q.Query, k: int, after_score: float, after_doc: int) -> DataFrame:
         """Keyset pagination (IndexSearcher.searchAfter, IndexSearcher.java:234-250)."""
         scored = self.scored(q)

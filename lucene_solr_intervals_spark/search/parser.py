@@ -1,0 +1,177 @@
+"""Classic query-parser subset: string -> Query tree.
+
+Covers the grammar subset the reference query set uses
+(queryparser/classic/QueryParser.java:79, QueryParserBase.parse:109):
+
+  term                  bare word (analyzed)
+  "a b c"               phrase;  "a b"~2  sloppy phrase
+  field prefixes        ignored (single-field engine: content)
+  AND / OR / NOT / + / -   boolean structure
+  wild* / wi?d          wildcard;  pre*  prefix
+  fuzzy~  fuzzy~1       fuzzy (default 2 edits)
+  [a TO b] / {a TO b}   term range (inclusive/exclusive)
+  term^2.5              boost
+  ( ... )               grouping
+
+Default operator is OR (QueryParser.java OR_OPERATOR default).
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import queries as Q
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+      \(|\)|
+      \[[^\]]*\]|\{[^}]*\}|
+      "(?:[^"\\]|\\.)*"(?:~\d+)?|
+      AND\b|OR\b|NOT\b|
+      \+|-|
+      [^\s()\[\]{}]+
+    )""",
+    re.VERBOSE,
+)
+
+
+def tokenize_query(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+class QueryParser:
+    """Recursive-descent parser over the token stream."""
+
+    def __init__(self, default_operator: str = "OR", analyzer=None):
+        assert default_operator in ("OR", "AND")
+        self.default_operator = default_operator
+        self.analyzer = analyzer or (lambda t: t.lower())
+
+    def parse(self, s: str) -> Q.Query:
+        self.toks = tokenize_query(s)
+        self.i = 0
+        q = self._parse_bool()
+        if q is None:
+            raise ValueError(f"empty query: {s!r}")
+        return q
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _parse_bool(self) -> Q.Query | None:
+        must: list[Q.Query] = []
+        should: list[Q.Query] = []
+        must_not: list[Q.Query] = []
+        pending_op = None
+        prev_slot = None  # which list got the previous clause
+
+    # clause loop
+        while True:
+            t = self._peek()
+            if t is None or t == ")":
+                break
+            if t in ("AND", "OR"):
+                pending_op = self._next()
+                continue
+            occur = None
+            if t in ("+", "-", "NOT"):
+                occur = "+" if t == "+" else "-"
+                self._next()
+                t = self._peek()
+                if t is None:
+                    break
+            clause = self._parse_clause()
+            if clause is None:
+                continue
+            if occur == "-":
+                must_not.append(clause)
+                prev_slot = None
+            elif occur == "+":
+                must.append(clause)
+                prev_slot = must
+            elif pending_op == "AND":
+                # AND binds the previous clause too (a AND b -> both MUST)
+                if prev_slot is should and should:
+                    must.append(should.pop())
+                must.append(clause)
+                prev_slot = must
+            elif pending_op == "OR":
+                should.append(clause)
+                prev_slot = should
+            else:
+                if self.default_operator == "AND":
+                    must.append(clause)
+                    prev_slot = must
+                else:
+                    should.append(clause)
+                    prev_slot = should
+            pending_op = None
+
+        if not must and not must_not and len(should) == 1:
+            return should[0]
+        if not should and not must_not and len(must) == 1:
+            return must[0]
+        if not must and not should and not must_not:
+            return None
+        return Q.Boolean(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+    def _parse_clause(self) -> Q.Query | None:
+        t = self._next()
+        if t == "(":
+            inner = self._parse_bool()
+            assert self._next() == ")", "unbalanced parens"
+            return self._with_boost(inner)
+        if t.startswith('"'):
+            m = re.match(r'"((?:[^"\\]|\\.)*)"(?:~(\d+))?$', t)
+            phrase, slop = m.group(1), int(m.group(2) or 0)
+            terms = tuple(self.analyzer(w) for w in phrase.split())
+            if len(terms) == 1:
+                return Q.Term(terms[0])
+            return Q.Phrase(terms, slop=slop)
+        if t.startswith("[") or t.startswith("{"):
+            inc_lo = t.startswith("[")
+            inc_hi = t.endswith("]")
+            body = t[1:-1].strip()
+            m = re.match(r"(\S+)\s+TO\s+(\S+)", body)
+            lo = None if m.group(1) == "*" else self.analyzer(m.group(1))
+            hi = None if m.group(2) == "*" else self.analyzer(m.group(2))
+            return Q.TermRange(lo, hi, include_lower=inc_lo, include_upper=inc_hi)
+        return self._with_boost(self._parse_term(t))
+
+    def _parse_term(self, t: str) -> Q.Query:
+        boost = 1.0
+        m = re.match(r"(.*)\^(\d+(?:\.\d+)?)$", t)
+        if m:
+            t, boost = m.group(1), float(m.group(2))
+        if ":" in t:  # single-field engine: strip field prefix
+            t = t.split(":", 1)[1]
+        fm = re.match(r"(.*?)~(\d*)$", t)
+        if fm and fm.group(1):
+            max_e = int(fm.group(2)) if fm.group(2) else 2
+            return Q.Fuzzy(self.analyzer(fm.group(1)), max_edits=max_e, boost=boost)
+        if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+            return Q.Prefix(self.analyzer(t[:-1]), boost=boost)
+        if "*" in t or "?" in t:
+            return Q.Wildcard(self.analyzer(t), boost=boost)
+        return Q.Term(self.analyzer(t), boost=boost)
+
+    @staticmethod
+    def _with_boost(q: Q.Query | None) -> Q.Query | None:
+        return q
+
+
+def parse(s: str, default_operator: str = "OR") -> Q.Query:
+    return QueryParser(default_operator).parse(s)

@@ -1,0 +1,109 @@
+"""Near-real-time indexing: Structured Streaming micro-batch == soft commit.
+
+The reference's streaming-shaped feature is NRT reopen — soft commits +
+DirectoryReader.openIfChanged + ControlledRealTimeReopenThread (SURVEY.md
+§2.10).  The idiomatic Spark equivalent: readStream over the arriving
+corpus -> foreachBatch appending one new segment per micro-batch + an
+atomic manifest commit; readers re-read the manifest to see the new
+snapshot (openIfChanged == re-resolve the live segment set).
+
+Deletes/updates follow the reference's delete-by-term model: a tombstone
+list in the manifest, applied as an anti-join at query time and dropped
+physically at the next merge (liveDocs bitset + merge-time reclaim).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.segment import (
+    POSTINGS_SCHEMA,
+    _invert_segment,
+    _tokenize_for_segments,
+    _write_manifest,
+    read_manifest,
+)
+
+
+def append_segment_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> dict | None:
+    """foreachBatch sink: one micro-batch -> one new immutable segment.
+
+    Usage:
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: append_segment_batch(df, index_dir)
+        ).start()
+    """
+    if batch_df.isEmpty():
+        return None
+    manifest = (
+        read_manifest(index_dir)
+        if os.path.exists(os.path.join(index_dir, "manifest.json"))
+        else {"version": 1, "n_docs": 0, "sum_doclen": 0, "analyzer": analyzer,
+              "segments": [], "metrics": {}}
+    )
+    new_seg = 1 + max((s["seg"] for s in manifest["segments"]), default=-1)
+
+    tok = _tokenize_for_segments(analyzer)
+    tokenized = (
+        batch_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("sha256"),
+            tok(F.col(text_col)).alias("t"),
+        )
+        .select("doc_id", "sha256", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
+        .withColumn("seg", F.lit(new_seg).cast("int"))
+    )
+    docs_df = tokenized.select("seg", "doc_id", "doclen", "norm_byte", "sha256")
+    docs_df.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
+    postings = tokenized.groupBy("seg").applyInPandas(_invert_segment, POSTINGS_SCHEMA)
+    postings.write.mode("append").partitionBy("seg").parquet(
+        os.path.join(index_dir, "postings")
+    )
+
+    stats = docs_df.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("base"),
+        F.sum("doclen").alias("s"),
+    ).collect()
+    if not stats:
+        return manifest
+    r = stats[0]
+    manifest["segments"].append(
+        {
+            "seg": new_seg,
+            "doc_base": int(r["base"]),
+            "n_docs": int(r["n"]),
+            "sum_doclen": int(r["s"]),
+            "status": "done",
+            "lineage": [],
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    )
+    manifest["n_docs"] = sum(s["n_docs"] for s in manifest["segments"] if s["status"] == "done")
+    manifest["sum_doclen"] = sum(
+        s["sum_doclen"] for s in manifest["segments"] if s["status"] == "done"
+    )
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def delete_by_doc_ids(index_dir: str, doc_ids: list[int]) -> dict:
+    """Delete-by-term analog: tombstones in the manifest (liveDocs bitset);
+    applied as an anti-join by readers, reclaimed at merge."""
+    manifest = read_manifest(index_dir)
+    tomb = set(manifest.get("tombstones", []))
+    tomb.update(int(d) for d in doc_ids)
+    manifest["tombstones"] = sorted(tomb)
+    _write_manifest(index_dir, manifest)
+    return manifest

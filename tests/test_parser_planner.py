@@ -1,0 +1,101 @@
+"""Query parser + planner rewrite tests."""
+
+from __future__ import annotations
+
+from lucene_solr_intervals_spark.search import queries as Q
+from lucene_solr_intervals_spark.search.parser import parse
+from lucene_solr_intervals_spark.search.planner import common_terms_split, rewrite
+
+
+def test_parse_term():
+    assert parse("Hello") == Q.Term("hello")
+
+
+def test_parse_boost():
+    assert parse("hello^2.5") == Q.Term("hello", boost=2.5)
+
+
+def test_parse_field_stripped():
+    assert parse("content:foo") == Q.Term("foo")
+
+
+def test_parse_phrase_and_slop():
+    assert parse('"quick brown"') == Q.Phrase(("quick", "brown"))
+    assert parse('"quick brown"~2') == Q.Phrase(("quick", "brown"), slop=2)
+
+
+def test_parse_bool_default_or():
+    q = parse("quick brown")
+    assert isinstance(q, Q.Boolean)
+    assert q.should == (Q.Term("quick"), Q.Term("brown"))
+
+
+def test_parse_and():
+    q = parse("quick AND brown")
+    assert q.must == (Q.Term("quick"), Q.Term("brown"))
+
+
+def test_parse_plus_minus():
+    q = parse("+quick -fox brown")
+    assert q.must == (Q.Term("quick"),)
+    assert q.must_not == (Q.Term("fox"),)
+    assert q.should == (Q.Term("brown"),)
+
+
+def test_parse_not():
+    q = parse("quick NOT fox")
+    assert q.must_not == (Q.Term("fox"),)
+    assert Q.Term("quick") in q.should
+
+
+def test_parse_wildcard_prefix_fuzzy():
+    assert parse("wild*") == Q.Prefix("wild")
+    assert parse("wi?d") == Q.Wildcard("wi?d")
+    assert parse("fuzzy~") == Q.Fuzzy("fuzzy", max_edits=2)
+    assert parse("fuzzy~1") == Q.Fuzzy("fuzzy", max_edits=1)
+
+
+def test_parse_range():
+    assert parse("[aaa TO bbb]") == Q.TermRange("aaa", "bbb", True, True)
+    assert parse("{aaa TO bbb}") == Q.TermRange("aaa", "bbb", False, False)
+
+
+def test_parse_group():
+    q = parse("(quick OR brown) AND fox")
+    assert isinstance(q, Q.Boolean)
+    assert Q.Term("fox") in q.must
+    inner = [c for c in q.must if isinstance(c, Q.Boolean)]
+    assert inner and inner[0].should == (Q.Term("quick"), Q.Term("brown"))
+
+
+def test_rewrite_single_clause_collapse():
+    assert rewrite(Q.Boolean(should=(Q.Term("a"),))) == Q.Term("a")
+    assert rewrite(Q.Boolean(must=(Q.Term("a"),))) == Q.Term("a")
+
+
+def test_rewrite_phrase_of_one():
+    assert rewrite(Q.Phrase(("a",))) == Q.Term("a")
+
+
+def test_rewrite_flattens_nested_should():
+    q = Q.Boolean(
+        should=(Q.Boolean(should=(Q.Term("a"), Q.Term("b"))), Q.Term("c"))
+    )
+    r = rewrite(q)
+    assert r.should == (Q.Term("a"), Q.Term("b"), Q.Term("c"))
+
+
+def test_rewrite_fixpoint_nested():
+    q = Q.Boolean(should=(Q.Boolean(should=(Q.Phrase(("x",)),)),))
+    assert rewrite(q) == Q.Term("x")
+
+
+def test_common_terms_split():
+    q = Q.Boolean(must=(Q.Term("the"), Q.Term("rare")))
+    out = common_terms_split(q, {"the": 900, "rare": 3}, max_doc=1000)
+    assert out.must == (Q.Term("rare"),)
+    assert Q.Term("the") in out.should
+    # all-common degrades to disjunction
+    q2 = Q.Boolean(must=(Q.Term("the"), Q.Term("a")))
+    out2 = common_terms_split(q2, {"the": 900, "a": 950}, max_doc=1000)
+    assert not out2.must and len(out2.should) == 2

@@ -1,0 +1,82 @@
+"""NRT indexing test: Structured Streaming foreachBatch appends segments,
+readers see new snapshots via the manifest (soft-commit semantics)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from lucene_solr_intervals_spark.index.segment import read_manifest, verify_index
+from lucene_solr_intervals_spark.search.wand import search_segments
+from lucene_solr_intervals_spark.streaming.nrt import append_segment_batch, delete_by_doc_ids
+
+
+def test_foreachbatch_appends_segments(spark, tmp_path):
+    index_dir = str(tmp_path / "nrt_idx")
+    os.makedirs(index_dir)
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0 lands before the stream starts
+    spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha alpha delta")], ["doc_id", "text"]
+    ).write.json(f"{in_dir}/b0")
+
+    schema = "doc_id LONG, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(f"{in_dir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: append_segment_batch(df, index_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m1 = read_manifest(index_dir)
+    assert m1["n_docs"] == 2
+    hits = search_segments(spark, index_dir, ["alpha"], k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0, 1}
+    # tf=2 ranks doc 1 first
+    assert hits[0]["doc_id"] == 1
+
+    # micro-batch 2 -> new segment, reader reopens via manifest
+    spark.createDataFrame(
+        [(2, "alpha omega"), (3, "omega omega")], ["doc_id", "text"]
+    ).write.json(f"{in_dir}/b1")
+    q2 = (
+        spark.readStream.schema(schema)
+        .json(f"{in_dir}/*")
+        .writeStream.foreachBatch(lambda df, epoch: append_segment_batch(df, index_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    m2 = read_manifest(index_dir)
+    assert m2["n_docs"] == 4
+    assert len([s for s in m2["segments"] if s["status"] == "done"]) >= 2
+    hits2 = search_segments(spark, index_dir, ["alpha"], k=10).collect()
+    assert {r["doc_id"] for r in hits2} == {0, 1, 2}
+    res = verify_index(spark, index_dir)
+    assert res["ok"], res["problems"]
+
+
+def test_tombstones(spark, tmp_path):
+    index_dir = str(tmp_path / "tomb_idx")
+    os.makedirs(index_dir)
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], ["doc_id", "text"]
+    )
+    append_segment_batch(df, index_dir)
+    m = delete_by_doc_ids(index_dir, [0])
+    assert m["tombstones"] == [0]
