@@ -43,7 +43,7 @@ def main() -> None:
     from lucene_solr_intervals_spark.ops.similarity import cosine_topk
     from lucene_solr_intervals_spark.search import queries as Q
     from lucene_solr_intervals_spark.search.executor import Searcher
-    from lucene_solr_intervals_spark.search.wand import search_segments
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher, search_segments
     from lucene_solr_intervals_spark.session import get_spark
 
     spark = get_spark(
@@ -101,30 +101,34 @@ def main() -> None:
     head_terms = ["get_index", "set_posting", "build_segment", "merge_term", "scan_doc"]
     probe = "interval_probe_alpha"
 
+    # warm searcher = DirectoryReader snapshot: manifest + stats loaded once
+    seg_searcher = timed("open_segment_searcher", lambda: SegmentSearcher(spark, index_dir))
+
     def wand_many():
         for t in head_terms:
-            search_segments(spark, index_dir, [t], k=10, mode="wand").collect()
+            seg_searcher.search([t], k=10, mode="wand").collect()
 
     timed("wand_term_top10_x5", wand_many)
     extras["wand_qps"] = round(5.0 / queries["wand_term_top10_x5"], 2)
 
     timed(
         "wand_or2_top10",
-        lambda: search_segments(
-            spark, index_dir, ["get_index", "merge_posting"], k=10, mode="wand"
-        ).collect(),
+        lambda: seg_searcher.search(["get_index", "merge_posting"], k=10, mode="wand").collect(),
     )
     timed(
         "wand_and2_top10",
-        lambda: search_segments(
-            spark, index_dir, [probe, "get_index"], k=10, conjunctive=True
-        ).collect(),
+        lambda: seg_searcher.search([probe, "get_index"], k=10, conjunctive=True).collect(),
     )
     timed(
         "exhaustive_or2_top10",
-        lambda: search_segments(
-            spark, index_dir, ["get_index", "merge_posting"], k=10, mode="exhaustive"
+        lambda: seg_searcher.search(
+            ["get_index", "merge_posting"], k=10, mode="exhaustive"
         ).collect(),
+    )
+    # cold path (fresh manifest + stats per query) for comparison
+    timed(
+        "wand_cold_top10",
+        lambda: search_segments(spark, index_dir, ["get_index"], k=10, mode="wand").collect(),
     )
 
     timed("df_term_top10", lambda: s.search(Q.Term("merge"), k=10).collect())

@@ -42,6 +42,37 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_encode_batch(values: np.ndarray, group_offsets: np.ndarray) -> list[bytes]:
+    """Encode many groups in ONE vectorized pass: values is the concatenation
+    of all groups; group_offsets (len n_groups+1) are value boundaries.
+    Returns one bytes object per group.  Equivalent to
+    [vb_encode(values[o[i]:o[i+1]]) for i] but with no per-group numpy work.
+    """
+    a = np.asarray(values, dtype=np.uint64)
+    offs = np.asarray(group_offsets, dtype=np.int64)
+    if a.size == 0:
+        return [b""] * (offs.size - 1)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    work = a.copy()
+    for k in range(int(nbytes.max())):
+        sel = nbytes > k
+        idx = starts[sel] + k
+        more = (nbytes[sel] > k + 1).astype(np.uint8)
+        out[idx] = (work[sel] & np.uint64(0x7F)).astype(np.uint8) | (more << 7)
+        work = work >> np.uint64(7)
+    byte_off = np.zeros(a.size + 1, dtype=np.int64)
+    byte_off[1:] = ends
+    raw = out.tobytes()
+    return [raw[byte_off[offs[i]] : byte_off[offs[i + 1]]] for i in range(offs.size - 1)]
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode a variable-byte buffer back to uint64 (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -51,6 +51,8 @@ from ..codecs.varbyte import (
     unpack_doc_ids,
     unpack_positions,
     unpack_tfs,
+    vb_encode,
+    vb_encode_batch,
 )
 from ..scoring.smallfloat import encode_norm
 
@@ -69,6 +71,15 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+NORMS_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("doc_base", T.LongType()),
+        T.StructField("span", T.LongType()),
+        T.StructField("norm_bytes", T.BinaryType()),
+    ]
+)
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("seg", T.IntegerType()),
@@ -83,48 +94,122 @@ DOCS_SCHEMA = T.StructType(
 def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     """Build one segment's postings from tokenized docs (runs per seg group).
 
-    In-memory invert (term -> docs/tfs/positions), term-sorted output —
-    the FreqProxTermsWriter flush, with numpy varbyte packing per term.
+    Fully vectorized invert — the FreqProxTermsWriter flush re-expressed as
+    array ops: flatten all (term, doc, pos) occurrences, factorize terms,
+    one stable argsort brings occurrences into (term, doc, pos) order, and
+    run-length boundaries give per-(term,doc) tfs.  No per-token Python.
     """
     seg = int(pdf["seg"].iloc[0])
     pdf = pdf.sort_values("doc_id")
-    inv: dict[str, list[tuple[int, np.ndarray]]] = {}
-    for doc_id, terms, positions in zip(pdf["doc_id"], pdf["terms"], pdf["positions"]):
-        per_term: dict[str, list[int]] = {}
-        for t, p in zip(terms, positions):
-            per_term.setdefault(t, []).append(p)
-        for t, plist in per_term.items():
-            inv.setdefault(t, []).append((int(doc_id), np.asarray(plist, dtype=np.int64)))
-    nb_by_doc = dict(zip(pdf["doc_id"].astype(int), pdf["norm_byte"].astype(int)))
+    doc_ids_col = pdf["doc_id"].to_numpy(dtype=np.int64)
+    lens = np.fromiter((len(t) for t in pdf["terms"]), dtype=np.int64, count=len(pdf))
+    if lens.sum() == 0:
+        return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    terms_flat = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+    pos_flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+    )
+    doc_rep = np.repeat(doc_ids_col, lens)
+    nb_rep = np.repeat(pdf["norm_byte"].to_numpy(dtype=np.int64), lens)
+
+    codes, uniques = pd.factorize(pd.Series(terms_flat), sort=True)
+    order = np.argsort(codes, kind="stable")  # stable keeps (doc, pos) order
+    tc, dr, pf, nbr = codes[order], doc_rep[order], pos_flat[order], nb_rep[order]
+
+    # (term, doc) run boundaries over the sorted occurrence stream
+    new_run = np.empty(tc.size, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (tc[1:] != tc[:-1]) | (dr[1:] != dr[:-1])
+    run_starts = np.nonzero(new_run)[0]
+    run_ends = np.append(run_starts[1:], tc.size)
+    tfs_all = (run_ends - run_starts).astype(np.int64)
+    run_doc = dr[run_starts]
+    run_nb = nbr[run_starts]
+    run_term = tc[run_starts]
+
+    # per-doc position deltas in one shot: pos - prev_pos, reset at run starts
+    deltas = np.empty(pf.size, dtype=np.int64)
+    deltas[1:] = pf[1:] - pf[:-1]
+    deltas[run_starts] = pf[run_starts]
+
+    # per-term slices over the run arrays
+    n_terms = len(uniques)
+    term_run_starts = np.searchsorted(run_term, np.arange(n_terms))
+    term_run_offsets = np.append(term_run_starts, run_term.size)
+    occ_offsets = np.zeros(run_term.size + 1, dtype=np.int64)
+    np.cumsum(tfs_all, out=occ_offsets[1:])
+
+    # delta-gap doc ids WITHIN each term (reset at term starts)
+    doc_deltas = np.empty(run_doc.size, dtype=np.int64)
+    doc_deltas[1:] = run_doc[1:] - run_doc[:-1]
+    doc_deltas[term_run_starts] = run_doc[term_run_starts]
+
+    # batch varbyte: one vectorized pass each for ids / tfs / positions
+    ids_bufs = vb_encode_batch(doc_deltas.astype(np.uint64), term_run_offsets)
+    tfs_bufs = vb_encode_batch(tfs_all.astype(np.uint64), term_run_offsets)
+    pos_bufs = vb_encode_batch(
+        deltas.astype(np.uint64), occ_offsets[term_run_offsets]
+    )
+
+    # vectorized block metadata: block boundaries every BLOCK_SIZE runs
+    # within each term (reduceat over global block starts)
+    rel = np.arange(run_term.size, dtype=np.int64) - term_run_starts[run_term]
+    bstart_mask = (rel % BLOCK_SIZE) == 0
+    bstarts = np.nonzero(bstart_mask)[0]
+    bends = np.append(bstarts[1:], run_term.size)
+    blk_last = run_doc[bends - 1]
+    blk_max_tf = np.maximum.reduceat(tfs_all, bstarts).astype(np.int32)
+    blk_max_nb = np.maximum.reduceat(run_nb, bstarts).astype(np.int32)
+    blk_term = run_term[bstarts]
+    term_blk_offsets = np.append(
+        np.searchsorted(blk_term, np.arange(n_terms)), blk_term.size
+    )
+
+    df_all = (term_run_offsets[1:] - term_run_offsets[:-1]).astype(np.int64)
+    ttf_all = np.add.reduceat(tfs_all, term_run_offsets[:-1]).astype(np.int64)
+
     rows = []
-    for term in sorted(inv):
-        postings = inv[term]  # already doc-sorted (pdf sorted by doc_id)
-        doc_ids = np.array([d for d, _ in postings], dtype=np.int64)
-        tfs = np.array([len(p) for _, p in postings], dtype=np.int64)
-        nbs = np.array([nb_by_doc[int(d)] for d in doc_ids], dtype=np.int64)
-        last_b, max_b = block_meta(doc_ids, tfs)
-        n_blocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-        max_nb = np.array(
-            [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(n_blocks)],
-            dtype=np.int32,
-        )
+    for ti in range(n_terms):
+        ba, bb = term_blk_offsets[ti], term_blk_offsets[ti + 1]
         rows.append(
             {
                 "seg": seg,
-                "term": term,
-                "df": int(doc_ids.size),
-                "ttf": int(tfs.sum()),
-                "doc_ids": pack_doc_ids(doc_ids),
-                "tfs": pack_tfs(tfs),
-                "positions": pack_positions([p for _, p in postings]),
-                "block_last": last_b,
-                "block_max_tf": max_b,
-                "block_max_nb": max_nb.tobytes(),
+                "term": uniques[ti],
+                "df": int(df_all[ti]),
+                "ttf": int(ttf_all[ti]),
+                "doc_ids": ids_bufs[ti],
+                "tfs": tfs_bufs[ti],
+                "positions": pos_bufs[ti],
+                "block_last": blk_last[ba:bb].astype(np.int64).tobytes(),
+                "block_max_tf": blk_max_tf[ba:bb].tobytes(),
+                "block_max_nb": blk_max_nb[ba:bb].tobytes(),
             }
         )
     return pd.DataFrame(
         rows,
         columns=[f.name for f in POSTINGS_SCHEMA.fields],
+    )
+
+
+def _norms_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One row per segment: norm bytes + doclens as dense arrays indexed by
+    (doc_id - doc_base).  Joined seg-wise at query time so scoring kernels
+    never shuffle the docs table."""
+    seg = int(pdf["seg"].iloc[0])
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    base = int(ids.min())
+    span = int(ids.max()) - base + 1
+    nb = np.zeros(span, dtype=np.uint8)
+    nb[ids - base] = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
+    return pd.DataFrame(
+        [
+            {
+                "seg": seg,
+                "doc_base": base,
+                "span": span,
+                "norm_bytes": nb.tobytes(),
+            }
+        ]
     )
 
 
@@ -175,9 +260,15 @@ def build_segments(
     if done:
         base = base.where(~F.col("seg").isin(sorted(done)))
 
-    tokenized = base.select(
-        "seg", "doc_id", "sha256", tok_udf(F.col("_text")).alias("t")
-    ).select("seg", "doc_id", "sha256", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
+    from pyspark import StorageLevel
+
+    # tokenize ONCE; both the docs write and the postings shuffle consume the
+    # cached result (at petabyte scale: checkpoint to parquet instead)
+    tokenized = (
+        base.select("seg", "doc_id", "sha256", tok_udf(F.col("_text")).alias("t"))
+        .select("seg", "doc_id", "sha256", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # dynamic partition overwrite: a resumed build rewrites exactly the
     # partitions of the segments it re-processes (idempotent even if a
@@ -192,6 +283,15 @@ def build_segments(
     postings.write.mode("overwrite").option(
         "partitionOverwriteMode", overwrite_mode
     ).partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
+
+    norms = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .select("seg", "doc_id", "norm_byte")
+        .groupBy("seg")
+        .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
+    )
+    norms.write.mode("overwrite").parquet(os.path.join(index_dir, "norms"))
+    tokenized.unpersist()
 
     # manifest: per-segment doc stats + lineage; two-phase commit via rename
     seg_stats = (
@@ -282,6 +382,29 @@ def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "docs"))
 
 
+def load_norms(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "norms"))
+
+
+def rebuild_norms(spark: SparkSession, index_dir: str) -> None:
+    """Regenerate the per-segment norms blobs from the docs table (after a
+    merge or streaming append)."""
+    norms = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .select("seg", "doc_id", "norm_byte")
+        .groupBy("seg")
+        .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
+    )
+    tmp = os.path.join(index_dir, "norms_tmp")
+    norms.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(index_dir, "norms")
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+
+
 # ------------------------------------------------------------------- merge
 
 
@@ -354,6 +477,7 @@ def merge_segments(
     docs.withColumn("seg", F.lit(new_seg)).write.mode("append").partitionBy("seg").parquet(
         os.path.join(index_dir, "docs")
     )
+    rebuild_norms(spark, index_dir)
 
     old = [s for s in manifest["segments"] if s["seg"] in set(seg_ids)]
     for s in manifest["segments"]:

@@ -405,11 +405,53 @@ class Searcher:
 
     # --------------------------------------------------- positional kernel
 
+    def _expand_tree(self, q: Q.Query) -> Q.Query | None:
+        """Rewrite multi-term nodes inside a positional query tree to term
+        disjunctions against the term dictionary (MultiTermQuery.rewrite);
+        returns None if an expansion is empty (query cannot match)."""
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.TermRange, Q.Fuzzy)):
+            terms = [r["term"] for r in self._expand_terms(q).collect()]
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return Q.Term(terms[0])
+            return Q.Boolean(should=tuple(Q.Term(t) for t in sorted(terms)))
+        if isinstance(q, (Q.OrderedNear, Q.UnorderedNear)):
+            subs = [self._expand_tree(c) for c in q.subs]
+            if any(s is None for s in subs):
+                return None
+            return type(q)(q.slop, tuple(subs), q.collect_leaves, q.boost)
+        if isinstance(q, Q.NonOverlapping):
+            m = self._expand_tree(q.minuend)
+            s = self._expand_tree(q.subtrahend)
+            if m is None:
+                return None
+            return Q.NonOverlapping(m, s if s is not None else Q.Term("\x00none"), q.boost)
+        if isinstance(q, Q.IntervalFiltered):
+            inner = self._expand_tree(q.inner)
+            if inner is None:
+                return None
+            return Q.IntervalFiltered(inner, q.filt, q.collect_leaves, q.boost)
+        if isinstance(q, Q.Boolean):
+            must = [self._expand_tree(c) for c in q.must]
+            if any(c is None for c in must):
+                return None
+            should = [s for c in q.should if (s := self._expand_tree(c)) is not None]
+            must_not = [s for c in q.must_not if (s := self._expand_tree(c)) is not None]
+            return Q.Boolean(tuple(must), tuple(should), tuple(must_not), q.min_should_match, q.boost)
+        return q
+
     def _scored_positional(self, q: Q.Query, freq_mode: str) -> DataFrame:
         """Interval-kernel execution: gather per-doc positions for the leaf
         terms (pre-filtered to candidate docs by a required-term semi-join),
         run the minimal-interval kernel per doc inside an Arrow-batched UDF,
         score with the IntervalFilterQuery semantics."""
+        expanded = self._expand_tree(q)
+        if expanded is None:
+            return self.index.docs.select("doc_id").where(F.lit(False)).withColumn(
+                "score", F.lit(0.0)
+            )
+        q = expanded
         leaf_terms = sorted(set(Q.terms_of(q)))
         required = _required_terms(q)
         hits = self.term_hits(leaf_terms, with_positions=True).select(

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from ..codecs.varbyte import unpack_doc_ids, unpack_tfs
 from ..scoring.bm25 import idf as idf32
 from ..scoring.bm25 import norm_cache
-from ..index.segment import load_docs, load_postings, read_manifest
+from ..index.segment import load_norms, load_postings, read_manifest
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -81,25 +81,20 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
 
 def segment_topk_kernel(
     term_rows: pd.DataFrame,
-    docs_pdf: pd.DataFrame,
     weights: dict[str, np.float32],
     cache: np.ndarray,
     k: int,
     mode: str = "wand",
     conjunctive: bool = False,
 ) -> pd.DataFrame:
-    """Per-segment top-k. term_rows: packed posting rows for the query terms;
-    docs_pdf: (doc_id, norm_byte) for this segment."""
-    if term_rows.empty or docs_pdf.empty:
+    """Per-segment top-k. term_rows: packed posting rows for the query terms,
+    each carrying the segment's norms blob (doc_base, norm_bytes)."""
+    if term_rows.empty:
         return pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float32"}
         )
-    base = int(docs_pdf["doc_id"].min())
-    span = int(docs_pdf["doc_id"].max()) - base + 1
-    norms = np.zeros(span, dtype=np.uint8)
-    norms[docs_pdf["doc_id"].to_numpy(dtype=np.int64) - base] = docs_pdf[
-        "norm_byte"
-    ].to_numpy(dtype=np.int64)
+    base = int(term_rows["doc_base"].iloc[0])
+    norms = np.frombuffer(term_rows["norm_bytes"].iloc[0], dtype=np.uint8)
 
     decoded = []
     for _, r in term_rows.iterrows():
@@ -206,9 +201,7 @@ def search_segments(
         .where(F.col("seg").isin(live))
         .where(F.col("term").isin(terms))
     )
-    docs = load_docs(spark, index_dir).where(F.col("seg").isin(live)).select(
-        "seg", "doc_id", "norm_byte"
-    )
+    norms = load_norms(spark, index_dir).where(F.col("seg").isin(live))
 
     # global stats -> float32 weights (idf * (k1+1)), broadcast via closure
     stats = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
@@ -222,12 +215,14 @@ def search_segments(
         weights.setdefault(t, np.float32(0.0))
     cache = norm_cache(avgdl)
 
-    def _run(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return segment_topk_kernel(left, right, weights, cache, k, mode, conjunctive)
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return segment_topk_kernel(pdf, weights, cache, k, mode, conjunctive)
 
+    # norms is one small row per segment -> broadcast hash join, no shuffle
+    # of the (much larger) postings side beyond the seg groupBy
     per_seg = (
-        postings.groupBy("seg")
-        .cogroup(docs.groupBy("seg"))
+        postings.join(F.broadcast(norms), "seg")
+        .groupBy("seg")
         .applyInPandas(_run, TOPK_SCHEMA)
     )
     return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -235,3 +230,68 @@ def search_segments(
 
 def _live_segments(manifest: dict) -> list[int]:
     return [s["seg"] for s in manifest["segments"] if s.get("status") == "done"]
+
+
+class SegmentSearcher:
+    """Point-in-time searcher over a packed index (DirectoryReader analog).
+
+    Loads the manifest once, caches the postings/norms DataFrames and the
+    global term-stats dictionary; per-query work is then a single Spark job
+    (scan pruned by seg + term, per-segment kernel, ordered merge).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache_stats: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        self.live = _live_segments(self.manifest)
+        self.postings = load_postings(spark, index_dir).where(F.col("seg").isin(self.live))
+        self.norms = load_norms(spark, index_dir).where(
+            F.col("seg").isin(self.live)
+        ).persist()
+        self.norms.count()
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["sum_doclen"] / self.n_docs if self.n_docs else 1.0
+        self.cache = norm_cache(self.avgdl)
+        self._df_by_term: dict[str, int] | None = None
+        if cache_stats:
+            # one pass over the (term, df) columns; at 10^12 scale keep this
+            # as a DataFrame join instead of a driver dict
+            stats = (
+                self.postings.select("term", "df").groupBy("term").agg(F.sum("df").alias("df"))
+            ).collect()
+            self._df_by_term = {r["term"]: int(r["df"]) for r in stats}
+
+    def _weights(self, terms: list[str]) -> dict[str, np.float32]:
+        if self._df_by_term is not None:
+            dfs = {t: self._df_by_term.get(t, 0) for t in terms}
+        else:
+            rows = (
+                self.postings.where(F.col("term").isin(terms))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            dfs = {t: 0 for t in terms}
+            dfs.update({r["term"]: int(r["df"]) for r in rows})
+        return {
+            t: (idf32(df, self.n_docs) * np.float32(2.2)).astype(np.float32)
+            for t, df in dfs.items()
+        }
+
+    def search(
+        self, terms: list[str], k: int = 10, mode: str = "wand", conjunctive: bool = False
+    ) -> DataFrame:
+        weights = self._weights(terms)
+        cache = self.cache
+        postings = self.postings.where(F.col("term").isin(terms))
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return segment_topk_kernel(pdf, weights, cache, k, mode, conjunctive)
+
+        per_seg = (
+            postings.join(F.broadcast(self.norms), "seg")
+            .groupBy("seg")
+            .applyInPandas(_run, TOPK_SCHEMA)
+        )
+        return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index.segment import (
+    NORMS_SCHEMA,
     POSTINGS_SCHEMA,
     _invert_segment,
+    _norms_blob,
     _tokenize_for_segments,
     _write_manifest,
     read_manifest,
@@ -70,6 +72,12 @@ def append_segment_batch(
     postings.write.mode("append").partitionBy("seg").parquet(
         os.path.join(index_dir, "postings")
     )
+    norms = (
+        docs_df.select("seg", "doc_id", "norm_byte")
+        .groupBy("seg")
+        .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
+    )
+    norms.write.mode("append").parquet(os.path.join(index_dir, "norms"))
 
     stats = docs_df.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
