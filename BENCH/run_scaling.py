@@ -48,12 +48,17 @@ def run_level(cpus: int, docs: int, sf_dir: str) -> dict:
 
 PHASES = {
     "segment build (files/sec)": lambda r: r["corpus_docs"] / r["queries"]["build_segments"],
-    "documents index build (docs/sec)": lambda r: r["documents_rows"]
-    / r["queries"]["build_documents_index"],
-    "WAND top-10 (queries/sec)": lambda r: 5.0 / r["queries"]["wand_term_top10_x5"],
-    "query battery (queries/sec)": lambda r: 10.0
-    / sum(v for k, v in r["queries"].items() if not k.startswith(("build", "verify", "minhash", "cosine"))),
+    "merge (docs/sec)": lambda r: r["merge_docs_per_sec"],
+    "query throughput, concurrent (q/s)": lambda r: r["wand_concurrent_qps"],
 }
+
+LATENCY_NOTE = (
+    "Sequential single-query latency does NOT scale with cores (a 0.6 s "
+    "top-10 over this corpus is scheduling-bound, not work-bound); the "
+    "throughput metric is concurrent queries in flight, which is what a "
+    "search service and the reference's multi-threaded query benchmark "
+    "(standard.alg 2-thread variant) measure."
+)
 
 
 def main() -> None:
@@ -87,6 +92,8 @@ def main() -> None:
         effs[name] = eff
         lines.append(f"| {name} | {tlo:.1f} | {thi:.1f} | {eff:.2f} |")
     lines += [
+        "",
+        LATENCY_NOTE,
         "",
         f"Raw results: N={json.dumps(lo['queries'])}",
         f"4N={json.dumps(hi['queries'])}",

@@ -131,6 +131,38 @@ def main() -> None:
         lambda: search_segments(spark, index_dir, ["get_index"], k=10, mode="wand").collect(),
     )
 
+    # concurrent throughput: many queries in flight (the search-service q/s
+    # measure — amortizes per-job scheduling, scales with cores)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lucene_solr_intervals_spark.corpus import VOCAB
+
+    conc_terms = [VOCAB[i] for i in range(0, 240, 10)]  # 24 distinct queries
+
+    def concurrent_queries():
+        with ThreadPoolExecutor(max_workers=min(cpus, 12)) as ex:
+            list(
+                ex.map(
+                    lambda t: seg_searcher.search([t], k=10, mode="wand").collect(),
+                    conc_terms,
+                )
+            )
+
+    timed("wand_concurrent_x24", concurrent_queries)
+    extras["wand_concurrent_qps"] = round(
+        len(conc_terms) / queries["wand_concurrent_x24"], 2
+    )
+
+    # merge phase: compact a tier of segments (sort-merge on term)
+    from lucene_solr_intervals_spark.index.segment import merge_segments, read_manifest
+
+    live = [s["seg"] for s in read_manifest(index_dir)["segments"] if s["status"] == "done"]
+    tier = live[: max(2, len(live) // 4)]
+    timed("merge_tier", lambda: merge_segments(spark, index_dir, tier, new_seg=max(live) + 1))
+    extras["merge_docs_per_sec"] = round(
+        n_corpus * (len(tier) / len(live)) / queries["merge_tier"], 1
+    )
+
     timed("df_term_top10", lambda: s.search(Q.Term("merge"), k=10).collect())
     timed(
         "df_bool_or_top10",

@@ -1,0 +1,105 @@
+"""CLI entry point for spark-submit runs.
+
+Usage (north rule: `spark-submit --py-files dist/engine.zip`):
+
+  # package the engine
+  (cd /root/repo && zip -qr dist/engine.zip lucene_solr_intervals_spark)
+
+  # build a packed index from a corpus parquet (repo/path/.../content shape)
+  spark-submit --master local[32] --py-files dist/engine.zip \
+      -m lucene_solr_intervals_spark build \
+      --input /data/corpus.parquet --index /data/index --segments 64
+
+  # query it
+  spark-submit ... -m lucene_solr_intervals_spark query \
+      --index /data/index --terms get_index,merge_posting --k 10
+
+Subcommands: build, merge, query, verify.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="lucene_solr_intervals_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build packed segments from a corpus parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--segments", type=int, default=64)
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--resume", action="store_true")
+
+    m = sub.add_parser("merge", help="compact live segments (tiered)")
+    m.add_argument("--index", required=True)
+    m.add_argument("--segs-per-tier", type=int, default=10)
+
+    q = sub.add_parser("query", help="BM25 top-k over the packed index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", required=True, help="comma-separated")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    q.add_argument("--and", dest="conjunctive", action="store_true")
+
+    v = sub.add_parser("verify", help="CheckIndex invariants")
+    v.add_argument("--index", required=True)
+    v.add_argument("--corpus", default=None)
+    v.add_argument("--text-col", default="content")
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"lsi-{args.cmd}")
+
+    if args.cmd == "build":
+        from .index.segment import build_segments
+
+        corpus = spark.read.parquet(args.input)
+        manifest = build_segments(
+            corpus,
+            args.index,
+            n_segments=args.segments,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            resume=args.resume,
+        )
+        print(json.dumps(manifest["metrics"]))
+    elif args.cmd == "merge":
+        from .index.segment import merge_segments, plan_merges, read_manifest
+
+        manifest = read_manifest(args.index)
+        new_seg = 1 + max(s["seg"] for s in manifest["segments"])
+        for plan in plan_merges(manifest, args.segs_per_tier):
+            merge_segments(spark, args.index, plan, new_seg)
+            new_seg += 1
+        print(json.dumps({"merged_tiers": len(plan_merges(manifest, args.segs_per_tier))}))
+    elif args.cmd == "query":
+        from .search.wand import SegmentSearcher
+
+        s = SegmentSearcher(spark, args.index)
+        rows = s.search(
+            args.terms.split(","), k=args.k, mode=args.mode, conjunctive=args.conjunctive
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": float(r["score"])}))
+    elif args.cmd == "verify":
+        from .index.segment import verify_index
+
+        corpus = spark.read.parquet(args.corpus) if args.corpus else None
+        res = verify_index(
+            spark, args.index, corpus=corpus, text_col=args.text_col, id_col="doc_id"
+        )
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -790,6 +790,133 @@ def more_like_this(spark, sf_dir):
     )
 
 
+@register(
+    "sort_by_field_topk",
+    _PRELUDE
+    + f"""
+SELECT d.doc_id, d.n_chars FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_A}') h ON h.doc_id = d.doc_id
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+""",
+)
+def sort_by_field_topk(spark, sf_dir):
+    """TopFieldCollector: top-k by an arbitrary SortField instead of score
+    (TopFieldCollector.java:35, Sort.java:100)."""
+    s = searcher(spark, sf_dir)
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+    return (
+        s.matching(Q.Term(T_A))
+        .join(docs, "doc_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "facet_range_histogram",
+    _PRELUDE
+    + f"""
+SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_B}') h ON h.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1
+""",
+)
+def facet_range_histogram(spark, sf_dir):
+    """Solr range facets: numeric buckets over the hit set
+    (SimpleFacets.java:104 range faceting)."""
+    s = searcher(spark, sf_dir)
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+    return (
+        s.matching(Q.Term(T_B))
+        .join(docs, "doc_id")
+        .groupBy((F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_facet",
+    _PRELUDE
+    + f"""
+SELECT d.lang AS lang, d.source AS source, CAST(count(*) AS BIGINT) AS n
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}') h ON h.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def pivot_facet(spark, sf_dir):
+    """Solr pivot facets: nested field counts over hits
+    (PivotFacetProcessor)."""
+    s = searcher(spark, sf_dir)
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    return (
+        s.matching(Q.Term(T_RARE))
+        .join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stats_over_hits",
+    _PRELUDE
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       round(avg(d.n_chars), 4) AS avg_chars,
+       round(median(d.n_chars), 4) AS median_chars
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_C}') h ON h.doc_id = d.doc_id
+""",
+)
+def stats_over_hits(spark, sf_dir):
+    """Solr StatsComponent: aggregates over the hit set."""
+    s = searcher(spark, sf_dir)
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+    return (
+        s.matching(Q.Term(T_C))
+        .join(docs, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        )
+    )
+
+
+@register(
+    "block_join_parents",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+FROM events WHERE event_type = 'error'
+GROUP BY user_id HAVING count(*) >= 3 ORDER BY user_id
+""",
+)
+def block_join_parents(spark, sf_dir):
+    """ToParentBlockJoinQuery analog: parents qualified by matching children
+    (join/ToParentBlockJoinQuery.java) — users with >= 3 error events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .where(F.col("n_errors") >= 3)
+    )
+
+
 # ====================================================== TRAINING-DATA OPS ==
 
 
