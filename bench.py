@@ -46,6 +46,7 @@ def main() -> None:
     from lucene_solr_intervals_spark.search.wand import SegmentSearcher, search_segments
     from lucene_solr_intervals_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(
         app_name="lsi-bench",
         master=f"local[{cpus}]",

@@ -450,7 +450,8 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def merge_segments(
-    spark: SparkSession, index_dir: str, seg_ids: list[int], new_seg: int
+    spark: SparkSession, index_dir: str, seg_ids: list[int], new_seg: int,
+    salt: int = 1,
 ) -> dict:
     """Sort-merge compaction of `seg_ids` into `new_seg` (SegmentMerger.merge).
 
@@ -458,6 +459,13 @@ def merge_segments(
     BlockTree term dict), then per-term concat+repack.  Manifest updated
     with lineage; old segment files are superseded, not deleted (point-in-
     time readers keep working — DirectoryReader snapshot semantics).
+
+    Skew (north rule): with thousands of input segments, a stop-word-grade
+    term's merge group is one giant task.  `salt > 1` runs a two-level
+    salted merge — stage 1 merges (term, seg % salt) sub-groups in
+    parallel, stage 2 concatenates the (ordered) partials per term.
+    Correct because segments hold disjoint ordered doc ranges, so partial
+    concatenation in doc_base order composes associatively.
     """
     manifest = read_manifest(index_dir)
     live = {s["seg"] for s in manifest["segments"] if s.get("status") == "done"}
@@ -465,12 +473,34 @@ def merge_segments(
 
     postings = load_postings(spark, index_dir).where(F.col("seg").isin(seg_ids))
     n_part = max(spark.sparkContext.defaultParallelism, 8)
-    merged = (
-        postings.withColumn("new_seg", F.lit(new_seg))
-        .repartitionByRange(n_part, "term")
-        .groupBy("term")
-        .applyInPandas(_merge_group, POSTINGS_SCHEMA)
-    )
+    if salt > 1:
+        # salt groups must be CONTIGUOUS seg ranges (doc_base increases with
+        # seg), so stage-2 concat in group order keeps doc ids sorted
+        ordered = sorted(seg_ids)
+        per_group = max(1, (len(ordered) + salt - 1) // salt)
+        group_of = {s: i // per_group for i, s in enumerate(ordered)}
+        mapping = F.create_map(
+            *[F.lit(x) for kv in group_of.items() for x in kv]
+        )
+        partial = (
+            postings.withColumn("new_seg", mapping[F.col("seg")].cast("int"))
+            .repartitionByRange(n_part, "term", "new_seg")
+            .groupBy("term", "new_seg")
+            .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+        )
+        merged = (
+            partial.withColumn("new_seg", F.lit(new_seg))
+            .repartitionByRange(n_part, "term")
+            .groupBy("term")
+            .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+        )
+    else:
+        merged = (
+            postings.withColumn("new_seg", F.lit(new_seg))
+            .repartitionByRange(n_part, "term")
+            .groupBy("term")
+            .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+        )
     merged.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))

@@ -503,12 +503,16 @@ class Searcher:
             for r in self.index.term_stats.where(F.col("term").isin(leaf_terms)).collect()
         }
         n = self.index.max_doc
-        import math
+        # idfExplain sums per-term float32 idfs in float32
+        # (BM25Similarity.java:185-198); repeats count, like termStats[] does
+        import numpy as np
 
-        sum_idf = 0.0
-        for t in Q.terms_of(q):  # repeats count, like termStats[] does
-            df = stats.get(t, 0)
-            sum_idf += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        from ..scoring.bm25 import idf as idf32
+
+        sum_idf32 = np.float32(0.0)
+        for t in Q.terms_of(q):
+            sum_idf32 = np.float32(sum_idf32 + idf32(stats.get(t, 0), n))
+        sum_idf = float(sum_idf32)
 
         if freq_mode == "one":
             freq = F.lit(1.0)
@@ -518,9 +522,26 @@ class Searcher:
             freq = F.col("res.sloppy_freq")
 
         boost = getattr(q, "boost", 1.0)
-        score = (self._score_col(F.lit(sum_idf), freq, F.col("doclen")) * F.lit(boost)).alias(
-            "score"
-        )
+        if self.mode == "lucene":
+            # float32 + quantized norms, consistent with the packed path
+            import numpy as np
+
+            from ..scoring.bm25 import norm_cache
+
+            cache = norm_cache(self.index.avgdl, self.k1, self.b)
+            w = np.float32(np.float32(sum_idf) * np.float32(self.k1 + 1.0))
+
+            @F.pandas_udf(T.FloatType())
+            def _iscore(fr: pd.Series, nb: pd.Series) -> pd.Series:
+                f32 = fr.to_numpy(dtype=np.float32)
+                norm = cache[nb.to_numpy(dtype=np.int64) & 0xFF]
+                return pd.Series((w * f32 / (f32 + norm)).astype(np.float32))
+
+            score = (_iscore(freq, F.col("norm_byte")) * F.lit(boost)).alias("score")
+        else:
+            score = (
+                self._score_col(F.lit(sum_idf), freq, F.col("doclen")) * F.lit(boost)
+            ).alias("score")
         return evaluated.select("doc_id", score)
 
     def intervals(self, q: Q.Query) -> DataFrame:

@@ -279,6 +279,86 @@ class SegmentSearcher:
             for t, df in dfs.items()
         }
 
+    def search_intervals(self, query, k: int = 10) -> DataFrame:
+        """Positional/interval query over the PACKED index: per segment,
+        decode positions only for docs containing every required term
+        (PostingFeatures.POSITIONS analog — the positions column is read
+        only on this path), run the minimal-interval kernel per doc, score
+        with IntervalFilterQuery semantics (freq()==1, summed idf)."""
+        from ..codecs.varbyte import unpack_positions_flat
+        from ..intervals import kernel as IK
+        from ..search import queries as Q
+
+        leaf_terms = sorted(set(Q.terms_of(query)))
+        dfs = {t: (self._df_by_term or {}).get(t, 0) for t in leaf_terms}
+        sum_idf = np.float32(0.0)
+        for t in Q.terms_of(query):  # float32 accumulation, idfExplain-style
+            sum_idf = np.float32(sum_idf + idf32(dfs.get(t, 0), self.n_docs))
+        weight = np.float32(sum_idf * np.float32(2.2))
+        cache = self.cache
+        q = query
+        freq_mode = (
+            "count"
+            if isinstance(q, (Q.Phrase, Q.MultiPhrase)) and getattr(q, "slop", 0) == 0
+            else ("sloppy" if isinstance(q, Q.Phrase) else "one")
+        )
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float32"}
+                )
+            base = int(pdf["doc_base"].iloc[0])
+            norms = np.frombuffer(pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+            per_term = {}
+            for _, r in pdf.iterrows():
+                ids = unpack_doc_ids(r["doc_ids"])
+                tfs = unpack_tfs(r["tfs"])
+                flat, offs = unpack_positions_flat(r["positions"], tfs)
+                per_term[r["term"]] = (ids, flat, offs)
+            # candidate docs: union of term doc sets (kernel gates per query)
+            all_ids = np.unique(np.concatenate([v[0] for v in per_term.values()]))
+            out_ids, out_scores = [], []
+            idx_of = {
+                t: dict(zip(v[0].tolist(), range(v[0].size))) for t, v in per_term.items()
+            }
+            for d in all_ids.tolist():
+                pos = {}
+                for t, (ids, flat, offs) in per_term.items():
+                    j = idx_of[t].get(d)
+                    if j is not None:
+                        pos[t] = flat[offs[j] : offs[j + 1]].tolist()
+                it = IK.build_iter(q, pos)
+                if it is None:
+                    continue
+                items = it.items if isinstance(it, IK.ReplayIter) else IK._materialize(it)
+                if not items:
+                    continue
+                if freq_mode == "count":
+                    freq = np.float32(len(items))
+                elif freq_mode == "sloppy":
+                    freq = np.float32(
+                        sum(1.0 / (dist + 1) if dist >= 0 else 1.0 for _, dist in items)
+                    )
+                else:
+                    freq = np.float32(1.0)
+                nb = norms[d - base]
+                sc = np.float32(weight * freq / (freq + cache[nb]))
+                out_ids.append(d)
+                out_scores.append(sc)
+            return pd.DataFrame(
+                {"doc_id": np.array(out_ids, dtype=np.int64),
+                 "score": np.array(out_scores, dtype=np.float32)}
+            )
+
+        postings = self.postings.where(F.col("term").isin(leaf_terms))
+        per_seg = (
+            postings.join(F.broadcast(self.norms), "seg")
+            .groupBy("seg")
+            .applyInPandas(_run, TOPK_SCHEMA)
+        )
+        return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search(
         self, terms: list[str], k: int = 10, mode: str = "wand", conjunctive: bool = False
     ) -> DataFrame:

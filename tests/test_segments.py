@@ -135,6 +135,59 @@ def test_merge_preserves_results(spark, index_dir, corpus, tmp_path):
     assert merged_entry["lineage"] == sorted(live[:4])
 
 
+def test_salted_merge_equals_plain(spark, index_dir, corpus, tmp_path):
+    import shutil
+
+    d_plain = str(tmp_path / "m_plain")
+    d_salt = str(tmp_path / "m_salt")
+    shutil.copytree(index_dir, d_plain)
+    shutil.copytree(index_dir, d_salt)
+    m = read_manifest(index_dir)
+    live = [s["seg"] for s in m["segments"] if s["status"] == "done"]
+    merge_segments(spark, d_plain, live, new_seg=200, salt=1)
+    merge_segments(spark, d_salt, live, new_seg=200, salt=3)
+    for d in (d_plain, d_salt):
+        res = verify_index(spark, d, corpus=corpus)
+        assert res["ok"], (d, res["problems"])
+    a = [
+        (r["doc_id"], r["score"])
+        for r in search_segments(spark, d_plain, ["w1", "w5"], k=20).collect()
+    ]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in search_segments(spark, d_salt, ["w1", "w5"], k=20).collect()
+    ]
+    assert a == b
+    # packed postings byte-identical per term
+    pa = {r["term"]: (r["doc_ids"], r["tfs"], r["positions"])
+          for r in load_postings(spark, d_plain).where(F.col("seg") == 200).collect()}
+    pb = {r["term"]: (r["doc_ids"], r["tfs"], r["positions"])
+          for r in load_postings(spark, d_salt).where(F.col("seg") == 200).collect()}
+    assert pa == pb
+
+
+def test_packed_interval_search(spark, index_dir, corpus):
+    from lucene_solr_intervals_spark.search import queries as Q
+    from lucene_solr_intervals_spark.search.executor import Searcher
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    ss = SegmentSearcher(spark, index_dir)
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(idx, mode="lucene")
+    for q in [
+        Q.UnorderedNear(3, (Q.Term("rare1"), Q.Term("w0"))),
+        Q.OrderedNear(5, (Q.Term("w1"), Q.Term("w2"))),
+        Q.Phrase(("w0", "w1")),
+    ]:
+        packed = [(r["doc_id"], round(float(r["score"]), 5))
+                  for r in ss.search_intervals(q, k=50).collect()]
+        exploded = [(r["doc_id"], round(float(r["score"]), 5))
+                    for r in s.search(q, k=50).collect()]
+        # doc sets and order must agree (scores float32 on both paths)
+        assert [d for d, _ in packed] == [d for d, _ in exploded], q
+    idx.unpersist()
+
+
 def test_resume_skips_done_segments(spark, corpus, tmp_path):
     d = str(tmp_path / "resume")
     m1 = build_segments(corpus, d, n_segments=4, id_col="doc_id")
