@@ -85,10 +85,48 @@ def ws_tokenize(
     return _analyze(_WS_SPLIT.split(text), lowercase, stopwords)
 
 
+_CODE_TOKEN = re.compile(r"[A-Za-z0-9_]+")
+
+
+def code_tokenize_offsets(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+) -> tuple[list[str], list[int], list[int], list[int], int]:
+    """Like code_tokenize but also returns character (start, end) offsets —
+    the OFFSETS posting feature (Weight.PostingFeatures.OFFSETS), feeding
+    interval-driven highlighting."""
+    if text is None:
+        return [], [], [], [], 0
+    terms: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for m in _CODE_TOKEN.finditer(text):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        t = tok.lower()
+        if stopwords is not None and t in stopwords:
+            pos += 1
+            continue
+        terms.append(t)
+        positions.append(pos)
+        starts.append(m.start())
+        ends.append(m.end())
+        pos += 1
+    return terms, positions, starts, ends, len(terms)
+
+
 ANALYZERS = {
     "code": code_tokenize,
     "code_stop": lambda s: code_tokenize(s, ENGLISH_STOP_WORDS),
     "ws": ws_tokenize,
+}
+
+OFFSET_ANALYZERS = {
+    "code": code_tokenize_offsets,
+    "code_stop": lambda s: code_tokenize_offsets(s, ENGLISH_STOP_WORDS),
 }
 
 

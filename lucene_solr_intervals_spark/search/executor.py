@@ -89,6 +89,7 @@ class Searcher:
         mode: str = "sql",
         k1: float = K1,
         b: float = B,
+        text_col: str = "text",
     ):
         assert mode in ("sql", "lucene")
         self.index = index
@@ -96,6 +97,7 @@ class Searcher:
         self.mode = mode
         self.k1 = k1
         self.b = b
+        self._text_col = text_col
 
     # ------------------------------------------------------------- scoring
 
@@ -543,6 +545,77 @@ class Searcher:
                 self._score_col(F.lit(sum_idf), freq, F.col("doclen")) * F.lit(boost)
             ).alias("score")
         return evaluated.select("doc_id", score)
+
+    def highlight(
+        self, q: Q.Query, k: int = 10, pad: int = 20, analyzer: str = "code"
+    ) -> DataFrame:
+        """Interval-driven highlighting (HighlightingIntervalCollector.java:35
+        / postings-offsets highlighter): take the top-k docs, re-analyze ONLY
+        those docs with character offsets (PostingFeatures.OFFSETS), replay
+        the interval kernel, and cut a snippet around the first interval.
+
+        Returns (doc_id, score, begin, end, offset_begin, offset_end, snippet).
+        """
+        if self.corpus is None:
+            raise ValueError("highlight requires a corpus DataFrame")
+        from ..analysis.tokenizer import OFFSET_ANALYZERS
+
+        expanded = self._expand_tree(q)
+        top = self.search(q, k)
+        joined = top.join(
+            self.corpus.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col(self._text_col).alias("_text"),
+            ),
+            "doc_id",
+        )
+        tok_fn = OFFSET_ANALYZERS[analyzer]
+        query = expanded
+
+        schema = T.StructType(
+            [
+                T.StructField("begin", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+                T.StructField("offset_begin", T.IntegerType()),
+                T.StructField("offset_end", T.IntegerType()),
+                T.StructField("snippet", T.StringType()),
+            ]
+        )
+
+        @F.pandas_udf(schema)
+        def _hl(texts: pd.Series) -> pd.DataFrame:
+            rows = []
+            for text in texts:
+                terms, positions, starts, ends, _ = tok_fn(text)
+                pos: dict[str, list[int]] = {}
+                cs: dict[int, int] = {}
+                ce: dict[int, int] = {}
+                for t, p, s0, e0 in zip(terms, positions, starts, ends):
+                    pos.setdefault(t, []).append(p)
+                    cs[p] = s0
+                    ce[p] = e0
+                m = IK.match_intervals(query, pos) if query is not None else None
+                if not m:
+                    rows.append((None, None, None, None, None))
+                    continue
+                b, e = m[0]
+                ob, oe = cs.get(b, 0), ce.get(e, len(text))
+                lo = max(0, ob - pad)
+                hi = min(len(text), oe + pad)
+                rows.append((b, e, ob, oe, text[lo:hi]))
+            return pd.DataFrame(
+                rows, columns=["begin", "end", "offset_begin", "offset_end", "snippet"]
+            )
+
+        return joined.withColumn("h", _hl(F.col("_text"))).select(
+            "doc_id",
+            "score",
+            F.col("h.begin").alias("begin"),
+            F.col("h.end").alias("end"),
+            F.col("h.offset_begin").alias("offset_begin"),
+            F.col("h.offset_end").alias("offset_end"),
+            F.col("h.snippet").alias("snippet"),
+        )
 
     def intervals(self, q: Q.Query) -> DataFrame:
         """(doc_id, begin, end) of every surviving interval — the highlighter

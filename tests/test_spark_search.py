@@ -233,3 +233,18 @@ def test_intervals_output(index):
     q = Q.OrderedNear(2, (Q.Term("quick"), Q.Term("fox")))
     rows = [(r["doc_id"], r["begin"], r["end"]) for r in s.intervals(q).collect()]
     assert (0, 1, 3) in rows  # doc 0: quick@1 .. fox@3
+
+
+def test_highlight(index, spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    s = Searcher(index, corpus=df, mode="lucene")
+    q = Q.OrderedNear(2, (Q.Term("quick"), Q.Term("fox")))
+    rows = {r["doc_id"]: r for r in s.highlight(q, k=10, pad=5).collect()}
+    assert 0 in rows
+    r0 = rows[0]
+    # doc 0: "the quick brown fox ..." -> interval tokens quick..fox
+    assert r0["begin"] == 1 and r0["end"] == 3
+    assert CORPUS[0][r0["offset_begin"]:r0["offset_end"]] == "quick brown fox"
+    assert "quick brown fox" in r0["snippet"]
