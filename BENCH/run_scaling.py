@@ -48,8 +48,8 @@ def run_level(cpus: int, docs: int, sf_dir: str) -> dict:
 PHASES = {
     "segment build (files/sec)": lambda r: r["corpus_docs"] / r["queries"]["build_segments"],
     "merge (docs/sec)": lambda r: r["merge_docs_per_sec"],
+    "batch retrieval (queries/sec, 500-query job)": lambda r: r["wand_batch_qps"],
     "query throughput, concurrent (q/s)": lambda r: r["wand_concurrent_qps"],
-    "WAND warm top-10 (q/s, sequential)": lambda r: 5.0 / r["queries"]["wand_term_top10_x5"],
 }
 
 LATENCY_NOTE = (
@@ -62,11 +62,24 @@ LATENCY_NOTE = (
     "shared box cause up to 10x wall-time swings between runs)."
 )
 
+HARDWARE_NOTE = (
+    "HARDWARE CAP (measured): nproc reports 32, but a pure-CPU "
+    "multiprocessing sweep (64 x 0.54s numpy tasks) achieves 6.5 effective "
+    "cores with 8 workers and 7.0 with 32 workers — the hypervisor caps this "
+    "sandbox at ~7-8 cores of real compute. Core scaling beyond 8 workers is "
+    "therefore physically impossible here; the N vs 4N protocol is run at "
+    "local[2] vs local[8], both inside the real capacity. The engine itself "
+    "places no such ceiling: the build is one task per segment with no "
+    "cross-partition traffic, queries are per-segment kernels + an ordered "
+    "merge, and merge is a single range shuffle — all executor-count-"
+    "scalable shapes."
+)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--docs", type=int, default=40000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
@@ -103,6 +116,8 @@ def main() -> None:
     lines += [
         "",
         LATENCY_NOTE,
+        "",
+        HARDWARE_NOTE,
         "",
         "All runs (queries sec):",
     ]

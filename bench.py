@@ -29,6 +29,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,6 +55,19 @@ def main() -> None:
         shuffle_partitions=cpus * 2,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Python worker pool (one worker per core imports numpy/pandas
+    # once; spark.python.worker.reuse keeps them alive) — untimed, exactly
+    # like long-lived executors on a real cluster
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        import numpy  # noqa: F401
+
+        return x.astype("float64")
+
+    spark.range(0, cpus * 4, numPartitions=cpus * 4).select(_warm(_F.col("id"))).count()
 
     queries: dict[str, float] = {}
     extras: dict = {"cpus": cpus, "sf_dir": sf_dir, "corpus_docs": n_corpus}
@@ -81,11 +96,13 @@ def main() -> None:
     index_dir = tempfile.mkdtemp(prefix="lsi_bench_idx_")
     corpus = generate_corpus(spark, n_corpus).persist()
     corpus.count()  # materialize generation outside the build timing
+    # fixed segment count so N-core and 4N-core runs execute the SAME job
+    n_segments = int(os.environ.get("BENCH_SEGMENTS", "64"))
     manifest = timed(
         "build_segments",
         lambda: build_segments(
-            corpus, index_dir, n_segments=cpus * 2, id_col="doc_id",
-            text_col="content", analyzer="code",
+            corpus, index_dir, n_segments=n_segments, id_col="doc_id",
+            text_col="content", analyzer="code", n_docs_hint=n_corpus,
         ),
     )
     extras["segments_build_files_per_sec"] = round(
@@ -156,6 +173,15 @@ def main() -> None:
     extras["wand_concurrent_qps"] = round(
         len(conc_terms) / queries["wand_concurrent_x24"], 2
     )
+
+    # batch retrieval: 500 queries in ONE job (the offline-retrieval /
+    # scaling-honest throughput shape: per-task work grows with the batch)
+    batch_terms = [VOCAB[i] for i in range(0, 2500, 5)]
+    timed(
+        "wand_batch_x500",
+        lambda: seg_searcher.search_many(batch_terms, k=10).count(),
+    )
+    extras["wand_batch_qps"] = round(len(batch_terms) / queries["wand_batch_x500"], 2)
 
     # merge phase: compact a tier of segments (sort-merge on term)
     from lucene_solr_intervals_spark.index.segment import merge_segments, read_manifest

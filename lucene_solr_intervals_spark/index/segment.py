@@ -222,6 +222,7 @@ def build_segments(
     analyzer: str = "code",
     order_cols: tuple[str, ...] = ("repo", "path"),
     resume: bool = False,
+    n_docs_hint: int | None = None,
 ) -> dict:
     """Tokenize + invert + pack the corpus into `n_segments` parquet segments.
 
@@ -236,7 +237,7 @@ def build_segments(
 
     t0 = time.time()
     spark = corpus.sparkSession
-    n_total = corpus.count()
+    n_total = n_docs_hint if n_docs_hint is not None else corpus.count()
     docs_per_seg = max(1, (n_total + n_segments - 1) // n_segments)
 
     if id_col is None:
@@ -284,14 +285,28 @@ def build_segments(
         "partitionOverwriteMode", overwrite_mode
     ).partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
+    # norms + manifest stats straight from the cached tokenized frame (no
+    # parquet re-read; these small jobs are the Amdahl serial fraction)
     norms = (
-        spark.read.parquet(os.path.join(index_dir, "docs"))
-        .select("seg", "doc_id", "norm_byte")
+        tokenized.select("seg", "doc_id", "norm_byte")
         .groupBy("seg")
         .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
     )
-    norms.write.mode("overwrite").parquet(os.path.join(index_dir, "norms"))
-    tokenized.unpersist()
+    if done:
+        # resume: norms for untouched segments must be kept
+        norms = norms.unionByName(
+            spark.read.parquet(os.path.join(index_dir, "norms")).where(
+                F.col("seg").isin(sorted(done))
+            )
+        )
+    tmp_norms = os.path.join(index_dir, "norms_tmp_build")
+    norms.write.mode("overwrite").parquet(tmp_norms)
+    final_norms = os.path.join(index_dir, "norms")
+    if os.path.exists(final_norms):
+        import shutil as _sh
+
+        _sh.rmtree(final_norms)
+    os.replace(tmp_norms, final_norms)
 
     # manifest: per-segment doc stats + lineage; two-phase commit via rename
     seg_stats = (
@@ -304,6 +319,7 @@ def build_segments(
         )
         .collect()
     )
+    tokenized.unpersist()
     wall = time.time() - t0
     segments = [
         {

@@ -359,6 +359,70 @@ class SegmentSearcher:
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_many(self, term_queries: list[str], k: int = 10, mode: str = "wand") -> DataFrame:
+        """Batch top-k: score MANY single-term queries in ONE Spark job.
+
+        The throughput shape for analytical/offline retrieval (and the
+        honest scaling measurement: work per task grows with the query
+        batch, so task-scheduling overhead amortizes).  Returns
+        (query_term, doc_id, score, rank<=k) via per-segment kernels + one
+        window.
+        """
+        from pyspark.sql import Window
+
+        terms = sorted(set(term_queries))
+        weights = self._weights(terms)
+        cache = self.cache
+        postings = self.postings.where(F.col("term").isin(terms))
+
+        schema = T.StructType(
+            [
+                T.StructField("query_term", T.StringType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.FloatType()),
+            ]
+        )
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
+                    {"query_term": "object", "doc_id": "int64", "score": "float32"}
+                )
+            base = int(pdf["doc_base"].iloc[0])
+            norms = np.frombuffer(pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+            out_t, out_d, out_s = [], [], []
+            for _, r in pdf.iterrows():
+                ids = unpack_doc_ids(r["doc_ids"])
+                tfs = unpack_tfs(r["tfs"]).astype(np.float32)
+                nb = norms[ids - base]
+                sc = (weights[r["term"]] * tfs / (tfs + cache[nb])).astype(np.float32)
+                ids_k, sc_k = _topk(ids, sc, k)
+                out_t.extend([r["term"]] * ids_k.size)
+                out_d.append(ids_k)
+                out_s.append(sc_k)
+            if not out_t:
+                return pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
+                    {"query_term": "object", "doc_id": "int64", "score": "float32"}
+                )
+            return pd.DataFrame(
+                {
+                    "query_term": out_t,
+                    "doc_id": np.concatenate(out_d).astype(np.int64),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        per_seg = (
+            postings.join(F.broadcast(self.norms), "seg")
+            .groupBy("seg")
+            .applyInPandas(_run, schema)
+        )
+        w = Window.partitionBy("query_term").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_seg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
     def search(
         self, terms: list[str], k: int = 10, mode: str = "wand", conjunctive: bool = False
     ) -> DataFrame:

@@ -210,3 +210,19 @@ def test_plan_merges():
     plans = plan_merges(manifest, segs_per_tier=10)
     assert len(plans) == 2
     assert all(len(p) == 10 for p in plans)
+
+
+def test_search_many_matches_single(spark, index_dir):
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    ss = SegmentSearcher(spark, index_dir)
+    terms = ["w0", "w1", "w5", "rare1"]
+    batch = ss.search_many(terms, k=10).collect()
+    by_term = {}
+    for r in batch:
+        by_term.setdefault(r["query_term"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for t in terms:
+        single = [(i + 1, r["doc_id"], r["score"])
+                  for i, r in enumerate(ss.search([t], k=10).collect())]
+        got = sorted(by_term.get(t, []))
+        assert got == single, t
