@@ -51,6 +51,7 @@ from ..codecs.varbyte import (
     unpack_doc_ids,
     unpack_positions,
     unpack_tfs,
+    vb_decode,
     vb_encode,
     vb_encode_batch,
 )
@@ -213,6 +214,136 @@ def _norms_blob(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# Sidecar row per segment inside the postings table: carries the packed
+# per-doc data (ids, doclens, norm bytes, shas) so ONE fused pass produces
+# everything; real terms can never collide with it (analyzer strips \x00)
+DOCS_MARKER = "\x00__docs__"
+
+
+def _tokenize_pdf(pdf: pd.DataFrame, analyzer: str) -> pd.DataFrame:
+    """Tokenize a raw (seg, doc_id, _text) frame in place (kernel-side)."""
+    import hashlib
+
+    fn = ANALYZERS[analyzer]
+    terms_col, pos_col, len_col, sha_col = [], [], [], []
+    for t in pdf["_text"]:
+        terms, positions, doclen = fn(t)
+        terms_col.append(terms)
+        pos_col.append(positions)
+        len_col.append(doclen)
+        sha_col.append(hashlib.sha256((t or "").encode("utf-8")).hexdigest())
+    lens = np.maximum(np.array(len_col, dtype=np.int64), 1)
+    return pd.DataFrame(
+        {
+            "seg": pdf["seg"].to_numpy(),
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "sha256": sha_col,
+            "terms": terms_col,
+            "positions": pos_col,
+            "doclen": len_col,
+            "norm_byte": encode_norm(lens).astype(np.int64),
+        }
+    )
+
+
+def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
+    """Pack the per-doc columns of one segment into a single postings row."""
+    ids = tok["doc_id"].to_numpy(dtype=np.int64)
+    doclens = tok["doclen"].to_numpy(dtype=np.int64)
+    nbs = tok["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
+    shas = "".join(tok["sha256"]).encode("ascii")
+    return {
+        "seg": seg,
+        "term": DOCS_MARKER,
+        "df": int(ids.size),
+        "ttf": int(doclens.sum()),
+        "doc_ids": pack_doc_ids(ids),
+        "tfs": vb_encode(doclens.astype(np.uint64)),
+        "positions": nbs.tobytes(),
+        "block_last": shas,
+        "block_max_tf": b"",
+        "block_max_nb": b"",
+    }
+
+
+def _fused_build_fn(analyzer: str):
+    """mapInPandas kernel: tokenize + invert + pack every segment in the
+    partition (repartitionByRange(seg) guarantees a segment never spans
+    partitions), emitting postings rows plus one docs sidecar row per seg."""
+
+    def fn(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for seg, g in pdf.groupby("seg", sort=True):
+            tok = _tokenize_pdf(g, analyzer)
+            out = _invert_segment(tok)
+            side = pd.DataFrame([_docs_sidecar_row(int(seg), tok.sort_values("doc_id"))])
+            yield pd.concat([out, side], ignore_index=True)
+
+    return fn
+
+
+def _docs_from_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sidecar rows -> per-doc rows (seg, doc_id, doclen, norm_byte, sha256)."""
+    rows = {"seg": [], "doc_id": [], "doclen": [], "norm_byte": [], "sha256": []}
+    for _, r in pdf.iterrows():
+        ids = unpack_doc_ids(r["doc_ids"])
+        doclens = vb_decode(r["tfs"]).astype(np.int64)
+        nbs = np.frombuffer(r["positions"], dtype=np.uint8)
+        shas = r["block_last"].decode("ascii")
+        rows["seg"].extend([int(r["seg"])] * ids.size)
+        rows["doc_id"].extend(ids.tolist())
+        rows["doclen"].extend(doclens.tolist())
+        rows["norm_byte"].extend(nbs.astype(np.int64).tolist())
+        rows["sha256"].extend(shas[i * 64 : (i + 1) * 64] for i in range(ids.size))
+    return pd.DataFrame(rows)
+
+
+def _sidecar_from_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Docs rows of ONE segment -> its sidecar postings row (used by merge
+    and NRT append so every live segment has a sidecar)."""
+    pdf = pdf.sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    doclens = pdf["doclen"].to_numpy(dtype=np.int64)
+    nbs = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
+    shas = "".join(pdf["sha256"]).encode("ascii")
+    return pd.DataFrame(
+        [
+            {
+                "seg": int(pdf["seg"].iloc[0]),
+                "term": DOCS_MARKER,
+                "df": int(ids.size),
+                "ttf": int(doclens.sum()),
+                "doc_ids": pack_doc_ids(ids),
+                "tfs": vb_encode(doclens.astype(np.uint64)),
+                "positions": nbs.tobytes(),
+                "block_last": shas,
+                "block_max_tf": b"",
+                "block_max_nb": b"",
+            }
+        ],
+        columns=[f.name for f in POSTINGS_SCHEMA.fields],
+    )
+
+
+def _norms_from_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for _, r in pdf.iterrows():
+        ids = unpack_doc_ids(r["doc_ids"])
+        nbs = np.frombuffer(r["positions"], dtype=np.uint8)
+        base = int(ids.min())
+        span = int(ids.max()) - base + 1
+        dense = np.zeros(span, dtype=np.uint8)
+        dense[ids - base] = nbs
+        out.append(
+            {"seg": int(r["seg"]), "doc_base": base, "span": span,
+             "norm_bytes": dense.tobytes()}
+        )
+    return pd.DataFrame(out)
+
+
 def build_segments(
     corpus: DataFrame,
     index_dir: str,
@@ -252,53 +383,43 @@ def build_segments(
             prev = json.load(f)
         done = {s["seg"] for s in prev["segments"] if s.get("status") == "done"}
 
-    tok_udf = _tokenize_for_segments(analyzer)
     base = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("_text"),
-        F.sha2(F.col(text_col).cast("binary"), 256).alias("sha256"),
     ).withColumn("seg", (F.col("doc_id") / F.lit(docs_per_seg)).cast("int"))
     if done:
         base = base.where(~F.col("seg").isin(sorted(done)))
 
-    from pyspark import StorageLevel
-
-    # tokenize ONCE; both the docs write and the postings shuffle consume the
-    # cached result (at petabyte scale: checkpoint to parquet instead)
-    tokenized = (
-        base.select("seg", "doc_id", "sha256", tok_udf(F.col("_text")).alias("t"))
-        .select("seg", "doc_id", "sha256", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE range shuffle of RAW TEXT on seg (a key never splits across
+    # partitions), then a single fused mapInPandas pass does tokenize +
+    # invert + pack and emits postings rows + one docs sidecar row per
+    # segment.  No token-array shuffle, no second tokenize, no persist.
+    n_remaining = n_segments - len(done)
+    fused = base.repartitionByRange(max(n_remaining, 1), "seg").mapInPandas(
+        _fused_build_fn(analyzer), POSTINGS_SCHEMA
     )
-
     # dynamic partition overwrite: a resumed build rewrites exactly the
     # partitions of the segments it re-processes (idempotent even if a
     # previous run died mid-write of a segment)
     overwrite_mode = "dynamic" if done else "static"
-    docs_df = tokenized.select("seg", "doc_id", "doclen", "norm_byte", "sha256")
-    docs_df.write.mode("overwrite").option(
-        "partitionOverwriteMode", overwrite_mode
-    ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
-
-    postings = tokenized.groupBy("seg").applyInPandas(_invert_segment, POSTINGS_SCHEMA)
-    postings.write.mode("overwrite").option(
+    fused.write.mode("overwrite").option(
         "partitionOverwriteMode", overwrite_mode
     ).partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
-    # norms + manifest stats straight from the cached tokenized frame (no
-    # parquet re-read; these small jobs are the Amdahl serial fraction)
-    norms = (
-        tokenized.select("seg", "doc_id", "norm_byte")
-        .groupBy("seg")
-        .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
+    # derive docs + norms from the sidecar rows (tiny: one row per segment)
+    sidecar = spark.read.parquet(os.path.join(index_dir, "postings")).where(
+        F.col("term") == DOCS_MARKER
     )
-    if done:
-        # resume: norms for untouched segments must be kept
-        norms = norms.unionByName(
-            spark.read.parquet(os.path.join(index_dir, "norms")).where(
-                F.col("seg").isin(sorted(done))
-            )
-        )
+    docs_df = sidecar.mapInPandas(
+        lambda it: (_docs_from_sidecar(p) for p in it), DOCS_SCHEMA
+    )
+    docs_df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
+
+    norms = sidecar.mapInPandas(
+        lambda it: (_norms_from_sidecar(p) for p in it), NORMS_SCHEMA
+    )
     tmp_norms = os.path.join(index_dir, "norms_tmp_build")
     norms.write.mode("overwrite").parquet(tmp_norms)
     final_norms = os.path.join(index_dir, "norms")
@@ -308,23 +429,21 @@ def build_segments(
         _sh.rmtree(final_norms)
     os.replace(tmp_norms, final_norms)
 
-    # manifest: per-segment doc stats + lineage; two-phase commit via rename
-    seg_stats = (
-        spark.read.parquet(os.path.join(index_dir, "docs"))
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("doc_base"),
-            F.sum("doclen").alias("sum_doclen"),
-        )
-        .collect()
-    )
-    tokenized.unpersist()
+    # manifest: per-segment doc stats from the sidecar aggregates
+    seg_stats = sidecar.select(
+        "seg",
+        F.col("df").alias("n_docs"),
+        F.col("ttf").alias("sum_doclen"),
+    ).collect()
+    base_by_seg = {
+        int(r["seg"]): int(r["doc_base"])
+        for r in spark.read.parquet(final_norms).select("seg", "doc_base").collect()
+    }
     wall = time.time() - t0
     segments = [
         {
             "seg": int(r["seg"]),
-            "doc_base": int(r["doc_base"]),
+            "doc_base": base_by_seg[int(r["seg"])],
             "n_docs": int(r["n_docs"]),
             "sum_doclen": int(r["sum_doclen"]),
             "status": "done",
@@ -391,7 +510,10 @@ def read_manifest(index_dir: str) -> dict:
 
 
 def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "postings"))
+    # exclude the per-segment docs sidecar rows (real terms never start \x00)
+    return spark.read.parquet(os.path.join(index_dir, "postings")).where(
+        F.col("term") != DOCS_MARKER
+    )
 
 
 def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -522,6 +644,16 @@ def merge_segments(
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
     docs.withColumn("seg", F.lit(new_seg)).write.mode("append").partitionBy("seg").parquet(
         os.path.join(index_dir, "docs")
+    )
+    # sidecar row for the new segment (docs/norms remain derivable)
+    (
+        load_docs(spark, index_dir)
+        .where(F.col("seg") == new_seg)
+        .groupBy("seg")
+        .applyInPandas(_sidecar_from_docs, POSTINGS_SCHEMA)
+        .write.mode("append")
+        .partitionBy("seg")
+        .parquet(os.path.join(index_dir, "postings"))
     )
     rebuild_norms(spark, index_dir)
 

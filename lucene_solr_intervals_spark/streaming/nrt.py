@@ -26,6 +26,7 @@ from ..index.segment import (
     POSTINGS_SCHEMA,
     _invert_segment,
     _norms_blob,
+    _sidecar_from_docs,
     _tokenize_for_segments,
     _write_manifest,
     read_manifest,
@@ -78,6 +79,14 @@ def append_segment_batch(
         .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
     )
     norms.write.mode("append").parquet(os.path.join(index_dir, "norms"))
+    # sidecar row so docs/norms stay derivable from postings alone
+    (
+        docs_df.groupBy("seg")
+        .applyInPandas(_sidecar_from_docs, POSTINGS_SCHEMA)
+        .write.mode("append")
+        .partitionBy("seg")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
 
     stats = docs_df.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
