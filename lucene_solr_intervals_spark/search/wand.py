@@ -383,27 +383,44 @@ class SegmentSearcher:
             ]
         )
 
+        from ..codecs.varbyte import vb_decode
+
         def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
+                {"query_term": "object", "doc_id": "int64", "score": "float32"}
+            )
             if pdf.empty:
-                return pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
-                    {"query_term": "object", "doc_id": "int64", "score": "float32"}
-                )
+                return empty
             base = int(pdf["doc_base"].iloc[0])
             norms = np.frombuffer(pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+            # batched decode: ONE varbyte pass over all rows' streams, then a
+            # segmented gap-cumsum (row starts reset) — no per-row decode
+            counts = pdf["df"].to_numpy(dtype=np.int64)
+            offsets = np.zeros(counts.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            gaps = vb_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
+            csum = np.cumsum(gaps)
+            seg_base = np.zeros(gaps.size, dtype=np.int64)
+            starts = offsets[:-1][counts > 0]
+            seg_base[starts[1:]] = csum[starts[1:] - 1]
+            np.maximum.accumulate(seg_base, out=seg_base)
+            ids_cat = csum - seg_base
+            tfs_cat = vb_decode(b"".join(pdf["tfs"])).astype(np.float32)
+            w_cat = np.repeat(
+                np.array([weights[t] for t in pdf["term"]], dtype=np.float32), counts
+            )
+            nb = norms[ids_cat - base]
+            sc_cat = (w_cat * tfs_cat / (tfs_cat + cache[nb])).astype(np.float32)
             out_t, out_d, out_s = [], [], []
-            for _, r in pdf.iterrows():
-                ids = unpack_doc_ids(r["doc_ids"])
-                tfs = unpack_tfs(r["tfs"]).astype(np.float32)
-                nb = norms[ids - base]
-                sc = (weights[r["term"]] * tfs / (tfs + cache[nb])).astype(np.float32)
-                ids_k, sc_k = _topk(ids, sc, k)
-                out_t.extend([r["term"]] * ids_k.size)
+            terms_col = pdf["term"].tolist()
+            for i in range(counts.size):
+                a, b2 = offsets[i], offsets[i + 1]
+                ids_k, sc_k = _topk(ids_cat[a:b2], sc_cat[a:b2], k)
+                out_t.extend([terms_col[i]] * ids_k.size)
                 out_d.append(ids_k)
                 out_s.append(sc_k)
             if not out_t:
-                return pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
-                    {"query_term": "object", "doc_id": "int64", "score": "float32"}
-                )
+                return empty
             return pd.DataFrame(
                 {
                     "query_term": out_t,
