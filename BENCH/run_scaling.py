@@ -49,7 +49,7 @@ def run_level(cpus: int, docs: int, sf_dir: str) -> dict:
 PHASES = {
     "segment build (files/sec)": lambda r: r["corpus_docs"] / r["queries"]["build_segments"],
     "merge (docs/sec)": lambda r: r["merge_docs_per_sec"],
-    "batch retrieval (queries/sec, 1000-query job)": lambda r: r["wand_batch_qps"],
+    "batch retrieval (queries/sec, 4000-query job)": lambda r: r["wand_batch_qps"],
     "query throughput, concurrent (q/s)": lambda r: r["wand_concurrent_qps"],
 }
 

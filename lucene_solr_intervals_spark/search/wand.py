@@ -373,7 +373,13 @@ class SegmentSearcher:
         terms = sorted(set(term_queries))
         weights = self._weights(terms)
         cache = self.cache
-        postings = self.postings.where(F.col("term").isin(terms))
+        if len(terms) > 32:
+            # broadcast hash semi-join beats a giant per-row IN list (and is
+            # the shape that survives 10^5-term batches at cluster scale)
+            terms_df = self.spark.createDataFrame([(t,) for t in terms], ["term"])
+            postings = self.postings.join(F.broadcast(terms_df), "term", "left_semi")
+        else:
+            postings = self.postings.where(F.col("term").isin(terms))
 
         schema = T.StructType(
             [
