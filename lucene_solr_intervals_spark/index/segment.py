@@ -546,11 +546,13 @@ def rebuild_norms(spark: SparkSession, index_dir: str) -> None:
 # ------------------------------------------------------------------- merge
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.DataFrame:
     """Merge one term's postings across segments (runs per term group).
 
     Segments hold disjoint contiguous doc ranges, so concatenating streams
     in doc_base order keeps doc_ids sorted — no rebase, no re-sort.
+    Tombstoned doc ids are dropped here — the liveDocs reclaim step of
+    SegmentMerger (deletes become physical at merge).
     """
     pdf = pdf.sort_values("seg")
     term = pdf["term"].iloc[0]
@@ -561,6 +563,13 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     all_nb: list[np.ndarray] = []
     for pos_buf, tf_buf, nb_buf in zip(pdf["positions"], pdf["tfs"], pdf["block_max_nb"]):
         all_pos.extend(unpack_positions(pos_buf, unpack_tfs(tf_buf)))
+    if tombstones:
+        keep = ~np.isin(all_ids, np.fromiter(tombstones, dtype=np.int64))
+        all_ids = all_ids[keep]
+        all_tfs = all_tfs[keep]
+        all_pos = [p for p, k in zip(all_pos, keep) if k]
+        if all_ids.size == 0:
+            return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
     # block meta must be recomputed (block boundaries move); max-norm-byte
     # per new block would need per-doc norms, so keep the conservative
     # per-source max (a valid, looser WAND upper bound)
@@ -609,6 +618,19 @@ def merge_segments(
     live = {s["seg"] for s in manifest["segments"] if s.get("status") == "done"}
     assert set(seg_ids) <= live, f"segments {set(seg_ids) - live} not live"
 
+    # tombstones inside the merged ranges become physical now (liveDocs
+    # reclaim); those outside stay in the manifest
+    old = [s for s in manifest["segments"] if s["seg"] in set(seg_ids)]
+    tombs = set(manifest.get("tombstones", []))
+    reclaim = frozenset(
+        d
+        for d in tombs
+        if any(s["doc_base"] <= d < s["doc_base"] + s["n_docs"] for s in old)
+    )
+
+    def _mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_group(pdf, tombstones=reclaim)
+
     postings = load_postings(spark, index_dir).where(F.col("seg").isin(seg_ids))
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     if salt > 1:
@@ -624,24 +646,32 @@ def merge_segments(
             postings.withColumn("new_seg", mapping[F.col("seg")].cast("int"))
             .repartitionByRange(n_part, "term", "new_seg")
             .groupBy("term", "new_seg")
-            .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+            .applyInPandas(_mg, POSTINGS_SCHEMA)
         )
         merged = (
             partial.withColumn("new_seg", F.lit(new_seg))
             .repartitionByRange(n_part, "term")
             .groupBy("term")
-            .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+            .applyInPandas(_mg, POSTINGS_SCHEMA)
         )
     else:
         merged = (
             postings.withColumn("new_seg", F.lit(new_seg))
             .repartitionByRange(n_part, "term")
             .groupBy("term")
-            .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+            .applyInPandas(_mg, POSTINGS_SCHEMA)
         )
     merged.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
+    removed_doclen = 0
+    if reclaim:
+        removed = docs.where(F.col("doc_id").isin(sorted(reclaim)))
+        agg = removed.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doclen"), F.lit(0)).alias("s")
+        ).collect()[0]
+        removed_doclen = int(agg["s"])
+        docs = docs.where(~F.col("doc_id").isin(sorted(reclaim)))
     docs.withColumn("seg", F.lit(new_seg)).write.mode("append").partitionBy("seg").parquet(
         os.path.join(index_dir, "docs")
     )
@@ -665,13 +695,22 @@ def merge_segments(
         {
             "seg": new_seg,
             "doc_base": min(s["doc_base"] for s in old),
-            "n_docs": sum(s["n_docs"] for s in old),
-            "sum_doclen": sum(s["sum_doclen"] for s in old),
+            "n_docs": sum(s["n_docs"] for s in old) - len(reclaim),
+            "sum_doclen": sum(s["sum_doclen"] for s in old) - removed_doclen,
             "status": "done",
             "lineage": sorted(seg_ids),
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
     )
+    if reclaim:
+        manifest["tombstones"] = sorted(tombs - reclaim)
+    if "n_docs" in manifest:
+        manifest["n_docs"] = sum(
+            s["n_docs"] for s in manifest["segments"] if s["status"] == "done"
+        )
+        manifest["sum_doclen"] = sum(
+            s["sum_doclen"] for s in manifest["segments"] if s["status"] == "done"
+        )
     _write_manifest(index_dir, manifest)
     return manifest
 

@@ -154,8 +154,7 @@ class ReplayIter(IntervalIterator):
 
     def next(self) -> Interval | None:
         if self.idx >= len(self.items):
-            self.current = None
-            return None
+            return None  # keep `current` at the last yielded interval
         iv, d = self.items[self.idx]
         self.idx += 1
         self.current, self._dist = iv, d
@@ -199,10 +198,13 @@ class ConjIter(IntervalIterator):
         "_match_begin",
         "candidate",
         "children",
+        "collect_leaves",
     )
 
-    def __init__(self, iters: list[IntervalIterator], nr_must_match: int | None = None):
+    def __init__(self, iters: list[IntervalIterator], nr_must_match: int | None = None,
+                 collect_leaves: bool = False):
         self.children = iters
+        self.collect_leaves = collect_leaves
         self.nr_must_match = len(iters) if nr_must_match is None else nr_must_match
         self.heap: list[_QueueEntry] = []
         self.right_extreme = NEG_INF
@@ -264,6 +266,9 @@ class ConjIter(IntervalIterator):
 
     def collect(self, sink: MatchSink) -> None:
         sink.composite(self.candidate)
+        if self.collect_leaves:
+            for it in self.children:
+                it.collect(sink)
 
     def subs(self) -> list[IntervalIterator]:
         return self.children
@@ -272,9 +277,12 @@ class ConjIter(IntervalIterator):
 class OrderedConjIter(IntervalIterator):
     """Ordered conjunction (OrderedConjunctionIntervalIterator.java:77-113)."""
 
-    __slots__ = ("iters", "intervals", "last", "index", "_dist", "interval", "children")
+    __slots__ = (
+        "iters", "intervals", "last", "index", "_dist", "interval", "children",
+        "collect_leaves",
+    )
 
-    def __init__(self, iters: list[IntervalIterator]):
+    def __init__(self, iters: list[IntervalIterator], collect_leaves: bool = False):
         assert len(iters) > 1
         self.iters = iters
         self.children = iters
@@ -284,6 +292,7 @@ class OrderedConjIter(IntervalIterator):
         self.index = 1
         self._dist = 0
         self.interval = Interval(POS_INF, POS_INF)
+        self.collect_leaves = collect_leaves
 
     def next(self) -> Interval | None:
         if self.intervals[0] is None:
@@ -325,6 +334,9 @@ class OrderedConjIter(IntervalIterator):
 
     def collect(self, sink: MatchSink) -> None:
         sink.composite(self.interval)
+        if self.collect_leaves:
+            for it in self.iters:
+                it.collect(sink)
 
     def subs(self) -> list[IntervalIterator]:
         return self.children
@@ -673,7 +685,9 @@ def build_iter(q, positions: dict[str, list[int]]):
         iters = [build_iter(c, positions) for c in q.subs]
         if any(it is None for it in iters):
             return None
-        inner = OrderedConjIter(iters) if len(iters) > 1 else iters[0]
+        inner = (
+            OrderedConjIter(iters, q.collect_leaves) if len(iters) > 1 else iters[0]
+        )
         return _replay_nonempty(WithinIter(inner, q.slop, q.collect_leaves))
 
     if isinstance(q, Q.UnorderedNear):
@@ -681,7 +695,11 @@ def build_iter(q, positions: dict[str, list[int]]):
         if any(it is None for it in iters):
             return None
         adjusted = q.slop + len(q.subs) - 2  # UnorderedNearQuery.java:46
-        inner = ConjIter(iters) if len(iters) > 1 else iters[0]
+        inner = (
+            ConjIter(iters, collect_leaves=q.collect_leaves)
+            if len(iters) > 1
+            else iters[0]
+        )
         return _replay_nonempty(WithinIter(inner, adjusted, q.collect_leaves))
 
     if isinstance(q, Q.NonOverlapping):

@@ -86,6 +86,7 @@ def segment_topk_kernel(
     k: int,
     mode: str = "wand",
     conjunctive: bool = False,
+    tombstones: frozenset = frozenset(),
 ) -> pd.DataFrame:
     """Per-segment top-k. term_rows: packed posting rows for the query terms,
     each carrying the segment's norms blob (doc_base, norm_bytes)."""
@@ -96,24 +97,33 @@ def segment_topk_kernel(
     base = int(term_rows["doc_base"].iloc[0])
     norms = np.frombuffer(term_rows["norm_bytes"].iloc[0], dtype=np.uint8)
 
+    tomb_arr = (
+        np.fromiter(tombstones, dtype=np.int64) if tombstones else None
+    )
     decoded = []
-    for _, r in term_rows.iterrows():
+    orig_pos: dict[int, np.ndarray] = {}
+    for i, (_, r) in enumerate(term_rows.iterrows()):
         ids = unpack_doc_ids(r["doc_ids"])
         tfs = unpack_tfs(r["tfs"])
-        decoded.append((r["term"], ids, tfs, r))
+        pos = np.arange(ids.size, dtype=np.int64)
+        if tomb_arr is not None:
+            keep = ~np.isin(ids, tomb_arr)
+            ids, tfs, pos = ids[keep], tfs[keep], pos[keep]
+        orig_pos[i] = pos  # original stream index (block metadata alignment)
+        decoded.append((r["term"], ids, tfs, r, i))
 
     if conjunctive:
         # leapfrog at array level: intersect doc sets, rarest first
         decoded.sort(key=lambda t: t[1].size)
         common = decoded[0][1]
-        for _, ids, _, _ in decoded[1:]:
+        for _, ids, _, _, _ in decoded[1:]:
             common = common[np.isin(common, ids, assume_unique=True)]
         if common.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float32"}
             )
         rows = []
-        for term, ids, tfs, _ in decoded:
+        for term, ids, tfs, _, _ in decoded:
             mask = np.isin(ids, common, assume_unique=True)
             rows.append((term, ids[mask], tfs[mask]))
         uniq, summed = _exact_scores(rows, _Rel(norms, base), weights, cache)
@@ -121,7 +131,7 @@ def segment_topk_kernel(
         return pd.DataFrame({"doc_id": ids_k.astype(np.int64), "score": sc_k})
 
     if mode == "exhaustive":
-        rows = [(t, ids, tfs) for t, ids, tfs, _ in decoded]
+        rows = [(t, ids, tfs) for t, ids, tfs, _, _ in decoded]
         uniq, summed = _exact_scores(rows, _Rel(norms, base), weights, cache)
         ids_k, sc_k = _topk(uniq, summed, k)
         return pd.DataFrame({"doc_id": ids_k.astype(np.int64), "score": sc_k})
@@ -129,7 +139,7 @@ def segment_topk_kernel(
     # ---------------- block-max WAND (vectorized, rank-safe) ----------------
     # 1. seed θ from the highest-max-impact term, scored exactly
     def term_impact(item):
-        term, ids, tfs, r = item
+        term, ids, tfs, r, _ = item
         mt = np.frombuffer(r["block_max_tf"], dtype=np.int32).astype(np.float32)
         nbm = np.frombuffer(r["block_max_nb"], dtype=np.int32)
         ub = weights[term] * mt / (mt + cache[nbm])
@@ -145,11 +155,11 @@ def segment_topk_kernel(
 
     # 2-3. per-doc sum of block upper bounds; prune docs below θ
     ids_all, ub_all = [], []
-    for term, ids, tfs, r in decoded:
+    for term, ids, tfs, r, ti in decoded:
         mt = np.frombuffer(r["block_max_tf"], dtype=np.int32).astype(np.float32)
         nbm = np.frombuffer(r["block_max_nb"], dtype=np.int32)
         ub_block = (weights[term] * mt / (mt + cache[nbm])).astype(np.float32)
-        block_of = np.arange(ids.size) // 128
+        block_of = orig_pos[ti] // 128  # original stream index -> block
         ids_all.append(ids)
         ub_all.append(ub_block[block_of])
     ids_cat = np.concatenate(ids_all)
@@ -161,7 +171,7 @@ def segment_topk_kernel(
 
     # 4. exact-score survivors only
     rows = []
-    for term, ids, tfs, _ in decoded:
+    for term, ids, tfs, _, _ in decoded:
         mask = np.isin(ids, alive, assume_unique=True)
         rows.append((term, ids[mask], tfs[mask]))
     uniq_f, summed = _exact_scores(rows, _Rel(norms, base), weights, cache)
@@ -250,6 +260,7 @@ class SegmentSearcher:
             F.col("seg").isin(self.live)
         ).persist()
         self.norms.count()
+        self.tombstones = frozenset(self.manifest.get("tombstones", []))
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["sum_doclen"] / self.n_docs if self.n_docs else 1.0
         self.cache = norm_cache(self.avgdl)
@@ -296,6 +307,7 @@ class SegmentSearcher:
             sum_idf = np.float32(sum_idf + idf32(dfs.get(t, 0), self.n_docs))
         weight = np.float32(sum_idf * np.float32(2.2))
         cache = self.cache
+        tombstones = self.tombstones
         q = query
         freq_mode = (
             "count"
@@ -323,6 +335,8 @@ class SegmentSearcher:
                 t: dict(zip(v[0].tolist(), range(v[0].size))) for t, v in per_term.items()
             }
             for d in all_ids.tolist():
+                if d in tombstones:
+                    continue
                 pos = {}
                 for t, (ids, flat, offs) in per_term.items():
                     j = idx_of[t].get(d)
@@ -373,6 +387,7 @@ class SegmentSearcher:
         terms = sorted(set(term_queries))
         weights = self._weights(terms)
         cache = self.cache
+        tombstones = self.tombstones
         if len(terms) > 32:
             # broadcast hash semi-join beats a giant per-row IN list (and is
             # the shape that survives 10^5-term batches at cluster scale)
@@ -417,6 +432,9 @@ class SegmentSearcher:
             )
             nb = norms[ids_cat - base]
             sc_cat = (w_cat * tfs_cat / (tfs_cat + cache[nb])).astype(np.float32)
+            if tombstones:
+                dead = np.isin(ids_cat, np.fromiter(tombstones, dtype=np.int64))
+                sc_cat[dead] = np.float32(-1.0)  # never reaches top-k
             out_t, out_d, out_s = [], [], []
             terms_col = pdf["term"].tolist()
             for i in range(counts.size):
@@ -451,10 +469,13 @@ class SegmentSearcher:
     ) -> DataFrame:
         weights = self._weights(terms)
         cache = self.cache
+        tombstones = self.tombstones
         postings = self.postings.where(F.col("term").isin(terms))
 
         def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return segment_topk_kernel(pdf, weights, cache, k, mode, conjunctive)
+            return segment_topk_kernel(
+                pdf, weights, cache, k, mode, conjunctive, tombstones
+            )
 
         per_seg = (
             postings.join(F.broadcast(self.norms), "seg")

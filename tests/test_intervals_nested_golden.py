@@ -1,0 +1,114 @@
+"""Nested interval-filter golden tests, transcribed from the reference's
+TestNestedIntervalFilterQueries.java (checkIntervals tables)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_intervals_spark.analysis.tokenizer import ws_tokenize
+from lucene_solr_intervals_spark.intervals.kernel import collect_matches
+from lucene_solr_intervals_spark.search import queries as Q
+
+CORPUS = [
+    "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",  # 0
+    "w1 w3 w4 w5 w6 w7 w8",  # 1
+    "w1 w3 w10 w4 w5 w6 w7 w8",  # 2
+    "w1 w3 w2 w4 w5 w6 w7 w8",  # 3
+]
+
+
+def positions_of(corpus):
+    docs = []
+    for text in corpus:
+        terms, positions, _ = ws_tokenize(text, lowercase=True)
+        pos: dict[str, list[int]] = {}
+        for t, p in zip(terms, positions):
+            pos.setdefault(t, []).append(p)
+        docs.append(pos)
+    return docs
+
+
+DOCS = positions_of(CORPUS)
+
+
+def run(query):
+    out = {}
+    for docid, pos in enumerate(DOCS):
+        m = collect_matches(query, pos)
+        if m is not None:
+            out[docid] = m
+    return out
+
+
+def t(name):
+    return Q.Term(name)
+
+
+def onear(slop, *subs, collect_leaves=False):
+    return Q.OrderedNear(
+        slop, tuple(t(x) if isinstance(x, str) else x for x in subs), collect_leaves
+    )
+
+
+def unear(slop, *subs, collect_leaves=False):
+    return Q.UnorderedNear(
+        slop, tuple(t(x) if isinstance(x, str) else x for x in subs), collect_leaves
+    )
+
+
+def test_ordered_disjunction_no_match():
+    # subparts present but slop=0 not satisfiable -> no hits
+    q = Q.Boolean(
+        should=(onear(0, "w1", "w8", "w4"), onear(0, "w3", "w7", "w6"))
+    )
+    assert run(q) == {}
+
+
+def test_filter_disjunction_query():
+    # or(w4, w1 pre/3 w10)
+    q = Q.Boolean(should=(t("w4"), onear(3, "w1", "w10")))
+    assert run(q) == {
+        0: [(3, 3)],
+        1: [(2, 2)],
+        2: [(0, 2), (3, 3)],
+        3: [(3, 3)],
+    }
+
+
+def test_or_near_near_query():
+    # or(w1 pre/2 w2, w1 pre/3 w10)
+    q = Q.Boolean(should=(onear(2, "w1", "w2"), onear(3, "w1", "w10")))
+    assert run(q) == {
+        0: [(0, 1)],
+        2: [(0, 2)],
+        3: [(0, 2)],
+    }
+
+
+def test_unordered_near_near_query():
+    # or(w2 within/2 w1, w10 within/3 w1)
+    q = Q.Boolean(should=(unear(2, "w2", "w1"), unear(3, "w10", "w1")))
+    assert run(q) == {
+        0: [(0, 1)],
+        2: [(0, 2)],
+        3: [(0, 2)],
+    }
+
+
+def test_near_near_near_query():
+    # (w1 pre/2 w4) pre/6 (w10 pre/2 w12) with default collectLeaves=true
+    near1 = onear(2, "w1", "w4")
+    near2 = onear(2, "w10", "w12")
+    q = onear(6, near1, near2, collect_leaves=True)
+    assert run(q) == {0: [(0, 11), (0, 3), (9, 11)]}
+
+
+def test_or_near_near_nonexistent():
+    # MUST(or(two unsatisfiable nears)) + MUST_NOT(foo) -> no hits
+    q = Q.Boolean(
+        must=(
+            Q.Boolean(should=(onear(2, "w1", "w12"), onear(2, "w3", "w8"))),
+        ),
+        must_not=(t("foo"),),
+    )
+    assert run(q) == {}

@@ -226,3 +226,36 @@ def test_search_many_matches_single(spark, index_dir):
                   for i, r in enumerate(ss.search([t], k=10).collect())]
         got = sorted(by_term.get(t, []))
         assert got == single, t
+
+
+def test_tombstones_and_reclaim(spark, index_dir, corpus, tmp_path):
+    import shutil
+
+    from lucene_solr_intervals_spark.index.segment import read_manifest
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+    from lucene_solr_intervals_spark.streaming.nrt import delete_by_doc_ids
+
+    d = str(tmp_path / "tomb")
+    shutil.copytree(index_dir, d)
+    ss = SegmentSearcher(spark, d)
+    before = [r["doc_id"] for r in ss.search(["w0"], k=5).collect()]
+    assert before
+    victim = before[0]
+    delete_by_doc_ids(d, [victim])
+    ss2 = SegmentSearcher(spark, d)
+    after = [r["doc_id"] for r in ss2.search(["w0"], k=5).collect()]
+    assert victim not in after
+    # batch path also excludes it
+    batch = ss2.search_many(["w0"], k=5).collect()
+    assert victim not in [r["doc_id"] for r in batch]
+    # merge reclaims: tombstone leaves the manifest, doc physically gone
+    m = read_manifest(d)
+    live = [s["seg"] for s in m["segments"] if s["status"] == "done"]
+    merge_segments(spark, d, live, new_seg=300)
+    m2 = read_manifest(d)
+    assert m2.get("tombstones", []) == []
+    ss3 = SegmentSearcher(spark, d)
+    final = [r["doc_id"] for r in ss3.search(["w0"], k=100).collect()]
+    assert victim not in final
+    res = verify_index(spark, d)
+    assert res["ok"], res["problems"]
