@@ -112,3 +112,108 @@ def test_or_near_near_nonexistent():
         must_not=(t("foo"),),
     )
     assert run(q) == {}
+
+
+# --- TestConjunctionIntervalIterator.java (pease porridge corpus) ---
+
+PEASE = [
+    "Pease porridge hot! Pease porridge cold! Pease porridge in the pot nine "
+    "days old! Some like it hot, some like it cold, Some like it in the pot "
+    "nine days old! Pease porridge hot! Pease porridge cold!",
+    "Pease porridge cold! Pease porridge hot! Pease porridge in the pot nine "
+    "days old! Some like it cold, some like it hot, Some like it in the pot "
+    "nine days old! Pease porridge cold! Pease porridge hot!",
+]
+
+PEASE_DOCS = positions_of(PEASE)
+
+
+def run_pease(query):
+    out = {}
+    for docid, pos in enumerate(PEASE_DOCS):
+        m = collect_matches(query, pos)
+        if m is not None:
+            out[docid] = m
+    return out
+
+
+def test_conjunction_ordered_pease():
+    q = onear(0, "pease", "porridge", "hot!")
+    assert run_pease(q) == {
+        0: [(0, 2), (31, 33)],
+        1: [(3, 5), (34, 36)],
+    }
+
+
+def test_conjunction_unordered_pease():
+    q = unear(0, "pease", "porridge", "hot!")
+    assert run_pease(q) == {
+        0: [(0, 2), (1, 3), (2, 4), (31, 33), (32, 34), (33, 35)],
+        1: [(3, 5), (4, 6), (5, 7), (34, 36)],
+    }
+
+
+def test_conjunction_exclusion_no_match():
+    inner = Q.Boolean(
+        must=(t("pease"),),
+        must_not=(Q.Boolean(should=(t("porridge"), t("flurble"))),),
+    )
+    q = Q.Boolean(must=(inner,), must_not=(Q.Boolean(should=(t("foo"), t("bar"))),))
+    assert run_pease(q) == {}
+
+
+# --- TestDisjunctionIntervalIterator.java (pease + fox corpus) ---
+
+DISJ = PEASE + ["The quick brown fox jumps over the lazy porridge"]
+DISJ_DOCS = positions_of(DISJ)
+
+
+def run_disj(query):
+    out = {}
+    for docid, pos in enumerate(DISJ_DOCS):
+        m = collect_matches(query, pos)
+        if m is not None:
+            out[docid] = m
+    return out
+
+
+def test_disjunction_over_conjunctions():
+    conj1 = Q.Boolean(must=(t("hot!"), t("porridge")))
+    conj2 = Q.Boolean(must=(t("fox"), t("porridge")))
+    q = Q.Boolean(should=(conj1, conj2))
+    assert run_disj(q) == {
+        0: [(1, 1), (2, 2), (4, 4), (7, 7), (32, 32), (33, 33), (35, 35)],
+        1: [(1, 1), (4, 4), (5, 5), (7, 7), (32, 32), (35, 35), (36, 36)],
+        2: [(3, 3), (8, 8)],
+    }
+
+
+def test_disjunction_range_positions():
+    q = Q.IntervalFiltered(
+        Q.Boolean(should=(t("porridge"), t("pease"), t("hot!"))),
+        Q.RangeFilter(0, 2),
+    )
+    assert run_disj(q) == {
+        0: [(0, 0), (1, 1), (2, 2)],
+        1: [(0, 0), (1, 1)],
+    }
+
+
+def test_disjunction_partial_match():
+    q = Q.Boolean(should=(t("porridge"), t("fox")))
+    assert run_disj(q) == {
+        0: [(1, 1), (4, 4), (7, 7), (32, 32), (35, 35)],
+        1: [(1, 1), (4, 4), (7, 7), (32, 32), (35, 35)],
+        2: [(3, 3), (8, 8)],
+    }
+
+
+def test_disjunction_full_match():
+    q = Q.Boolean(should=(t("porridge"), t("pease"), t("hot!")))
+    assert run_disj(q) == {
+        0: [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4), (6, 6), (7, 7),
+            (31, 31), (32, 32), (33, 33), (34, 34), (35, 35)],
+        1: [(0, 0), (1, 1), (3, 3), (4, 4), (5, 5), (6, 6), (7, 7),
+            (31, 31), (32, 32), (34, 34), (35, 35), (36, 36)],
+        2: [(8, 8)],
+    }
