@@ -725,7 +725,16 @@ def build_iter(q, positions: dict[str, list[int]]):
             items = range_freq_filter(_materialize(inner), f.min_freq, f.max_freq)
             return ReplayIter(items) if items else None
         if isinstance(f, Q.BlockFilter):
-            return _replay_nonempty(BlockIter(inner.subs()))
+            # fresh sub-iterators: composite constructors eagerly pull each
+            # sub's first interval (Lucene wraps before scorerAdvanced, so
+            # its subs are still unprimed at this point)
+            if isinstance(q.inner, Q.Boolean) and q.inner.must and not q.inner.should:
+                subs = [build_iter(c, positions) for c in q.inner.must]
+                if any(s2 is None for s2 in subs):
+                    return None
+            else:
+                subs = inner.subs()
+            return _replay_nonempty(BlockIter(subs))
         raise ValueError(f"unknown interval filter {f!r}")
 
     if isinstance(q, Q.ConstantScore):
@@ -766,6 +775,10 @@ def collect_matches(q, positions: dict[str, list[int]]) -> list[tuple[int, int]]
     it = build_iter(q, positions)
     if it is None:
         return None
+    # phrase/block queries with single-position slots collect each slot as a
+    # leaf (BlockIntervalIterator.collect with collectLeaves, the PhraseQuery
+    # default); the leaves are exactly the positions inside the span
+    phrase_leaves = isinstance(q, (Q.Phrase, Q.MultiPhrase)) and getattr(q, "slop", 0) == 0
     sink = MatchSink()
     matched = False
     while True:
@@ -779,6 +792,9 @@ def collect_matches(q, positions: dict[str, list[int]]) -> list[tuple[int, int]]
             _collect_child(it.child, iv, sink)
         else:
             it.collect(sink)
+        if phrase_leaves:
+            for x in range(iv.begin, iv.end + 1):
+                sink.leaf(Interval(x, x))
     if not matched:
         return None
     return sink.sorted()

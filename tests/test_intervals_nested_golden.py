@@ -217,3 +217,57 @@ def test_disjunction_full_match():
             (31, 31), (32, 32), (34, 34), (35, 35), (36, 36)],
         2: [(8, 8)],
     }
+
+
+# --- TestExoticQueries.java + TestBlockIntervalIterator.java ---
+
+EXOTIC_DOCS = positions_of([PEASE[0]])
+
+
+def run_exotic(query):
+    m = collect_matches(query, EXOTIC_DOCS[0])
+    return {0: m} if m is not None else {}
+
+
+def test_exact_phrase_collects_leaves():
+    q = Q.Phrase(("pease", "porridge", "hot!"))
+    assert run_exotic(q) == {
+        0: [(0, 2), (0, 0), (1, 1), (2, 2), (31, 33), (31, 31), (32, 32), (33, 33)]
+    }
+
+
+def test_multiterm_phrase_collects_leaves():
+    q = Q.MultiPhrase((("pease",), ("porridge",), ("hot!", "cold!")))
+    assert run_exotic(q) == {
+        0: [
+            (0, 2), (0, 0), (1, 1), (2, 2),
+            (3, 5), (3, 3), (4, 4), (5, 5),
+            (31, 33), (31, 31), (32, 32), (33, 33),
+            (34, 36), (34, 34), (35, 35), (36, 36),
+        ]
+    }
+
+
+def test_matching_block_interval_filter():
+    q = Q.IntervalFiltered(
+        Q.Boolean(must=(t("pease"), t("porridge"), t("hot!"))), Q.BlockFilter()
+    )
+    assert run_pease(q) == {
+        0: [(0, 2), (31, 33)],
+        1: [(3, 5), (34, 36)],
+    }
+
+
+def test_partial_matching_block_interval_filter():
+    q = Q.IntervalFiltered(
+        Q.Boolean(
+            must=(t("pease"), t("porridge"), t("hot!"), t("pease"), t("porridge"), t("cold!"))
+        ),
+        Q.BlockFilter(),
+    )
+    assert run_exotic(q) == {0: [(0, 5), (31, 36)]}
+
+
+def test_non_matching_block_interval_filter():
+    q = Q.IntervalFiltered(Q.Boolean(must=(t("pease"), t("hot!"))), Q.BlockFilter())
+    assert run_exotic(q) == {}
