@@ -337,14 +337,16 @@ def nonoverlapping_intervals(spark, sf_dir):
     _PRELUDE
     + f"""
 SELECT doc_id, CAST(count(*) AS INTEGER) AS n
-FROM tok WHERE term = '{T_RARE}' AND pos <= 9
+FROM tok WHERE term = '{T_RARE}' AND pos <= 12
 GROUP BY doc_id ORDER BY doc_id
 """,
 )
 def interval_range_filter(spark, sf_dir):
-    """RangeIntervalFilter: term within first 10 positions
-    (RangeIntervalFilter.java:27)."""
-    q = Q.IntervalFiltered(Q.Term(T_RARE), Q.RangeFilter(0, 9))
+    """RangeIntervalFilter: term within first 13 positions
+    (RangeIntervalFilter.java:27).  Range chosen to include the planted
+    probe (min pos of '{T_RARE}' is 11 at sf0.01) so the oracle comparison
+    is non-vacuous."""
+    q = Q.IntervalFiltered(Q.Term(T_RARE), Q.RangeFilter(0, 12))
     s = searcher(spark, sf_dir)
     iv = s.intervals(q).groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
     return iv.select(F.col("doc_id").cast("long").alias("doc_id"), "n")
@@ -781,9 +783,31 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@register("more_like_this")  # tf*idf term selection ties -> rows-only check
+@register(
+    "more_like_this",
+    _PRELUDE
+    + f"""
+, seed AS (
+  SELECT tfp.term,
+         tfp.tf * ln(1 + (cs.n - dfp.df + 0.5)/(dfp.df + 0.5)) AS tfidf
+  FROM tfp JOIN dfp USING (term) CROSS JOIN cs
+  WHERE tfp.doc_id = 0
+  ORDER BY tfidf DESC, tfp.term ASC LIMIT 5
+),
+hits AS (
+  SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  JOIN seed ON seed.term = tfp.term
+)
+SELECT doc_id, round(sum(score), 4) AS score FROM hits
+WHERE doc_id <> 0 GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id ASC LIMIT 10
+""",
+)
 def more_like_this(spark, sf_dir):
-    """MoreLikeThis: top tf*idf terms of doc 0 -> OR query (MoreLikeThis.java:147)."""
+    """MoreLikeThis: top tf*idf terms of doc 0 -> OR query (MoreLikeThis.java:147).
+    Term selection is deterministic ((tfidf desc, term asc) over IEEE doubles
+    computed identically in both engines), so the oracle replays it."""
     s = searcher(spark, sf_dir)
     return s.more_like_this(0, max_terms=5, k=10).withColumn(
         "score", F.round("score", 4)
@@ -923,14 +947,29 @@ def block_join_parents(spark, sf_dir):
 @register(
     "dedup_exact",
     """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+)
 SELECT min(doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_docs
-FROM (SELECT doc_id, md5(text) AS h FROM documents)
+FROM (SELECT doc_id, md5(text) AS h FROM docs2)
 GROUP BY h HAVING count(*) > 1
+ORDER BY 1
 """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup by content hash (one groupBy, no pairs)."""
-    return D.exact_dedup(get_docs(spark, sf_dir))
+    """Exact dedup by content hash (one groupBy, no pairs).  The source
+    corpus has no byte-identical rows, so both sides dedup the corpus
+    augmented with deterministic planted duplicates (every 97th doc
+    re-inserted under a shifted id) — a non-vacuous comparison."""
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = docs.where(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return D.exact_dedup(docs.unionByName(planted))
 
 
 @register(
@@ -1017,7 +1056,61 @@ def lang_id(spark, sf_dir):
     return TX.lang_id(get_docs(spark, sf_dir))
 
 
-@register("minhash_lsh_pairs")  # xxhash64 not in DuckDB -> rows-only check
+# 3-gram shingle CTE — the SQL twin of ops.dedup.shingles_df
+_SH_CTE = """
+, sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle,
+           lead(term, 2) OVER w AS last_t
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE last_t IS NOT NULL
+)
+"""
+
+
+def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """Full MinHash+LSH pipeline in DuckDB SQL — same md5-derived 48-bit
+    hash family as ops.dedup.hash48, same band keys, same exact-Jaccard
+    verification, so the driver's value-hash compares the ENTIRE pipeline."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min({D.hash48_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || ',' || ".join(f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        + " AS bh FROM sig"
+        for bi in range(bands)
+    )
+    return (
+        _PRELUDE
+        + _SH_CTE
+        + f"""
+, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bandr AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandr a JOIN bandr b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) >= {threshold}
+ORDER BY 1, 2
+"""
+    )
+
+
+@register("minhash_lsh_pairs", _minhash_oracle_sql(num_hashes=32, bands=8, threshold=0.4))
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates verified by exact Jaccard."""
     return D.minhash_lsh_pairs(
@@ -1025,9 +1118,26 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-@register("simhash_signatures")  # xxhash64 not in DuckDB -> rows-only check
+def _simhash_oracle_sql() -> str:
+    bits = D.SIMHASH_BITS
+    bsums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    return (
+        _PRELUDE
+        + f"""
+, h AS (SELECT doc_id, {D.hash48_sql('term', 0)} AS h FROM tok),
+bs AS (SELECT doc_id, {bsums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({sig}) AS simhash FROM bs ORDER BY doc_id
+"""
+    )
+
+
+@register("simhash_signatures", _simhash_oracle_sql())
 def simhash_signatures(spark, sf_dir):
-    """64-bit SimHash sketch per doc."""
+    """48-bit SimHash sketch per doc (md5-derived hash family — the oracle
+    replays the identical bit pipeline)."""
     return D.simhash(get_docs(spark, sf_dir))
 
 
@@ -1059,15 +1169,68 @@ def embedding_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, qvec, k=10)
 
 
-@register("ann_lsh_topk")  # hyperplane constants Spark-side -> rows-only check
-def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN: hash to sign-pattern buckets, exact-rerank bucket."""
+def _ann_planes(dim: int = 64, n_planes: int = 4) -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42) — shared by the Spark query
+    and the oracle SQL, which embeds them as literals."""
     import random
 
+    rng = random.Random(42)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _ann_oracle_sql(dim: int = 64, n_planes: int = 4, multi_probe: int = 2) -> str:
+    planes = _ann_planes(dim, n_planes)
+    plane_rows = ",\n    ".join(
+        "(" + str(pid) + ", [" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[])"
+        for pid, vec in enumerate(planes)
+    )
+    probe_cond = " OR ".join(
+        ["b.bucket = qb.bucket"]
+        + [f"b.bucket = xor(qb.bucket, {1 << i})" for i in range(multi_probe)]
+    )
+    return f"""
+WITH planes(pid, vec) AS (VALUES
+    {plane_rows}
+),
+dots AS (
+  SELECT e.vec_id, p.pid,
+         list_sum(list_transform(range(1, {dim} + 1),
+                                 i -> CAST(e.embedding[i] AS DOUBLE) * p.vec[i])) AS d
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN d >= 0 THEN CAST(pow(2, pid) AS BIGINT) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN buckets b USING (vec_id) CROSS JOIN qb
+  WHERE {probe_cond}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nx,
+         sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ny
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+FROM s ORDER BY 2 DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", _ann_oracle_sql())
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN: hash to sign-pattern buckets, exact-rerank the
+    probed buckets.  Hyperplanes are deterministic (seed 42) and embedded in
+    the oracle SQL as literals, so bucketing + rerank are fully checked."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
-    rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(len(qvec))] for _ in range(4)]
+    planes = _ann_planes(dim=len(qvec), n_planes=4)
     return SIM.ann_lsh_topk(emb, qvec, planes, k=10, multi_probe=2)
 
 

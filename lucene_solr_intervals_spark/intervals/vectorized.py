@@ -1,0 +1,194 @@
+"""Vectorized (numpy) interval kernels for the dominant positional shapes.
+
+The lazy per-doc iterators in ``intervals.kernel`` are the semantic ground
+truth (transcribed from the reference's intervals package and pinned by the
+golden tables), but running them doc-at-a-time in Python is the slowest part
+of the engine — at 100x corpus scale they dominate every positional query.
+This module re-expresses the three shapes that cover ~all real queries as
+whole-batch numpy array programs; the iterator path remains the fallback for
+arbitrary nested trees.  Property tests (tests/test_vectorized_kernels.py)
+assert batch-for-batch equality with the iterator kernel on random inputs.
+
+Encoding: every (doc, position) pair becomes one int64 key
+``doc * stride + pos`` with ``stride > max_position + phrase_len``; keys of
+one term across a whole batch form a single sorted array, so doc boundaries
+never need per-doc slicing.
+
+Shapes and their reference semantics:
+
+  exact_phrase     ExactPhraseScorer.java:30 — term_i at p+i; count = number
+                   of start positions (handles repeated terms).
+  ordered_near_2   OrderedConjunctionIntervalIterator.java:77-113 wrapped in
+                   WithinOrderedFilter (OrderedNearQuery.java:44-47): for two
+                   term streams the minimal-interval antichain is, for each
+                   b, the nearest a < b; a doc matches iff min (b - a - 1)
+                   <= slop.  freq() == 1 (IntervalFilterQuery.java:375-377),
+                   so existence is all scoring needs.
+  unordered_near_2 ConjunctionIntervalIterator.java:95-119 + WithinFilter
+                   with adjusted slop (UnorderedNearQuery.java:46): a doc
+                   matches iff the nearest opposite-term neighbor gap
+                   |a - b| - 1 <= slop.
+  sloppy_pairs_2   sloppy PhraseQuery via the unordered conjunction: the
+                   minimal intervals of a two-distinct-term conjunction are
+                   exactly the consecutive opposite-type neighbor pairs in
+                   the merged position stream; sloppyFreq = sum over
+                   surviving pairs of 1/(matchDistance+1)
+                   (BM25Similarity.sloppyFreq:70-72).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..search import queries as Q
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def encode(doc: np.ndarray, pos: np.ndarray, stride: int) -> np.ndarray:
+    return doc * np.int64(stride) + pos
+
+
+def exact_phrase(slot_keys: list[np.ndarray]) -> np.ndarray:
+    """Encoded start keys of every exact phrase match: slot i's term must
+    occur at start+i.  Set intersection over shifted key sets — repeated
+    terms fall out naturally (same key array used for several slots)."""
+    starts = slot_keys[0]
+    for i, keys in enumerate(slot_keys[1:], start=1):
+        if starts.size == 0:
+            return _EMPTY
+        starts = starts[np.isin(starts, keys - i, assume_unique=True)]
+    return starts
+
+
+def ordered_near_2(
+    akeys: np.ndarray, bkeys: np.ndarray, slop: int, stride: int
+) -> np.ndarray:
+    """Docs (decoded ids) with >=1 minimal ordered interval a < b whose
+    match distance (b - 1 - a) <= slop."""
+    if akeys.size == 0 or bkeys.size == 0:
+        return _EMPTY
+    idx = np.searchsorted(akeys, bkeys, side="left")
+    has_prev = idx > 0
+    prev = akeys[np.maximum(idx - 1, 0)]
+    same_doc = (prev // stride) == (bkeys // stride)
+    gap = bkeys - prev
+    sel = has_prev & same_doc & (gap - 1 <= slop)
+    return np.unique(bkeys[sel] // stride)
+
+
+def unordered_near_2(
+    akeys: np.ndarray, bkeys: np.ndarray, slop: int, stride: int
+) -> np.ndarray:
+    """Docs with >=1 unordered pair |a - b| - 1 <= slop (slop already
+    adjusted by the caller per UnorderedNearQuery.java:46)."""
+    if akeys.size == 0 or bkeys.size == 0:
+        return _EMPTY
+    bdoc = bkeys // stride
+    idx = np.searchsorted(akeys, bkeys, side="left")
+    out = []
+    has_prev = idx > 0
+    prev = akeys[np.maximum(idx - 1, 0)]
+    sel_l = has_prev & ((prev // stride) == bdoc) & (bkeys - prev - 1 <= slop)
+    out.append(bdoc[sel_l])
+    has_next = idx < akeys.size
+    nxt = akeys[np.minimum(idx, akeys.size - 1)]
+    sel_r = has_next & ((nxt // stride) == bdoc) & (nxt - bkeys - 1 <= slop)
+    out.append(bdoc[sel_r])
+    return np.unique(np.concatenate(out))
+
+
+def sloppy_pairs_2(
+    akeys: np.ndarray, bkeys: np.ndarray, slop: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-distinct-term sloppy phrase: (docs, n_intervals, sloppy_freq).
+
+    Minimal intervals of the 2-term unordered conjunction == consecutive
+    opposite-type neighbors in the merged sorted position stream (any wider
+    pair strictly contains one of these).  Survivors: matchDistance
+    (gap - 1) <= slop.
+    """
+    if akeys.size == 0 or bkeys.size == 0:
+        return _EMPTY, _EMPTY, np.empty(0, dtype=np.float64)
+    keys = np.concatenate([akeys, bkeys])
+    typ = np.concatenate(
+        [np.zeros(akeys.size, dtype=np.int8), np.ones(bkeys.size, dtype=np.int8)]
+    )
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    t = typ[order]
+    if k.size < 2:
+        return _EMPTY, _EMPTY, np.empty(0, dtype=np.float64)
+    same_doc = (k[1:] // stride) == (k[:-1] // stride)
+    diff_type = t[1:] != t[:-1]
+    gap = k[1:] - k[:-1]
+    sel = same_doc & diff_type & (gap - 1 <= slop)
+    docs_all = k[1:][sel] // stride
+    dist = (gap[sel] - 1).astype(np.float64)
+    if docs_all.size == 0:
+        return _EMPTY, _EMPTY, np.empty(0, dtype=np.float64)
+    uniq, inv = np.unique(docs_all, return_inverse=True)
+    cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+    contrib = np.where(dist >= 0.0, 1.0 / (dist + 1.0), 1.0)
+    sf = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sf, inv, contrib)
+    return uniq, cnt, sf
+
+
+# --------------------------------------------------------------- dispatch
+
+
+def fast_shape(q) -> tuple | None:
+    """Return a vectorizable descriptor for `q`, or None -> iterator path.
+
+      ("phrase", terms)            exact phrase, any length / repeats
+      ("sloppy2", a, b, slop)      2-distinct-term sloppy phrase
+      ("ordered2", a, b, slop)     OrderedNear of two Terms
+      ("unordered2", a, b, slop)   UnorderedNear of two Terms (adjusted)
+    """
+    if isinstance(q, Q.Phrase):
+        if q.slop == 0 and len(q.terms) >= 1:
+            return ("phrase", tuple(q.terms))
+        if q.slop > 0 and len(q.terms) == 2 and q.terms[0] != q.terms[1]:
+            return ("sloppy2", q.terms[0], q.terms[1], q.slop)
+        return None
+    if isinstance(q, Q.OrderedNear) and len(q.subs) == 2:
+        a, b = q.subs
+        if isinstance(a, Q.Term) and isinstance(b, Q.Term):
+            return ("ordered2", a.term, b.term, q.slop)
+    if isinstance(q, Q.UnorderedNear) and len(q.subs) == 2:
+        a, b = q.subs
+        if isinstance(a, Q.Term) and isinstance(b, Q.Term) and a.term != b.term:
+            # adjusted slop: slop + n - 2 == slop for n == 2
+            return ("unordered2", a.term, b.term, q.slop)
+    return None
+
+
+def run_shape(
+    shape: tuple, term_keys: dict[str, np.ndarray], stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Execute a fast_shape over encoded per-term key arrays.
+
+    Returns (docs, n_intervals, sloppy_freq); docs are decoded (key//stride).
+    For existence-only shapes n_intervals is 1 per doc (freq()==1 scoring).
+    """
+    kind = shape[0]
+    if kind == "phrase":
+        terms = shape[1]
+        slots = [term_keys.get(t, _EMPTY) for t in terms]
+        starts = exact_phrase(slots)
+        docs, cnt = np.unique(starts // stride, return_counts=True)
+        return docs, cnt.astype(np.int64), cnt.astype(np.float64)
+    a = term_keys.get(shape[1], _EMPTY)
+    b = term_keys.get(shape[2], _EMPTY)
+    slop = shape[3]
+    if kind == "sloppy2":
+        return sloppy_pairs_2(a, b, slop, stride)
+    if kind == "ordered2":
+        docs = ordered_near_2(a, b, slop, stride)
+    elif kind == "unordered2":
+        docs = unordered_near_2(a, b, slop, stride)
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    ones = np.ones(docs.size, dtype=np.int64)
+    return docs, ones, ones.astype(np.float64)

@@ -6,21 +6,47 @@ Scale notes (the whole point of these ops):
   * ngram-jaccard— candidate pairs only via shared low-df shingles (df cap
                    kills the stop-shingle quadratic blowup — same skew
                    mitigation as CommonTermsQuery, CommonTermsQuery.java:64),
-                   then exact Jaccard on the candidates.
-  * minhash-lsh  — k hash functions via xxhash64(shingle, seed), banded into
-                   b bands x r rows; candidate pairs = docs sharing a band
-                   signature; verified by exact Jaccard.  Linear shuffle
-                   volume in corpus size, no full cross join anywhere.
-  * simhash      — 64-bit hyperplane sketch from token hashes; near-dup =
+                   then exact Jaccard computed BY JOINING SHINGLES TO THE
+                   CANDIDATES (never a second all-pairs shingle self-join).
+  * minhash-lsh  — k hash functions via the low 48 bits of md5(shingle#seed)
+                   (JVM-side md5+conv, no UDF — and bit-for-bit replicable in
+                   ANSI SQL, so the DuckDB oracle checks the FULL pipeline),
+                   banded into b bands x r rows; candidate pairs = docs
+                   sharing a band signature; verified by exact Jaccard.
+                   Linear shuffle volume in corpus size, no cross join.
+  * simhash      — 48-bit hyperplane sketch from md5 token hashes; near-dup =
                    small Hamming distance within blocking buckets.
+
+Hash-family note: md5-derived integers are ~3x slower than xxhash64 per call
+but stay JVM-side and whole-stage-codegen'd; the win is end-to-end
+verifiability (CORRECTNESS hash-match instead of rows-only).  Swap
+`hash48 = F.xxhash64(col, seed)` back in if raw throughput ever dominates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
+
+
+def hash48(col: Column, seed: int) -> Column:
+    """48-bit integer hash: first 12 hex chars of md5(value || '#' || seed).
+
+    Chosen over xxhash64 because DuckDB computes the identical value
+    (CAST('0x'||substr(md5(s||'#'||i),1,12) AS BIGINT)), making every
+    MinHash/SimHash pipeline oracle-checkable end to end.  48 bits fit a
+    signed 64-bit lane with no sign/overflow edge cases in either engine.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 12), 16, 10
+    ).cast("long")
+
+
+def hash48_sql(expr: str, seed: int) -> str:
+    """The DuckDB-side twin of :func:`hash48` (same bits)."""
+    return f"CAST(('0x' || substr(md5({expr} || '#{seed}'), 1, 12)) AS BIGINT)"
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -51,130 +77,13 @@ def shingles_df(
     return sh.where(F.col("_last").isNotNull()).select("doc_id", "shingle").distinct()
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int = 50,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _exact_jaccard(
+    sh: DataFrame, cands: DataFrame, threshold: float
 ) -> DataFrame:
-    """Near-dup pairs (a < b) with shingle-set Jaccard >= threshold.
-
-    Pairs are generated ONLY through shingles with df <= max_shingle_df;
-    ubiquitous shingles cannot create candidates (skew guard).  A pair whose
-    every common shingle is frequent is unreachable — acceptable recall
-    trade documented here; raise max_shingle_df to widen.
-    """
-    sh = shingles_df(docs, n, id_col, text_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_shingle_df)
-        .select("shingle")
-    )
-    filtered = sh.join(rare, "shingle", "left_semi")
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common_rare"))
-    )
-    # exact intersection over ALL shingles for the candidate pairs
-    all_a = sh.alias("sa")
-    all_b = sh.alias("sb")
-    exact_inter = (
-        all_a.join(
-            all_b,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(inter.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
-    )
-    out = (
-        exact_inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sz_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return out
-
-
-def minhash_signatures(
-    docs: DataFrame,
-    num_hashes: int = 32,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """(doc_id, sig: array<long>) MinHash signatures over n-gram shingles.
-
-    Hash family: xxhash64(shingle, seed=i) — JVM-side, vectorized, no UDF.
-    """
-    sh = shingles_df(docs, n, id_col, text_col)
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
-
-
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """LSH candidate generation + exact-Jaccard verification.
-
-    bands x rows = num_hashes; docs sharing any band signature become
-    candidates (one shuffle on the band hash — no cross join), then exact
-    shingle Jaccard filters to >= threshold.
-    """
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh = shingles_df(docs, n, id_col, text_col).persist()
+    """Exact shingle Jaccard for candidate pairs: join the (small) candidate
+    set TO the shingle table — one row per (pair, common shingle) — never an
+    unconstrained shingle-shingle self-join.  A stop-grade shingle with df=d
+    costs d rows here, not d^2."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("sa")
@@ -200,21 +109,136 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Pairs are generated ONLY through shingles with df <= max_shingle_df;
+    ubiquitous shingles cannot create candidates (skew guard).  A pair whose
+    every common shingle is frequent is unreachable — acceptable recall
+    trade documented here; raise max_shingle_df to widen.  The exact-Jaccard
+    verification joins candidates->shingles (linear in df), so the df cap is
+    never bypassed anywhere in the plan.
+    """
+    sh = shingles_df(docs, n, id_col, text_col).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    filtered = sh.join(rare, "shingle", "left_semi")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _exact_jaccard(sh, cands, threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures over n-gram shingles.
+
+    Hash family: hash48(shingle, seed=i) — JVM-side md5+conv, no UDF, and
+    bit-identical in DuckDB so the oracle replays the whole pipeline.
+    Pass `shingles` to reuse an already-persisted shingle scan.
+    """
+    sh = shingles if shingles is not None else shingles_df(docs, n, id_col, text_col)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(hash48(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    bands x rows = num_hashes; docs sharing any band signature become
+    candidates (one shuffle on the band key — no cross join), then exact
+    shingle Jaccard filters to >= threshold.  The shingle scan is computed
+    ONCE and persisted — signatures and verification share it.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = shingles_df(docs, n, id_col, text_col).persist()
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles=sh)
+    # band key: the r signature values concatenated — no second hash needed
+    # (and trivially replicable in SQL)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _exact_jaccard(sh, cands, threshold)
+
+
+SIMHASH_BITS = 48
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash from xxhash64(token): sign-sum of bit columns.
+    """48-bit SimHash from hash48(token): sign-sum of bit columns.
 
     Implemented with JVM bit ops over the exploded token stream (weight =
-    term frequency); no Python UDF.
+    term frequency); no Python UDF.  48 bits (vs the classic 64) so every
+    intermediate fits a signed BIGINT in both Spark and the DuckDB oracle.
     """
     toks = tokens_col(F.col(text_col))
     t = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.explode(toks).alias("term"))
-    h = t.select("doc_id", F.xxhash64("term").alias("h"))
+    h = t.select("doc_id", hash48(F.col("term"), 0).alias("h"))
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     sig = bit_sums.select(
@@ -224,7 +248,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 )
-                for i in range(63)
+                for i in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),

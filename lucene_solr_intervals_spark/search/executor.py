@@ -342,11 +342,20 @@ class Searcher:
                 u = parts[0]
                 for p in parts[1:]:
                     u = u.unionByName(p)
-                shoulds = u.distinct()
-                out = shoulds if out is None else out
-                if not q.must and q.min_should_match > 1:
-                    cnt = u.groupBy("doc_id").count()
-                    out = cnt.where(F.col("count") >= q.min_should_match).select("doc_id")
+                # minimumNumberShouldMatch applies WHETHER OR NOT must clauses
+                # exist (BooleanQuery.java, MinShouldMatchSumScorer.java:38);
+                # without must clauses at least one should must match
+                msm = q.min_should_match if q.must else max(q.min_should_match, 1)
+                if msm > 1:
+                    sat = u.groupBy("doc_id").count().where(
+                        F.col("count") >= msm
+                    ).select("doc_id")
+                elif msm == 1:
+                    sat = u.distinct()
+                else:
+                    sat = None
+                if sat is not None:
+                    out = sat if out is None else out.join(sat, "doc_id", "left_semi")
             for c in q.must_not:
                 out = out.join(self.matching(c), "doc_id", "left_anti")
             return out

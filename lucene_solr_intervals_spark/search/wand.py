@@ -250,7 +250,7 @@ class SegmentSearcher:
     (scan pruned by seg + term, per-segment kernel, ordered merge).
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache_stats: bool = True):
+    def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
@@ -264,30 +264,27 @@ class SegmentSearcher:
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["sum_doclen"] / self.n_docs if self.n_docs else 1.0
         self.cache = norm_cache(self.avgdl)
-        self._df_by_term: dict[str, int] | None = None
-        if cache_stats:
-            # one pass over the (term, df) columns; at 10^12 scale keep this
-            # as a DataFrame join instead of a driver dict
-            stats = (
-                self.postings.select("term", "df").groupBy("term").agg(F.sum("df").alias("df"))
-            ).collect()
-            self._df_by_term = {r["term"]: int(r["df"]) for r in stats}
+
+    def _dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-query term stats: a scan pruned to exactly the query's terms
+        (Parquet pushdown on `term`, or a broadcast semi-join for large
+        batches) — never the full term dictionary, which at 10^12-file scale
+        has billions of entries and would OOM the driver."""
+        stats = self.postings.select("term", "df")
+        if len(terms) > 32:
+            terms_df = self.spark.createDataFrame([(t,) for t in terms], ["term"])
+            stats = stats.join(F.broadcast(terms_df), "term", "left_semi")
+        else:
+            stats = stats.where(F.col("term").isin(terms))
+        rows = stats.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        dfs = {t: 0 for t in terms}
+        dfs.update({r["term"]: int(r["df"]) for r in rows})
+        return dfs
 
     def _weights(self, terms: list[str]) -> dict[str, np.float32]:
-        if self._df_by_term is not None:
-            dfs = {t: self._df_by_term.get(t, 0) for t in terms}
-        else:
-            rows = (
-                self.postings.where(F.col("term").isin(terms))
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
-            dfs = {t: 0 for t in terms}
-            dfs.update({r["term"]: int(r["df"]) for r in rows})
         return {
             t: (idf32(df, self.n_docs) * np.float32(2.2)).astype(np.float32)
-            for t, df in dfs.items()
+            for t, df in self._dfs(terms).items()
         }
 
     def search_intervals(self, query, k: int = 10) -> DataFrame:
@@ -301,7 +298,7 @@ class SegmentSearcher:
         from ..search import queries as Q
 
         leaf_terms = sorted(set(Q.terms_of(query)))
-        dfs = {t: (self._df_by_term or {}).get(t, 0) for t in leaf_terms}
+        dfs = self._dfs(leaf_terms)
         sum_idf = np.float32(0.0)
         for t in Q.terms_of(query):  # float32 accumulation, idfExplain-style
             sum_idf = np.float32(sum_idf + idf32(dfs.get(t, 0), self.n_docs))

@@ -145,6 +145,27 @@ def test_min_should_match(index):
     assert got == want
 
 
+def test_min_should_match_with_must_filter_context(index):
+    """msm applies even when MUST clauses are present (BooleanQuery.java /
+    MinShouldMatchSumScorer.java:38) — both in scored and filter context."""
+    s = Searcher(index, mode="sql")
+    q = Q.Boolean(
+        must=(Q.Term("brown"),),
+        should=(Q.Term("quick"), Q.Term("fox"), Q.Term("lazy")),
+        min_should_match=2,
+    )
+    want = sorted(
+        i
+        for i, t in enumerate(CORPUS)
+        if "brown" in t.split()
+        and sum(w in t.split() for w in ("quick", "fox", "lazy")) >= 2
+    )
+    got_filter = sorted(r["doc_id"] for r in s.matching(q).collect())
+    got_scored = sorted(r["doc_id"] for r in s.scored(q).collect())
+    assert got_filter == want
+    assert got_scored == want
+
+
 def test_phrase(index):
     s = Searcher(index, mode="sql")
     q = Q.Phrase(("quick", "brown"))
