@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 
 from ..index.builder import InvertedIndex
 from ..intervals import kernel as IK
+from ..intervals import vectorized as VK
 from . import queries as Q
 
 K1 = 1.2
@@ -484,27 +485,68 @@ class Searcher:
         )
 
         query = q  # closure capture (dataclasses pickle fine)
+        shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side
 
-        @F.pandas_udf(_INTERVAL_RESULT)
-        def _kernel(tp: pd.Series) -> pd.DataFrame:
-            ns, ivs, sfreqs = [], [], []
-            for entries in tp:
-                pos = {e["term"]: list(e["positions"]) for e in entries}
-                it = IK.build_iter(query, pos)
-                if it is None:
-                    ns.append(0)
-                    ivs.append([])
-                    sfreqs.append(0.0)
-                    continue
-                items = (
-                    it.items
-                    if isinstance(it, IK.ReplayIter)
-                    else IK._materialize(it)
+        if shape is not None:
+            # batch-vectorized path: the whole Arrow batch becomes flat
+            # (doc*stride + pos) key arrays per term; one numpy program per
+            # batch instead of an interpreted iterator tree per doc
+            @F.pandas_udf(_INTERVAL_RESULT)
+            def _kernel(tp: pd.Series) -> pd.DataFrame:
+                import numpy as np
+
+                ndocs = len(tp)
+                n_out = np.zeros(ndocs, dtype=np.int32)
+                sf_out = np.zeros(ndocs, dtype=np.float64)
+                if ndocs:
+                    td: dict[str, tuple[list, list]] = {}
+                    maxpos = 0
+                    for di, entries in enumerate(tp):
+                        for e in entries:
+                            p = np.asarray(e["positions"], dtype=np.int64)
+                            if p.size and int(p[-1]) > maxpos:
+                                maxpos = int(p[-1])
+                            dis, ps = td.setdefault(e["term"], ([], []))
+                            dis.append(di)
+                            ps.append(p)
+                    stride = maxpos + len(td) + 2
+                    term_keys = {}
+                    for t, (dis, ps) in td.items():
+                        lens = np.fromiter((p.size for p in ps), dtype=np.int64, count=len(ps))
+                        doc_rep = np.repeat(np.asarray(dis, dtype=np.int64), lens)
+                        flat = (
+                            np.concatenate(ps) if ps else np.empty(0, dtype=np.int64)
+                        )
+                        term_keys[t] = doc_rep * stride + flat
+                    docs, cnt, sfreq = VK.run_shape(shape, term_keys, stride)
+                    n_out[docs] = cnt
+                    sf_out[docs] = sfreq
+                return pd.DataFrame(
+                    {"n": n_out, "intervals": [[] for _ in range(ndocs)], "sloppy_freq": sf_out}
                 )
-                ns.append(len(items))
-                ivs.append([{"begin": iv.begin, "end": iv.end} for iv, _ in items])
-                sfreqs.append(float(sum(1.0 / (d + 1) if d >= 0 else 1.0 for _, d in items)))
-            return pd.DataFrame({"n": ns, "intervals": ivs, "sloppy_freq": sfreqs})
+
+        else:
+
+            @F.pandas_udf(_INTERVAL_RESULT)
+            def _kernel(tp: pd.Series) -> pd.DataFrame:
+                ns, ivs, sfreqs = [], [], []
+                for entries in tp:
+                    pos = {e["term"]: list(e["positions"]) for e in entries}
+                    it = IK.build_iter(query, pos)
+                    if it is None:
+                        ns.append(0)
+                        ivs.append([])
+                        sfreqs.append(0.0)
+                        continue
+                    items = (
+                        it.items
+                        if isinstance(it, IK.ReplayIter)
+                        else IK._materialize(it)
+                    )
+                    ns.append(len(items))
+                    ivs.append([{"begin": iv.begin, "end": iv.end} for iv, _ in items])
+                    sfreqs.append(float(sum(1.0 / (d + 1) if d >= 0 else 1.0 for _, d in items)))
+                return pd.DataFrame({"n": ns, "intervals": ivs, "sloppy_freq": sfreqs})
 
         evaluated = per_doc.withColumn("res", _kernel(F.col("tp"))).where(F.col("res.n") > 0)
 

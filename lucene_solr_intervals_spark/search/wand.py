@@ -295,6 +295,7 @@ class SegmentSearcher:
         with IntervalFilterQuery semantics (freq()==1, summed idf)."""
         from ..codecs.varbyte import unpack_positions_flat
         from ..intervals import kernel as IK
+        from ..intervals import vectorized as VK
         from ..search import queries as Q
 
         leaf_terms = sorted(set(Q.terms_of(query)))
@@ -311,6 +312,7 @@ class SegmentSearcher:
             if isinstance(q, (Q.Phrase, Q.MultiPhrase)) and getattr(q, "slop", 0) == 0
             else ("sloppy" if isinstance(q, Q.Phrase) else "one")
         )
+        shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side
 
         def _run(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
@@ -325,7 +327,35 @@ class SegmentSearcher:
                 tfs = unpack_tfs(r["tfs"])
                 flat, offs = unpack_positions_flat(r["positions"], tfs)
                 per_term[r["term"]] = (ids, flat, offs)
-            # candidate docs: union of term doc sets (kernel gates per query)
+
+            if shape is not None:
+                # vectorized: the segment's flat position streams become
+                # (doc*stride + pos) key arrays; one numpy program per segment
+                maxpos = max(
+                    (int(flat.max()) if flat.size else 0)
+                    for _, flat, _ in per_term.values()
+                )
+                stride = maxpos + len(per_term) + 2
+                term_keys = {
+                    t: np.repeat(ids, np.diff(offs)).astype(np.int64) * stride
+                    + flat.astype(np.int64)
+                    for t, (ids, flat, offs) in per_term.items()
+                }
+                docs, cnt, sfreq = VK.run_shape(shape, term_keys, stride)
+                if tombstones and docs.size:
+                    keep = ~np.isin(docs, np.fromiter(tombstones, dtype=np.int64))
+                    docs, cnt, sfreq = docs[keep], cnt[keep], sfreq[keep]
+                if freq_mode == "count":
+                    freq = cnt.astype(np.float32)
+                elif freq_mode == "sloppy":
+                    freq = sfreq.astype(np.float32)
+                else:
+                    freq = np.ones(docs.size, dtype=np.float32)
+                nb = norms[docs - base]
+                sc = (weight * freq / (freq + cache[nb])).astype(np.float32)
+                return pd.DataFrame({"doc_id": docs.astype(np.int64), "score": sc})
+
+            # fallback: per-doc lazy iterators (arbitrary nested trees)
             all_ids = np.unique(np.concatenate([v[0] for v in per_term.values()]))
             out_ids, out_scores = [], []
             idx_of = {
