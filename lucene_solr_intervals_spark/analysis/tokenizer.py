@@ -118,6 +118,39 @@ def code_tokenize_offsets(
     return terms, positions, starts, ends, len(terms)
 
 
+_WS_TOKEN = re.compile(r"\S+")
+
+
+def ws_tokenize_offsets(
+    text: str,
+    lowercase: bool = True,
+    stopwords: frozenset[str] | None = None,
+) -> tuple[list[str], list[int], list[int], list[int], int]:
+    """Whitespace tokenizer with character offsets (the OFFSETS posting
+    stream of the reference's interval offset tests)."""
+    if text is None:
+        return [], [], [], [], 0
+    terms: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for m in _WS_TOKEN.finditer(text):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        t = tok.lower() if lowercase else tok
+        if stopwords is not None and t in stopwords:
+            pos += 1
+            continue
+        terms.append(t)
+        positions.append(pos)
+        starts.append(m.start())
+        ends.append(m.end())
+        pos += 1
+    return terms, positions, starts, ends, len(terms)
+
+
 ANALYZERS = {
     "code": code_tokenize,
     "code_stop": lambda s: code_tokenize(s, ENGLISH_STOP_WORDS),
@@ -127,6 +160,7 @@ ANALYZERS = {
 OFFSET_ANALYZERS = {
     "code": code_tokenize_offsets,
     "code_stop": lambda s: code_tokenize_offsets(s, ENGLISH_STOP_WORDS),
+    "ws": ws_tokenize_offsets,
 }
 
 

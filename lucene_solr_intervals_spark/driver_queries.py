@@ -52,6 +52,20 @@ def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return _INDEX_CACHE[sf_dir]
 
 
+def get_index_2field(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Two-field index (text + source) — per-field stats/norms/avgdl."""
+    key = f"{sf_dir}#2field"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir),
+            id_col="doc_id",
+            text_col="text",
+            analyzer="code",
+            fields={"text": "text", "source": "source"},
+        )
+    return _INDEX_CACHE[key]
+
+
 def searcher(spark: SparkSession, sf_dir: str, mode: str = "sql") -> Searcher:
     return Searcher(get_index(spark, sf_dir), corpus=get_docs(spark, sf_dir), mode=mode)
 
@@ -938,6 +952,72 @@ def block_join_parents(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .where(F.col("n_errors") >= 3)
+    )
+
+
+@register(
+    "fielded_bool_topk",
+    _PRELUDE
+    + f"""
+, stok AS (SELECT doc_id, lower(source) AS term FROM documents),
+sdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM stok GROUP BY term),
+-- source field: every value is one token -> dl = 1, avgdl = 1 (per-field
+-- stats, BM25Similarity.java:82-89)
+text_hits AS (
+  SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term = '{T_C}'
+),
+src_hits AS (
+  SELECT s.doc_id,
+         ln(1 + (cs.n - sdf.df + 0.5)/(sdf.df + 0.5)) * 2.2 * 1.0
+           / (1.0 + 1.2*(0.25 + 0.75*1.0/1.0)) AS score
+  FROM stok s JOIN sdf USING (term) CROSS JOIN cs
+  WHERE s.term = 'src17'
+)
+SELECT t.doc_id, round(t.score + s.score, 4) AS score
+FROM text_hits t JOIN src_hits s USING (doc_id)
+ORDER BY 2 DESC, t.doc_id ASC LIMIT 10
+""",
+)
+def fielded_bool_topk(spark, sf_dir):
+    """Cross-field BooleanQuery MUST: Term('text','merge') + Term('source',
+    'src17'), each leaf scored with ITS field's df/avgdl/doclen
+    (Term.java:38; BM25Similarity binds stats per field, :82-89)."""
+    idx = get_index_2field(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(must=(Q.Term(T_C), Q.Term("src17", field="source")))
+    return _topk(s.scored(q))
+
+
+@register(
+    "fielded_intervals_leaves",
+    _PRELUDE
+    + f"""
+, m AS (
+  SELECT doc_id FROM tok WHERE term = '{T_RARE}'
+  INTERSECT
+  SELECT doc_id FROM documents WHERE lower(source) = 'src6'
+)
+SELECT doc_id, 'source' AS field, 0 AS begin, 0 AS "end" FROM m
+UNION ALL
+SELECT t.doc_id, 'text' AS field, t.pos AS begin, t.pos AS "end"
+FROM tok t JOIN m USING (doc_id) WHERE t.term = '{T_RARE}'
+ORDER BY doc_id, field, begin
+""",
+)
+def fielded_intervals_leaves(spark, sf_dir):
+    """Fielded interval collection (TestFieldedIntervals contract): leaf
+    intervals of a cross-field Boolean MUST, tagged (doc_id, field, begin,
+    end) — CombinedIntervalIterator.java:25 + IntervalTestBase MatchCollector."""
+    idx = get_index_2field(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(must=(Q.Term(T_RARE), Q.Term("src6", field="source")))
+    return s.fielded_intervals(q).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "field",
+        F.col("begin").cast("int").alias("begin"),
+        F.col("end").cast("int").alias("end"),
     )
 
 

@@ -50,8 +50,52 @@ TOKENIZED_SCHEMA = T.StructType(
 )
 
 
-def tokenize_expr(analyzer: str = "code"):
-    """Arrow-batched tokenizer UDF: text -> (terms, positions, doclen, norm_byte)."""
+TOKENIZED_OFFSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("starts", T.ArrayType(T.IntegerType())),
+        T.StructField("ends", T.ArrayType(T.IntegerType())),
+        T.StructField("doclen", T.IntegerType()),
+        T.StructField("norm_byte", T.IntegerType()),
+    ]
+)
+
+
+def tokenize_expr(analyzer: str = "code", with_offsets: bool = False):
+    """Arrow-batched tokenizer UDF: text -> (terms, positions[, starts,
+    ends], doclen, norm_byte).  `with_offsets` adds the character-offset
+    streams (Weight.PostingFeatures.OFFSETS)."""
+
+    if with_offsets:
+        from ..analysis.tokenizer import OFFSET_ANALYZERS
+
+        @F.pandas_udf(TOKENIZED_OFFSETS_SCHEMA)
+        def _tok_off(texts: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            fn = OFFSET_ANALYZERS[analyzer]
+            terms_col, pos_col, s_col, e_col, len_col = [], [], [], [], []
+            for t in texts:
+                terms, positions, starts, ends, doclen = fn(t)
+                terms_col.append(terms)
+                pos_col.append(positions)
+                s_col.append(starts)
+                e_col.append(ends)
+                len_col.append(doclen)
+            lens = np.maximum(np.array(len_col, dtype=np.int64), 1)
+            return pd.DataFrame(
+                {
+                    "terms": terms_col,
+                    "positions": pos_col,
+                    "starts": s_col,
+                    "ends": e_col,
+                    "doclen": len_col,
+                    "norm_byte": encode_norm(lens).astype(np.int32),
+                }
+            )
+
+        return _tok_off
 
     @F.pandas_udf(TOKENIZED_SCHEMA)
     def _tok(texts: pd.Series) -> pd.DataFrame:
@@ -82,11 +126,23 @@ def tokenize_expr(analyzer: str = "code"):
 
 @dataclass
 class InvertedIndex:
+    """Exploded multi-field inverted index.
+
+    postings(field, term, doc_id, tf, positions)  — per-field streams
+    docs(doc_id, field, doclen, norm_byte)        — per-field norms
+    term_stats(field, term, df, ttf)              — per-field stats
+    Per-field avgdl follows Lucene 4.x BM25Similarity.avgFieldLength
+    (BM25Similarity.java:82-89): sumTotalTermFreq(field) / maxDoc — docs
+    lacking the field still count in the denominator.
+    """
+
     postings: DataFrame
     docs: DataFrame
     term_stats: DataFrame
     max_doc: int
     sum_ttf: int
+    default_field: str = "text"
+    avgdl_by_field: dict[str, float] | None = None
 
     @property
     def bm25_stats(self) -> BM25Stats:
@@ -95,6 +151,15 @@ class InvertedIndex:
     @property
     def avgdl(self) -> float:
         return self.sum_ttf / self.max_doc if self.max_doc else 1.0
+
+    def avgdl_of(self, field: str) -> float:
+        if self.avgdl_by_field is None or field == self.default_field:
+            return self.avgdl
+        return self.avgdl_by_field.get(field, 1.0)
+
+    @property
+    def fields(self) -> list[str]:
+        return sorted(self.avgdl_by_field) if self.avgdl_by_field else [self.default_field]
 
     def unpersist(self) -> None:
         for df in (self.postings, self.docs, self.term_stats):
@@ -111,37 +176,83 @@ def build_index(
     analyzer: str = "code",
     keep_positions: bool = True,
     persist: bool = True,
+    fields: dict[str, str] | None = None,
+    keep_offsets: bool = False,
 ) -> InvertedIndex:
     """Build the exploded inverted index from a corpus DataFrame.
 
-    The groupBy(term, doc_id) is the only shuffle; Catalyst applies map-side
-    partial aggregation so heavy terms ship partial (tf, positions) rather
-    than raw occurrences.  Positions stay as array<int> (the kernel decodes
-    nothing — Arrow hands numpy arrays straight through).
+    `fields` maps field name -> corpus column (DefaultIndexingChain.PerField
+    — one inverted stream per field); default is one field named after
+    `text_col`.  The groupBy(field, term, doc_id) is the only shuffle;
+    Catalyst applies map-side partial aggregation so heavy terms ship
+    partial (tf, positions) rather than raw occurrences.  Positions stay as
+    array<int> (the kernel decodes nothing — Arrow hands numpy arrays
+    straight through).
     """
-    tok = tokenize_expr(analyzer)
-    tokenized = corpus.select(
-        F.col(id_col).cast("long").alias("doc_id"), tok(F.col(text_col)).alias("t")
-    ).select("doc_id", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
+    if fields is None:
+        fields = {text_col: text_col}
+    default_field = text_col if text_col in fields else sorted(fields)[0]
 
-    docs = tokenized.select("doc_id", "doclen", "norm_byte")
+    tok = tokenize_expr(analyzer, with_offsets=keep_offsets)
+    off_cols = ["t.starts", "t.ends"] if keep_offsets else []
+    per_field = []
+    for fname, col in sorted(fields.items()):
+        per_field.append(
+            corpus.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.lit(fname).alias("field"),
+                tok(F.col(col)).alias("t"),
+            ).select(
+                "doc_id", "field", "t.terms", "t.positions", *off_cols,
+                "t.doclen", "t.norm_byte",
+            )
+        )
+    tokenized = per_field[0]
+    for p in per_field[1:]:
+        tokenized = tokenized.unionByName(p)
 
+    docs = tokenized.select("doc_id", "field", "doclen", "norm_byte")
+
+    zip_cols = ["terms", "positions"] + (["starts", "ends"] if keep_offsets else [])
     occurrences = tokenized.select(
         "doc_id",
-        F.explode(F.arrays_zip("terms", "positions")).alias("o"),
-    ).select("doc_id", F.col("o.terms").alias("term"), F.col("o.positions").alias("pos"))
+        "field",
+        F.explode(F.arrays_zip(*zip_cols)).alias("o"),
+    ).select(
+        "doc_id",
+        "field",
+        F.col("o.terms").alias("term"),
+        F.col("o.positions").alias("pos"),
+        *([F.col("o.starts").alias("start"), F.col("o.ends").alias("end")] if keep_offsets else []),
+    )
 
-    if keep_positions:
-        postings = occurrences.groupBy("term", "doc_id").agg(
+    if keep_offsets:
+        # positions + aligned char-offset streams (OFFSETS posting feature):
+        # one struct-sorted collect keeps the three arrays parallel
+        postings = (
+            occurrences.groupBy("field", "term", "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.sort_array(F.collect_list(F.struct("pos", "start", "end"))).alias("pse"),
+            )
+            .select(
+                "field", "term", "doc_id", "tf",
+                F.col("pse.pos").alias("positions"),
+                F.col("pse.start").alias("starts"),
+                F.col("pse.end").alias("ends"),
+            )
+        )
+    elif keep_positions:
+        postings = occurrences.groupBy("field", "term", "doc_id").agg(
             F.count(F.lit(1)).cast("int").alias("tf"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
     else:
-        postings = occurrences.groupBy("term", "doc_id").agg(
+        postings = occurrences.groupBy("field", "term", "doc_id").agg(
             F.count(F.lit(1)).cast("int").alias("tf")
         )
 
-    term_stats = postings.groupBy("term").agg(
+    term_stats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
     )
 
@@ -150,15 +261,28 @@ def build_index(
         docs = docs.persist()
         term_stats = term_stats.persist()
 
-    agg = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doclen"), F.lit(0)).alias("s")
-    ).collect()[0]
+    rows = (
+        docs.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doclen"), F.lit(0)).alias("s"),
+        )
+        .collect()
+    )
+    # every field row-set covers every doc (tokenizer emits doclen 0 rows)
+    max_doc = max((int(r["n"]) for r in rows), default=0)
+    sum_by_field = {r["field"]: int(r["s"]) for r in rows}
+    avgdl_by_field = {
+        f: (s / max_doc if max_doc else 1.0) for f, s in sum_by_field.items()
+    }
     return InvertedIndex(
         postings=postings,
         docs=docs,
         term_stats=term_stats,
-        max_doc=int(agg["n"]),
-        sum_ttf=int(agg["s"]),
+        max_doc=max_doc,
+        sum_ttf=sum_by_field.get(default_field, 0),
+        default_field=default_field,
+        avgdl_by_field=avgdl_by_field,
     )
 
 

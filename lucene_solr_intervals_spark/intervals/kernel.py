@@ -800,6 +800,62 @@ def collect_matches(q, positions: dict[str, list[int]]) -> list[tuple[int, int]]
     return sink.sorted()
 
 
+def fielded_collect(
+    q, positions: dict[tuple[str, str], list[int]], default_field: str
+) -> list[tuple[str, int, int]] | None:
+    """Cross-field leaf-interval collection (TestFieldedIntervals contract).
+
+    The reference drives the MatchCollector through each Boolean scorer's
+    CombinedIntervalIterator (CombinedIntervalIterator.java:25): over a full
+    iteration every present leaf term becomes queue-top at least once, so
+    the collected set is exactly the union of every present leaf term's
+    (field, p, p) positions for docs matching the Boolean tree — deduped and
+    ordered (field asc, begin asc, end desc), the TreeSet<Match> comparator
+    (IntervalTestBase.java:220-229).  Returns None if the doc does not match.
+    """
+
+    def _fk(node: Q.Term) -> tuple[str, str]:
+        return (node.field or default_field, node.term)
+
+    def matches(node) -> bool:
+        if isinstance(node, Q.Term):
+            return bool(positions.get(_fk(node)))
+        if isinstance(node, Q.ConstantScore):
+            return matches(node.inner)
+        if isinstance(node, Q.Boolean):
+            if any(matches(c) for c in node.must_not):
+                return False
+            if not all(matches(c) for c in node.must):
+                return False
+            if node.should:
+                n = sum(1 for c in node.should if matches(c))
+                msm = node.min_should_match if node.must else max(node.min_should_match, 1)
+                if n < msm:
+                    return False
+            return True
+        raise ValueError(
+            f"fielded_collect supports Boolean-of-Terms trees, got {type(node).__name__}"
+        )
+
+    if not matches(q):
+        return None
+    out: set[tuple[str, int, int]] = set()
+
+    def collect(node) -> None:
+        if isinstance(node, Q.Term):
+            f, t = _fk(node)
+            for p in positions.get((f, t), []):
+                out.add((f, p, p))
+        elif isinstance(node, Q.ConstantScore):
+            collect(node.inner)
+        elif isinstance(node, Q.Boolean):
+            for c in (*node.must, *node.should):
+                collect(c)
+
+    collect(q)
+    return sorted(out, key=lambda m: (m[0], m[1], -m[2]))
+
+
 def _collect_child(child: IntervalIterator, emitted: Interval, sink: MatchSink) -> None:
     """Approximate the snapshot replay: the wrapped composite collects the
     emitted interval; leaf/substructure collection follows each class's

@@ -99,6 +99,23 @@ class Searcher:
         self.k1 = k1
         self.b = b
         self._text_col = text_col
+        self.default_field = getattr(index, "default_field", "text")
+
+    def _field_of(self, q: Q.Query) -> str:
+        return getattr(q, "field", None) or self.default_field
+
+    def _positional_field(self, q: Q.Query) -> str:
+        """Positional/interval trees bind all leaves to ONE field (the
+        reference's interval iterators pull one field's positions;
+        cross-field interval streams are the CombinedIntervalIterator
+        collector path — see fielded_intervals())."""
+        fields = {f for f, _ in Q.field_term_pairs(q, self.default_field)}
+        if len(fields) > 1:
+            raise ValueError(
+                f"positional query spans fields {sorted(fields)}; use "
+                "fielded_intervals() for cross-field interval collection"
+            )
+        return next(iter(fields)) if fields else self.default_field
 
     # ------------------------------------------------------------- scoring
 
@@ -106,24 +123,28 @@ class Searcher:
         n = self.index.max_doc
         return F.log(F.lit(1.0) + (F.lit(float(n)) - df_col + 0.5) / (df_col + 0.5))
 
-    def _norm_col(self, doclen_col):
-        avgdl = self.index.avgdl
+    def _norm_col(self, doclen_col, field: str | None = None):
+        avgdl = self.index.avgdl_of(field) if field else self.index.avgdl
         return F.lit(self.k1) * (
             F.lit(1.0 - self.b) + F.lit(self.b) * doclen_col / F.lit(avgdl)
         )
 
-    def _score_col(self, idf_col, tf_col, doclen_col):
-        return idf_col * F.lit(self.k1 + 1.0) * tf_col / (tf_col + self._norm_col(doclen_col))
+    def _score_col(self, idf_col, tf_col, doclen_col, field: str | None = None):
+        return idf_col * F.lit(self.k1 + 1.0) * tf_col / (
+            tf_col + self._norm_col(doclen_col, field)
+        )
 
-    def _lucene_score_udf(self):
+    def _lucene_score_udf(self, field: str | None = None):
         """float32-exact scorer: (tf, norm_byte, df) -> score, via the
-        quantized norm cache (BM25Similarity.java:206-238)."""
+        quantized norm cache of `field` (BM25Similarity.java:206-238 binds
+        the cache to the field's avgdl, :82-89)."""
         import numpy as np
 
         from ..scoring.bm25 import idf as idf32
         from ..scoring.bm25 import norm_cache
 
-        cache = norm_cache(self.index.avgdl, self.k1, self.b)
+        avgdl = self.index.avgdl_of(field) if field else self.index.avgdl
+        cache = norm_cache(avgdl, self.k1, self.b)
         n_docs = self.index.max_doc
         k1 = np.float32(self.k1)
 
@@ -137,24 +158,31 @@ class Searcher:
 
         return _score
 
-    def term_hits(self, terms: list[str], with_positions: bool = False) -> DataFrame:
-        """Per-(term, doc) scored hits for a list of terms.
+    def term_hits(
+        self, terms: list[str], with_positions: bool = False, field: str | None = None
+    ) -> DataFrame:
+        """Per-(term, doc) scored hits for a list of same-field terms.
 
-        postings.filter(isin) -> Parquet/cache pruning on `term`; term_stats
-        is broadcast (it is tiny after the filter); docs joined for norms.
+        postings.filter(field ==, term isin) -> Parquet/cache pruning;
+        term_stats is broadcast (tiny after the filter); docs joined for the
+        field's norms.  Stats (df, avgdl, norms) are all bound per field.
         """
         idx = self.index
+        f = field or self.default_field
         cols = ["term", "doc_id", "tf"] + (["positions"] if with_positions else [])
+        stats = idx.term_stats.where(
+            (F.col("field") == f) & F.col("term").isin(terms)
+        ).select("term", "df")
         hits = (
-            idx.postings.select(*cols)
-            .where(F.col("term").isin(terms))
-            .join(F.broadcast(idx.term_stats.where(F.col("term").isin(terms))), "term")
-            .join(idx.docs, "doc_id")
+            idx.postings.where((F.col("field") == f) & F.col("term").isin(terms))
+            .select(*cols)
+            .join(F.broadcast(stats), "term")
+            .join(idx.docs.where(F.col("field") == f).select("doc_id", "doclen", "norm_byte"), "doc_id")
         )
         if self.mode == "lucene":
-            score = self._lucene_score_udf()(F.col("tf"), F.col("norm_byte"), F.col("df"))
+            score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
         else:
-            score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"))
+            score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
         return hits.withColumn("score", score)
 
     # ------------------------------------------------------- main entry
@@ -190,9 +218,10 @@ class Searcher:
         -> OR query (excluding the seed doc).  Term selection deterministic:
         (tf*idf desc, term asc)."""
         idx = self.index
+        f = self.default_field
         doc_terms = (
-            idx.postings.where(F.col("doc_id") == doc_id)
-            .join(idx.term_stats, "term")
+            idx.postings.where((F.col("doc_id") == doc_id) & (F.col("field") == f))
+            .join(idx.term_stats.where(F.col("field") == f).select("term", "df"), "term")
             .withColumn("tfidf", F.col("tf") * self._idf_col(F.col("df")))
             .orderBy(F.desc("tfidf"), F.asc("term"))
             .limit(max_terms)
@@ -226,12 +255,15 @@ class Searcher:
     def scored(self, q: Q.Query) -> DataFrame:
         """All matching docs with scores: (doc_id, score)."""
         if isinstance(q, Q.Term):
-            return self.term_hits([q.term]).select(
+            return self.term_hits([q.term], field=self._field_of(q)).select(
                 "doc_id", (F.col("score") * F.lit(q.boost)).alias("score")
             )
 
         if isinstance(q, Q.MatchAll):
-            return self.index.docs.select("doc_id", F.lit(float(q.boost)).alias("score"))
+            # every field's docs rows cover every doc -> default field slice
+            return self.index.docs.where(
+                F.col("field") == self.default_field
+            ).select("doc_id", F.lit(float(q.boost)).alias("score"))
 
         if isinstance(q, Q.ConstantScore):
             return self.matching(q.inner).select(
@@ -321,12 +353,16 @@ class Searcher:
         """Matching doc_ids without scoring (filter context)."""
         if isinstance(q, Q.Term):
             return (
-                self.index.postings.where(F.col("term") == q.term)
+                self.index.postings.where(
+                    (F.col("field") == self._field_of(q)) & (F.col("term") == q.term)
+                )
                 .select("doc_id")
                 .distinct()
             )
         if isinstance(q, Q.MatchAll):
-            return self.index.docs.select("doc_id")
+            return self.index.docs.where(
+                F.col("field") == self.default_field
+            ).select("doc_id")
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.TermRange, Q.Fuzzy)):
             return self._expanded_docs(q)
         if isinstance(q, Q.NumericRange):
@@ -370,7 +406,7 @@ class Searcher:
         TermRangeQuery.java:43 / FuzzyQuery.java:54 — the term dict scan; the
         sorted/partitioned term_stats plays the BlockTree role.
         """
-        ts = self.index.term_stats
+        ts = self.index.term_stats.where(F.col("field") == self._field_of(q))
         if isinstance(q, Q.Prefix):
             return ts.where(F.col("term").startswith(q.prefix)).select("term")
         if isinstance(q, Q.Wildcard):
@@ -399,7 +435,8 @@ class Searcher:
     def _expanded_docs(self, q: Q.Query) -> DataFrame:
         terms = self._expand_terms(q)
         return (
-            self.index.postings.join(F.broadcast(terms), "term", "left_semi")
+            self.index.postings.where(F.col("field") == self._field_of(q))
+            .join(F.broadcast(terms), "term", "left_semi")
             .select("doc_id")
             .distinct()
         )
@@ -464,15 +501,18 @@ class Searcher:
                 "score", F.lit(0.0)
             )
         q = expanded
+        pfield = self._positional_field(q)
         leaf_terms = sorted(set(Q.terms_of(q)))
         required = _required_terms(q)
-        hits = self.term_hits(leaf_terms, with_positions=True).select(
+        hits = self.term_hits(leaf_terms, with_positions=True, field=pfield).select(
             "doc_id", "term", "positions", "doclen", "norm_byte", "df"
         )
         if required:
             # docs must contain every required term: count-distinct semi-filter
             req = (
-                self.index.postings.where(F.col("term").isin(sorted(required)))
+                self.index.postings.where(
+                    (F.col("field") == pfield) & F.col("term").isin(sorted(required))
+                )
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("nreq"))
                 .where(F.col("nreq") == len(required))
@@ -553,7 +593,9 @@ class Searcher:
         # summed idf over leaf terms (IntervalFilterQuery.getSimWeight:135-151)
         stats = {
             r["term"]: int(r["df"])
-            for r in self.index.term_stats.where(F.col("term").isin(leaf_terms)).collect()
+            for r in self.index.term_stats.where(
+                (F.col("field") == pfield) & F.col("term").isin(leaf_terms)
+            ).collect()
         }
         n = self.index.max_doc
         # idfExplain sums per-term float32 idfs in float32
@@ -581,7 +623,7 @@ class Searcher:
 
             from ..scoring.bm25 import norm_cache
 
-            cache = norm_cache(self.index.avgdl, self.k1, self.b)
+            cache = norm_cache(self.index.avgdl_of(pfield), self.k1, self.b)
             w = np.float32(np.float32(sum_idf) * np.float32(self.k1 + 1.0))
 
             @F.pandas_udf(T.FloatType())
@@ -593,7 +635,7 @@ class Searcher:
             score = (_iscore(freq, F.col("norm_byte")) * F.lit(boost)).alias("score")
         else:
             score = (
-                self._score_col(F.lit(sum_idf), freq, F.col("doclen")) * F.lit(boost)
+                self._score_col(F.lit(sum_idf), freq, F.col("doclen"), pfield) * F.lit(boost)
             ).alias("score")
         return evaluated.select("doc_id", score)
 
@@ -672,9 +714,9 @@ class Searcher:
         """(doc_id, begin, end) of every surviving interval — the highlighter
         feed (HighlightingIntervalCollector analog)."""
         leaf_terms = sorted(set(Q.terms_of(q)))
-        hits = self.term_hits(leaf_terms, with_positions=True).select(
-            "doc_id", "term", "positions"
-        )
+        hits = self.term_hits(
+            leaf_terms, with_positions=True, field=self._positional_field(q)
+        ).select("doc_id", "term", "positions")
         per_doc = hits.groupBy("doc_id").agg(
             F.collect_list(F.struct("term", "positions")).alias("tp")
         )
@@ -696,6 +738,155 @@ class Searcher:
             .where(F.col("res.n") > 0)
             .select("doc_id", F.explode("res.intervals").alias("iv"))
             .select("doc_id", F.col("iv.begin").alias("begin"), F.col("iv.end").alias("end"))
+        )
+
+    def intervals_with_offsets(self, q: Q.Query) -> DataFrame:
+        """(doc_id, begin, end, offset_begin, offset_end) per surviving
+        interval, with character offsets read from the OFFSETS posting
+        streams — no re-tokenization (Interval.java:22-37 carries
+        offsetBegin/offsetEnd populated from the postings, Weight.java:217-235;
+        golden parity: TestPositionsAndOffsets).  Requires an index built
+        with keep_offsets=True."""
+        if "starts" not in self.index.postings.columns:
+            raise ValueError("index was built without keep_offsets=True")
+        pfield = self._positional_field(q)
+        leaf_terms = sorted(set(Q.terms_of(q)))
+        hits = self.index.postings.where(
+            (F.col("field") == pfield) & F.col("term").isin(leaf_terms)
+        ).select("doc_id", "term", "positions", "starts", "ends")
+        per_doc = hits.groupBy("doc_id").agg(
+            F.collect_list(F.struct("term", "positions", "starts", "ends")).alias("tp")
+        )
+        query = q
+
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "matches",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("begin", T.IntegerType()),
+                                T.StructField("end", T.IntegerType()),
+                                T.StructField("offset_begin", T.IntegerType()),
+                                T.StructField("offset_end", T.IntegerType()),
+                            ]
+                        )
+                    ),
+                )
+            ]
+        )
+
+        @F.pandas_udf(schema)
+        def _kernel(tp: pd.Series) -> pd.DataFrame:
+            out = []
+            for entries in tp:
+                pos = {e["term"]: list(e["positions"]) for e in entries}
+                # position -> (char start, char end), from the posting streams
+                omap: dict[int, tuple[int, int]] = {}
+                for e in entries:
+                    for p, s0, e0 in zip(e["positions"], e["starts"], e["ends"]):
+                        omap[int(p)] = (int(s0), int(e0))
+                m = IK.match_intervals(query, pos)
+                if not m:
+                    out.append(None)
+                    continue
+                out.append(
+                    [
+                        {
+                            "begin": b,
+                            "end": e,
+                            "offset_begin": omap.get(b, (0, 0))[0],
+                            "offset_end": omap.get(e, (0, 0))[1],
+                        }
+                        for b, e in m
+                    ]
+                )
+            return pd.DataFrame({"matches": out})
+
+        return (
+            per_doc.withColumn("res", _kernel(F.col("tp")))
+            .where(F.col("res.matches").isNotNull())
+            .select("doc_id", F.explode("res.matches").alias("m"))
+            .select(
+                "doc_id",
+                F.col("m.begin").alias("begin"),
+                F.col("m.end").alias("end"),
+                F.col("m.offset_begin").alias("offset_begin"),
+                F.col("m.offset_end").alias("offset_end"),
+            )
+        )
+
+    def fielded_intervals(self, q: Q.Query) -> DataFrame:
+        """(doc_id, field, begin, end) of every collected LEAF interval of a
+        (possibly cross-field) Boolean-of-Terms query — the
+        TestFieldedIntervals contract: the MatchCollector, driven through
+        CombinedIntervalIterator over per-field children, accumulates every
+        present leaf term's positions tagged with its field, deduped and
+        ordered (doc, field asc, begin asc, end desc)
+        (IntervalTestBase.java:200-293, CombinedIntervalIterator.java:25).
+        """
+        default = self.default_field
+        pairs = sorted(set(Q.field_term_pairs(q, default)))
+        fields = sorted({f for f, _ in pairs})
+        parts = []
+        for f in fields:
+            terms = [t for ff, t in pairs if ff == f]
+            parts.append(
+                self.index.postings.where(
+                    (F.col("field") == f) & F.col("term").isin(terms)
+                ).select("doc_id", "field", "term", "positions")
+            )
+        hits = parts[0]
+        for p in parts[1:]:
+            hits = hits.unionByName(p)
+        per_doc = hits.groupBy("doc_id").agg(
+            F.collect_list(F.struct("field", "term", "positions")).alias("ftp")
+        )
+        query = q
+
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "matches",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("field", T.StringType()),
+                                T.StructField("begin", T.IntegerType()),
+                                T.StructField("end", T.IntegerType()),
+                            ]
+                        )
+                    ),
+                )
+            ]
+        )
+
+        @F.pandas_udf(schema)
+        def _kernel(ftp: pd.Series) -> pd.DataFrame:
+            out = []
+            for entries in ftp:
+                pos = {
+                    (e["field"], e["term"]): list(e["positions"]) for e in entries
+                }
+                m = IK.fielded_collect(query, pos, default)
+                out.append(
+                    [{"field": f, "begin": b, "end": e} for f, b, e in m]
+                    if m
+                    else None
+                )
+            return pd.DataFrame({"matches": out})
+
+        return (
+            per_doc.withColumn("res", _kernel(F.col("ftp")))
+            .where(F.col("res.matches").isNotNull())
+            .select("doc_id", F.explode("res.matches").alias("m"))
+            .select(
+                "doc_id",
+                F.col("m.field").alias("field"),
+                F.col("m.begin").alias("begin"),
+                F.col("m.end").alias("end"),
+            )
         )
 
 

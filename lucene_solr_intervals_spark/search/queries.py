@@ -37,8 +37,12 @@ class Query:
 
 @dataclass(frozen=True)
 class Term(Query):
+    """TermQuery (TermQuery.java:41).  `field` binds the term to a specific
+    indexed field (Term.java:38); None means the index's default field."""
+
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -60,6 +64,7 @@ class Phrase(Query):
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -68,6 +73,7 @@ class MultiPhrase(Query):
 
     slots: tuple[tuple[str, ...], ...]
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -87,18 +93,21 @@ class ConstantScore(Query):
 class Prefix(Query):
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class Wildcard(Query):
     pattern: str  # Lucene syntax: * = any run, ? = one char
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class Regexp(Query):
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -106,6 +115,7 @@ class Fuzzy(Query):
     term: str
     max_edits: int = 2
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -115,6 +125,7 @@ class TermRange(Query):
     include_lower: bool = True
     include_upper: bool = False
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -214,6 +225,24 @@ def terms_of(q: Query) -> tuple[str, ...]:
     out: list[str] = []
     for child in children_of(q):
         out.extend(terms_of(child))
+    return tuple(out)
+
+
+def field_term_pairs(q: Query, default_field: str) -> tuple[tuple[str, str], ...]:
+    """All leaf (field, term) pairs in depth-first order (with repeats) —
+    the multi-field analog of :func:`terms_of` (Term.java:38 binds every
+    term to a field)."""
+    if isinstance(q, Term):
+        return ((q.field or default_field, q.term),)
+    if isinstance(q, Phrase):
+        f = q.field or default_field
+        return tuple((f, t) for t in q.terms)
+    if isinstance(q, MultiPhrase):
+        f = q.field or default_field
+        return tuple((f, t) for slot in q.slots for t in slot)
+    out: list[tuple[str, str]] = []
+    for child in children_of(q):
+        out.extend(field_term_pairs(child, default_field))
     return tuple(out)
 
 

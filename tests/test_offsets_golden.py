@@ -1,0 +1,91 @@
+"""Golden transcription of TestPositionsAndOffsets.java: interval queries
+carry character offsets populated from the OFFSETS posting streams
+(Interval.java:22-37), never by re-tokenizing."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_intervals_spark.analysis.tokenizer import ws_tokenize_offsets
+from lucene_solr_intervals_spark.intervals import kernel as IK
+from lucene_solr_intervals_spark.search import queries as Q
+
+DOC = (
+    "Pease porridge hot! Pease porridge cold! Pease porridge in the pot nine "
+    "days old! Some like it hot, some like it cold, Some like it in the pot "
+    "nine days old! Pease porridge hot! Pease porridge cold!"
+)
+
+
+def _index(text):
+    terms, positions, starts, ends, _ = ws_tokenize_offsets(text, lowercase=True)
+    pos: dict[str, list[int]] = {}
+    omap: dict[int, tuple[int, int]] = {}
+    for t, p, s, e in zip(terms, positions, starts, ends):
+        pos.setdefault(t, []).append(p)
+        omap[p] = (s, e)
+    return pos, omap
+
+
+def _offsets(q):
+    pos, omap = _index(DOC)
+    m = IK.match_intervals(q, pos)
+    assert m is not None
+    flat = []
+    for b, e in m:
+        flat.extend([omap[b][0], omap[e][1]])
+    return flat
+
+
+def test_term_query_offsets():
+    # TestPositionsAndOffsets.testTermQueryOffsets
+    got = _offsets(Q.Term("porridge"))
+    assert got == [6, 14, 26, 34, 47, 55, 164, 172, 184, 192]
+
+
+def test_boolean_query_offsets():
+    # TestPositionsAndOffsets.testBooleanQueryOffsets — the Boolean MUST
+    # iterator merges its children's leaf streams (CombinedIntervalIterator)
+    q = Q.Boolean(must=(Q.Term("porridge"), Q.Term("nine")))
+    got = _offsets(q)
+    assert got == [6, 14, 26, 34, 47, 55, 67, 71, 143, 147, 164, 172, 184, 192]
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_intervals_with_offsets(spark):
+    """intervals_with_offsets reads offsets from the posting streams: parity
+    with the golden expectations through the full Spark path."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus = spark.createDataFrame([(0, DOC)], ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="ws", keep_offsets=True)
+    try:
+        s = Searcher(idx, mode="sql", text_col="text")
+        rows = sorted(
+            (
+                (r["begin"], r["end"], r["offset_begin"], r["offset_end"])
+                for r in s.intervals_with_offsets(Q.Term("porridge")).collect()
+            )
+        )
+        assert [(ob, oe) for _, _, ob, oe in rows] == [
+            (6, 14), (26, 34), (47, 55), (164, 172), (184, 192),
+        ]
+        q = Q.Boolean(must=(Q.Term("porridge"), Q.Term("nine")))
+        rows = sorted(
+            (
+                (r["offset_begin"], r["offset_end"])
+                for r in s.intervals_with_offsets(q).collect()
+            )
+        )
+        assert rows == [
+            (6, 14), (26, 34), (47, 55), (67, 71), (143, 147),
+            (164, 172), (184, 192),
+        ]
+        # a composite (phrase) interval spans first leaf start -> last leaf end
+        rows = s.intervals_with_offsets(Q.Phrase(("pease", "porridge"))).collect()
+        assert sorted((r["offset_begin"], r["offset_end"]) for r in rows) == [
+            (0, 14), (20, 34), (41, 55), (158, 172), (178, 192),
+        ]
+    finally:
+        idx.unpersist()
