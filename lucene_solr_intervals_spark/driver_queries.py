@@ -449,6 +449,28 @@ def fuzzy_docs(spark, sf_dir):
 
 
 @register(
+    "prefix_scoring_topk",
+    _PRELUDE
+    + f"""
+, e AS (SELECT term FROM dfp WHERE term LIKE 's%'),
+hits AS (
+  SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  JOIN e ON e.term = tfp.term
+)
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def prefix_scoring_topk(spark, sf_dir):
+    """PrefixQuery under SCORING_BOOLEAN_QUERY_REWRITE (MultiTermQuery.java:114):
+    each expanded term scores as a TermQuery SHOULD clause with its own df —
+    non-constant scores, unlike the CONSTANT_SCORE default."""
+    q = Q.Prefix("s", rewrite="scoring_boolean")
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
     "numeric_range_docs",
     "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id",
 )

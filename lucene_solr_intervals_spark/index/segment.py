@@ -344,6 +344,58 @@ def _norms_from_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def assign_doc_ids(corpus: DataFrame, order_cols: tuple[str, ...]) -> DataFrame:
+    """Deterministic dense doc ids = global rank by `order_cols`, WITHOUT a
+    single-partition window (the F1 canonical ordering, FIXTURES.md).
+
+    Two-pass prefix-sum (the zipWithIndex pattern): range-shuffle + sort on
+    the order columns, count rows per partition, prefix-sum the counts on
+    the driver (one tiny collect), then a mapInPandas pass stamps
+    doc_id = partition_offset + local_row_number.  The global rank is
+    invariant to where the range boundaries fall (order keys are unique), so
+    ids are reproducible run-to-run; the frame is persisted so the count
+    pass and the build pass see identical partitioning.  Every stage is
+    parallel — no task ever sees more than one partition of rows.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    parts = (
+        corpus.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .persist()
+    )
+    counts = {
+        int(r["pid"]): int(r["n"])
+        for r in parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("doc_id", T.LongType())]
+    )
+
+    def _stamp(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(nxt, nxt + len(pdf), dtype=np.int64)
+            nxt += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(_stamp, out_schema)
+
+
 def build_segments(
     corpus: DataFrame,
     index_dir: str,
@@ -364,16 +416,13 @@ def build_segments(
     keeps each segment a disjoint contiguous doc range so merges never
     re-sort doc ids.
     """
-    from pyspark.sql.window import Window
-
     t0 = time.time()
     spark = corpus.sparkSession
     n_total = n_docs_hint if n_docs_hint is not None else corpus.count()
     docs_per_seg = max(1, (n_total + n_segments - 1) // n_segments)
 
     if id_col is None:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        corpus = corpus.withColumn("doc_id", F.row_number().over(w) - 1)
+        corpus = assign_doc_ids(corpus, order_cols)
         id_col = "doc_id"
 
     done: set[int] = set()

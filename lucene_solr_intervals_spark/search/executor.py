@@ -271,6 +271,10 @@ class Searcher:
             )
 
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.TermRange, Q.Fuzzy)):
+            if q.rewrite == "scoring_boolean":
+                # SCORING_BOOLEAN_QUERY_REWRITE (MultiTermQuery.java:114):
+                # every expanded term scores like a TermQuery SHOULD clause
+                return self._scored_multi_term(q)
             # CONSTANT_SCORE rewrite: expand terms, constant score per doc
             return self._expanded_docs(q).select(
                 "doc_id", F.lit(float(q.boost)).alias("score")
@@ -427,13 +431,74 @@ class Searcher:
                 )
             return ts.where(cond).select("term")
         if isinstance(q, Q.Fuzzy):
-            return ts.where(
+            matched = ts.where(
                 F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
-            ).select("term")
+            )
+            if q.max_expansions:
+                # TopTermsRewrite cap (MultiTermQuery.java:234): FuzzyQuery
+                # keeps the highest-boost terms — boost decreases with edit
+                # distance (FuzzyTermsEnum), ties by df desc then term asc.
+                # The LIMIT runs as a DataFrame top-k; only the capped term
+                # list ever reaches the driver.
+                return (
+                    matched.withColumn(
+                        "_ed", F.levenshtein(F.col("term"), F.lit(q.term))
+                    )
+                    .orderBy(F.asc("_ed"), F.desc("df"), F.asc("term"))
+                    .limit(q.max_expansions)
+                    .select("term")
+                )
+            return matched.select("term")
         raise ValueError(type(q).__name__)
 
+    def _cap_expansion(self, terms: DataFrame, q: Q.Query) -> DataFrame:
+        """TopTerms cap for prefix/wildcard/regexp/range expansions
+        (MultiTermQuery.java:234): keep the max_expansions highest-df terms
+        (constant boost -> df is the tiebreaker that keeps scores useful)."""
+        cap = getattr(q, "max_expansions", None)
+        if not cap or isinstance(q, Q.Fuzzy):  # Fuzzy caps inside _expand_terms
+            return terms
+        ts = self.index.term_stats.where(F.col("field") == self._field_of(q))
+        return (
+            terms.join(ts.select("term", "df"), "term")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(cap)
+            .select("term")
+        )
+
+    def _scored_multi_term(self, q: Q.Query) -> DataFrame:
+        """SCORING_BOOLEAN rewrite, fully DataFrame-side: the expanded term
+        set is joined (broadcast) against postings — the term list itself
+        never materializes on the driver, so a 10^4-term wildcard stays
+        distributed.  score(doc) = sum over matched expanded terms of the
+        term's BM25 score, like a rewritten BooleanQuery of SHOULD
+        TermQueries (MultiTermQuery.java:114)."""
+        f = self._field_of(q)
+        terms = self._cap_expansion(self._expand_terms(q), q)
+        idx = self.index
+        stats = idx.term_stats.where(F.col("field") == f).select("term", "df")
+        hits = (
+            idx.postings.where(F.col("field") == f)
+            .select("term", "doc_id", "tf")
+            .join(F.broadcast(terms), "term")
+            .join(stats, "term")
+            .join(
+                idx.docs.where(F.col("field") == f).select("doc_id", "doclen", "norm_byte"),
+                "doc_id",
+            )
+        )
+        if self.mode == "lucene":
+            score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
+        else:
+            score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
+        return (
+            hits.withColumn("score", score)
+            .groupBy("doc_id")
+            .agg((F.sum("score") * F.lit(float(q.boost))).alias("score"))
+        )
+
     def _expanded_docs(self, q: Q.Query) -> DataFrame:
-        terms = self._expand_terms(q)
+        terms = self._cap_expansion(self._expand_terms(q), q)
         return (
             self.index.postings.where(F.col("field") == self._field_of(q))
             .join(F.broadcast(terms), "term", "left_semi")
@@ -459,7 +524,12 @@ class Searcher:
         disjunctions against the term dictionary (MultiTermQuery.rewrite);
         returns None if an expansion is empty (query cannot match)."""
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.TermRange, Q.Fuzzy)):
-            terms = [r["term"] for r in self._expand_terms(q).collect()]
+            # expansion is capped (TopTerms) BEFORE the collect, so a broad
+            # pattern inside a near-query cannot flood the driver
+            terms = [
+                r["term"]
+                for r in self._cap_expansion(self._expand_terms(q), q).collect()
+            ]
             if not terms:
                 return None
             if len(terms) == 1:

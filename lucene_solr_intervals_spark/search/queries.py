@@ -94,6 +94,8 @@ class Prefix(Query):
     prefix: str
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"  # constant | scoring_boolean (MultiTermQuery.java:92,114)
+    max_expansions: int | None = None  # TopTerms cap (MultiTermQuery.java:234)
 
 
 @dataclass(frozen=True)
@@ -101,6 +103,8 @@ class Wildcard(Query):
     pattern: str  # Lucene syntax: * = any run, ? = one char
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int | None = None
 
 
 @dataclass(frozen=True)
@@ -108,6 +112,8 @@ class Regexp(Query):
     pattern: str
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int | None = None
 
 
 @dataclass(frozen=True)
@@ -116,6 +122,10 @@ class Fuzzy(Query):
     max_edits: int = 2
     boost: float = 1.0
     field: str | None = None
+    # FuzzyQuery defaults to TopTerms scoring-boolean with 50 expansions
+    # (FuzzyQuery.java:54, defaultMaxExpansions)
+    rewrite: str = "constant"
+    max_expansions: int | None = 50
 
 
 @dataclass(frozen=True)
@@ -126,6 +136,8 @@ class TermRange(Query):
     include_upper: bool = False
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int | None = None
 
 
 @dataclass(frozen=True)

@@ -217,6 +217,36 @@ def test_fuzzy(index):
     assert got == want
 
 
+def test_scoring_boolean_rewrite(index):
+    """SCORING_BOOLEAN rewrite: score = sum of per-term BM25 scores
+    (MultiTermQuery.java:114), computed without collecting terms."""
+    s = Searcher(index, mode="sql")
+    q = Q.Prefix("qu", rewrite="scoring_boolean")
+    got = {r["doc_id"]: r["score"] for r in s.scored(q).collect()}
+    # only 'quick' starts with qu in the corpus -> equals the term scores
+    want = {r["doc_id"]: r["score"] for r in s.scored(Q.Term("quick")).collect()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_top_terms_expansion_cap(index):
+    """TopTerms cap (MultiTermQuery.java:234): max_expansions keeps only the
+    highest-df terms; the doc set shrinks accordingly."""
+    s = Searcher(index, mode="sql")
+    uncapped = sorted(r["doc_id"] for r in s.matching(Q.Prefix("f")).collect())
+    # 'f' expands to fox/fences/fast/filler/foxes... cap to top-1 by df = fox
+    capped = sorted(
+        r["doc_id"] for r in s.matching(Q.Prefix("f", max_expansions=1)).collect()
+    )
+    fox_docs = sorted(r["doc_id"] for r in s.matching(Q.Term("fox")).collect())
+    assert capped == fox_docs
+    assert set(capped) <= set(uncapped)
+    # positional context: the capped expansion bounds the driver collect too
+    expanded = s._expand_tree(Q.Prefix("f", max_expansions=1))
+    assert expanded == Q.Term("fox")
+
+
 def test_dismax(index):
     s = Searcher(index, mode="lucene")
     q = Q.DisjunctionMax((Q.Term("quick"), Q.Term("fox")), tie_breaker=0.5)
