@@ -810,6 +810,169 @@ class Searcher:
             .select("doc_id", F.col("iv.begin").alias("begin"), F.col("iv.end").alias("end"))
         )
 
+    # ------------------------------------------------------------- explain
+
+    def explain(self, q: Q.Query, doc_id: int) -> dict:
+        """Weight.explain analog (Weight.java:64, BM25Similarity.explain):
+        a nested {value, description, match, details} breakdown of doc_id's
+        score for `q`.  Invariant (CheckHits.java:35): explain(q, d)[\"value\"]
+        equals the scored() value for matching docs — tested in
+        tests/test_explain.py.  Driver-side point lookups; debugging API,
+        not a batch path."""
+        if isinstance(q, Q.Term):
+            f = self._field_of(q)
+            row = (
+                self.index.postings.where(
+                    (F.col("field") == f)
+                    & (F.col("term") == q.term)
+                    & (F.col("doc_id") == doc_id)
+                )
+                .select("tf")
+                .collect()
+            )
+            if not row:
+                return {
+                    "match": False,
+                    "value": 0.0,
+                    "description": f"no matching term {f}:{q.term} in {doc_id}",
+                    "details": [],
+                }
+            tf = float(row[0]["tf"])
+            df_row = self.index.term_stats.where(
+                (F.col("field") == f) & (F.col("term") == q.term)
+            ).collect()
+            df = int(df_row[0]["df"]) if df_row else 0
+            drow = self.index.docs.where(
+                (F.col("field") == f) & (F.col("doc_id") == doc_id)
+            ).collect()[0]
+            n = self.index.max_doc
+            avgdl = self.index.avgdl_of(f)
+            import math
+
+            idf_v = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            if self.mode == "lucene":
+                import numpy as np
+
+                from ..scoring.bm25 import idf as idf32
+                from ..scoring.bm25 import norm_cache
+
+                cache = norm_cache(avgdl, self.k1, self.b)
+                w = np.float32(idf32(df, n) * np.float32(self.k1 + 1.0))
+                norm = float(cache[int(drow["norm_byte"]) & 0xFF])
+                tf32 = np.float32(tf)
+                value = float(np.float32(w * tf32 / (tf32 + np.float32(norm))))
+                idf_v = float(idf32(df, n))
+            else:
+                norm = self.k1 * (1.0 - self.b + self.b * float(drow["doclen"]) / avgdl)
+                value = idf_v * (self.k1 + 1.0) * tf / (tf + norm)
+            value *= q.boost
+            return {
+                "match": True,
+                "value": value,
+                "description": (
+                    f"weight({f}:{q.term} in {doc_id}) [BM25, k1={self.k1}, b={self.b}]"
+                    + (f" boost={q.boost}" if q.boost != 1.0 else "")
+                ),
+                "details": [
+                    {"value": idf_v, "description": f"idf(docFreq={df}, maxDocs={n})"},
+                    {"value": tf, "description": f"tf(termFreq={tf:g})"},
+                    {
+                        "value": norm,
+                        "description": f"fieldNorm(doclen={int(drow['doclen'])}, avgdl={avgdl:.4f})",
+                    },
+                ],
+            }
+
+        if isinstance(q, Q.MatchAll):
+            return {"match": True, "value": float(q.boost), "description": "MatchAllDocsQuery", "details": []}
+
+        if isinstance(q, Q.ConstantScore):
+            inner = self.explain(q.inner, doc_id)
+            m = inner["match"]
+            return {
+                "match": m,
+                "value": float(q.boost) if m else 0.0,
+                "description": "ConstantScore",
+                "details": [inner],
+            }
+
+        if isinstance(q, Q.Boolean):
+            for c in q.must_not:
+                sub = self.explain(c, doc_id)
+                if sub["match"]:
+                    return {
+                        "match": False,
+                        "value": 0.0,
+                        "description": "excluded by MUST_NOT clause",
+                        "details": [sub],
+                    }
+            must = [self.explain(c, doc_id) for c in q.must]
+            should = [self.explain(c, doc_id) for c in q.should]
+            n_should = sum(1 for s in should if s["match"])
+            msm = q.min_should_match if q.must else max(q.min_should_match, 1)
+            if any(not m["match"] for m in must):
+                return {
+                    "match": False,
+                    "value": 0.0,
+                    "description": "failure to meet condition of required clause",
+                    "details": must,
+                }
+            if q.should and n_should < msm:
+                return {
+                    "match": False,
+                    "value": 0.0,
+                    "description": f"failure to match minimumNumberShouldMatch={msm}",
+                    "details": should,
+                }
+            details = must + [s for s in should if s["match"]]
+            value = sum(d["value"] for d in details) * q.boost
+            return {"match": True, "value": value, "description": "sum of:", "details": details}
+
+        if isinstance(q, Q.DisjunctionMax):
+            subs = [self.explain(c, doc_id) for c in q.subs]
+            matching = [s for s in subs if s["match"]]
+            if not matching:
+                return {"match": False, "value": 0.0, "description": "no matching clause", "details": subs}
+            mx = max(s["value"] for s in matching)
+            sm = sum(s["value"] for s in matching)
+            value = (mx + q.tie_breaker * (sm - mx)) * q.boost
+            return {
+                "match": True,
+                "value": value,
+                "description": f"max plus {q.tie_breaker} times others of:",
+                "details": matching,
+            }
+
+        # positional / multi-term / numeric-range: score via the batch path
+        # for this single doc (exact same plan, filtered)
+        row = (
+            self.scored(q)
+            .where(F.col("doc_id") == doc_id)
+            .collect()
+        )
+        if not row:
+            return {
+                "match": False,
+                "value": 0.0,
+                "description": f"no match for {type(q).__name__} in {doc_id}",
+                "details": [],
+            }
+        return {
+            "match": True,
+            "value": float(row[0]["score"]),
+            "description": f"{type(q).__name__} (scored via interval/expansion path)",
+            "details": [],
+        }
+
+    @staticmethod
+    def format_explain(e: dict, indent: int = 0) -> str:
+        """Render an explain() tree like Explanation.toString()."""
+        pad = "  " * indent
+        out = [f"{pad}{e['value']:.6g} = {e['description']}"]
+        for d in e.get("details", []):
+            out.append(Searcher.format_explain(d, indent + 1))
+        return "\n".join(out)
+
     def intervals_with_offsets(self, q: Q.Query) -> DataFrame:
         """(doc_id, begin, end, offset_begin, offset_end) per surviving
         interval, with character offsets read from the OFFSETS posting

@@ -265,21 +265,35 @@ class SegmentSearcher:
         self.avgdl = self.manifest["sum_doclen"] / self.n_docs if self.n_docs else 1.0
         self.cache = norm_cache(self.avgdl)
 
+    # queried-term stats memo: bounded by the observed query workload (a
+    # search service's working set), NOT the vocabulary — the full term
+    # dictionary at 10^12-file scale has billions of entries and must never
+    # be collected to the driver
+    _DF_MEMO_MAX = 262_144
+
     def _dfs(self, terms: list[str]) -> dict[str, int]:
-        """Per-query term stats: a scan pruned to exactly the query's terms
-        (Parquet pushdown on `term`, or a broadcast semi-join for large
-        batches) — never the full term dictionary, which at 10^12-file scale
-        has billions of entries and would OOM the driver."""
-        stats = self.postings.select("term", "df")
-        if len(terms) > 32:
-            terms_df = self.spark.createDataFrame([(t,) for t in terms], ["term"])
-            stats = stats.join(F.broadcast(terms_df), "term", "left_semi")
-        else:
-            stats = stats.where(F.col("term").isin(terms))
-        rows = stats.groupBy("term").agg(F.sum("df").alias("df")).collect()
-        dfs = {t: 0 for t in terms}
-        dfs.update({r["term"]: int(r["df"]) for r in rows})
-        return dfs
+        """Per-query term stats: a scan pruned to exactly the query's still-
+        unseen terms (Parquet pushdown on `term`, or a broadcast semi-join
+        for large batches); results are memoized per searcher snapshot (the
+        index is immutable point-in-time, so entries never go stale)."""
+        memo = getattr(self, "_df_memo", None)
+        if memo is None:
+            memo = self._df_memo = {}
+        missing = [t for t in terms if t not in memo]
+        if missing:
+            stats = self.postings.select("term", "df")
+            if len(missing) > 32:
+                terms_df = self.spark.createDataFrame([(t,) for t in missing], ["term"])
+                stats = stats.join(F.broadcast(terms_df), "term", "left_semi")
+            else:
+                stats = stats.where(F.col("term").isin(missing))
+            rows = stats.groupBy("term").agg(F.sum("df").alias("df")).collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            if len(memo) + len(missing) > self._DF_MEMO_MAX:
+                memo.clear()  # crude bound; point lookups repopulate cheaply
+            for t in missing:
+                memo[t] = found.get(t, 0)
+        return {t: memo[t] for t in terms}
 
     def _weights(self, terms: list[str]) -> dict[str, np.float32]:
         return {
