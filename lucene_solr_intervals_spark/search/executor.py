@@ -418,7 +418,12 @@ class Searcher:
                 "term"
             )
         if isinstance(q, Q.Regexp):
-            return ts.where(F.col("term").rlike("^" + q.pattern + "$")).select("term")
+            # Lucene RegExp automaton dialect (RegExp.java:40-315), not Java
+            # regex: anchored, ~/&/@/#/<n-m>/"..." operators — translated by
+            # search.regexp into JVM-side rlike combinations
+            from .regexp import to_term_condition
+
+            return ts.where(to_term_condition(q.pattern, F.col("term"))).select("term")
         if isinstance(q, Q.TermRange):
             cond = F.lit(True)
             if q.lower is not None:
