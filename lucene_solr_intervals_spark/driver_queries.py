@@ -1243,6 +1243,46 @@ def simhash_signatures(spark, sf_dir):
     return D.simhash(get_docs(spark, sf_dir))
 
 
+def _simhash_pairs_oracle_sql(max_hamming: int, bands: int) -> str:
+    bits = D.SIMHASH_BITS
+    width = bits // bands
+    mask = (1 << width) - 1
+    bsums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * width}) & {mask} AS chunk FROM sig"
+        for bi in range(bands)
+    )
+    return (
+        _PRELUDE
+        + f"""
+, h AS (SELECT doc_id, {D.hash48_sql('term', 0)} AS h FROM tok),
+bs AS (SELECT doc_id, {bsums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sig}) AS simhash FROM bs),
+chunks AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+ORDER BY 1, 2
+"""
+    )
+
+
+@register("simhash_near_pairs", _simhash_pairs_oracle_sql(max_hamming=3, bands=4))
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole chunk blocking + exact
+    popcount(xor) verification (Manku et al.; candidates share a 12-bit
+    signature chunk — one shuffle, no cross join)."""
+    return D.simhash_pairs(get_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
 @register(
     "embedding_cosine_topk",
     """

@@ -254,3 +254,67 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         ).alias("simhash"),
     )
     return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (a < b) with SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 48-bit signature into `bands` contiguous
+    chunks — any pair within Hamming distance < bands shares at least one
+    identical chunk, so candidates = docs sharing a chunk value (one shuffle
+    on (band, chunk), no cross join), then exact popcount(xor) verifies.
+    Requires max_hamming < bands for exact recall (the classic Manku et al.
+    near-duplicate blocking).  All JVM bit ops; DuckDB replays it verbatim.
+    """
+    assert max_hamming < bands, "pigeonhole blocking needs max_hamming < bands"
+    assert SIMHASH_BITS % bands == 0
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, id_col, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.band", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -61,6 +61,26 @@ def test_simhash_identical_docs_equal(spark):
     assert sigs[0] != sigs[2]
 
 
+def test_simhash_pairs_planted(spark):
+    """Pigeonhole blocking finds identical + near-identical docs; unrelated
+    docs stay unpaired."""
+    from lucene_solr_intervals_spark.ops.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near
+            (3, "completely unrelated words nothing shared here at all xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=6, bands=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0
+    assert not any(3 in p for p in pairs)
+
+
 def test_ann_lsh_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
