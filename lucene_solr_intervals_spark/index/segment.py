@@ -469,14 +469,9 @@ def build_segments(
     norms = sidecar.mapInPandas(
         lambda it: (_norms_from_sidecar(p) for p in it), NORMS_SCHEMA
     )
-    tmp_norms = os.path.join(index_dir, "norms_tmp_build")
-    norms.write.mode("overwrite").parquet(tmp_norms)
     final_norms = os.path.join(index_dir, "norms")
-    if os.path.exists(final_norms):
-        import shutil as _sh
-
-        _sh.rmtree(final_norms)
-    os.replace(tmp_norms, final_norms)
+    # partitioned by seg so merges/NRT can commit one partition at a time
+    norms.write.mode("overwrite").partitionBy("seg").parquet(final_norms)
 
     # manifest: per-segment doc stats from the sidecar aggregates
     seg_stats = sidecar.select(
@@ -574,8 +569,9 @@ def load_norms(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def rebuild_norms(spark: SparkSession, index_dir: str) -> None:
-    """Regenerate the per-segment norms blobs from the docs table (after a
-    merge or streaming append)."""
+    """Regenerate ALL per-segment norms blobs from the docs table — a full
+    repair pass (normal operation writes norms per segment: build writes
+    them all once, merge/NRT write only their new segment's partition)."""
     norms = (
         spark.read.parquet(os.path.join(index_dir, "docs"))
         .select("seg", "doc_id", "norm_byte")
@@ -583,7 +579,7 @@ def rebuild_norms(spark: SparkSession, index_dir: str) -> None:
         .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
     )
     tmp = os.path.join(index_dir, "norms_tmp")
-    norms.write.mode("overwrite").parquet(tmp)
+    norms.write.mode("overwrite").partitionBy("seg").parquet(tmp)
     final = os.path.join(index_dir, "norms")
     if os.path.exists(final):
         import shutil
@@ -645,9 +641,32 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
     )
 
 
+def _stage_partition(df: DataFrame, root: str, seg: int) -> None:
+    """Write df (carrying a constant `seg` column) as partition seg=<seg>
+    under `root` via a private staging dir + atomic rename.
+
+    Concurrent merges write DISJOINT partitions; staging isolation keeps
+    them from sharing one Hadoop `_temporary` under the root (the classic
+    concurrent-append clobber), and the rename is the per-partition commit
+    point — a killed merge leaves only an ignored `<root>_stage_*` dir.
+    """
+    stage = f"{root}_stage_{seg}_{os.getpid()}"
+    df.drop("seg").write.mode("overwrite").parquet(stage)
+    dest = os.path.join(root, f"seg={seg}")
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(dest):
+        import shutil
+
+        shutil.rmtree(dest)
+    os.replace(stage, dest)
+
+
+_MANIFEST_LOCK_DEFAULT = None  # module-level fallback (single-process CLI)
+
+
 def merge_segments(
     spark: SparkSession, index_dir: str, seg_ids: list[int], new_seg: int,
-    salt: int = 1,
+    salt: int = 1, manifest_lock=None,
 ) -> dict:
     """Sort-merge compaction of `seg_ids` into `new_seg` (SegmentMerger.merge).
 
@@ -655,6 +674,12 @@ def merge_segments(
     BlockTree term dict), then per-term concat+repack.  Manifest updated
     with lineage; old segment files are superseded, not deleted (point-in-
     time readers keep working — DirectoryReader snapshot semantics).
+
+    Concurrency (ConcurrentMergeScheduler analog): merges of DISJOINT
+    segment sets may run on concurrent threads — every data write goes
+    through a staged per-partition rename, the new segment's norms are
+    written for seg=new_seg only (never a full rebuild), and the manifest
+    read-modify-write happens last under `manifest_lock`.
 
     Skew (north rule): with thousands of input segments, a stop-word-grade
     term's merge group is one giant task.  `salt > 1` runs a two-level
@@ -710,7 +735,6 @@ def merge_segments(
             .groupBy("term")
             .applyInPandas(_mg, POSTINGS_SCHEMA)
         )
-    merged.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
     removed_doclen = 0
@@ -721,47 +745,91 @@ def merge_segments(
         ).collect()[0]
         removed_doclen = int(agg["s"])
         docs = docs.where(~F.col("doc_id").isin(sorted(reclaim)))
-    docs.withColumn("seg", F.lit(new_seg)).write.mode("append").partitionBy("seg").parquet(
-        os.path.join(index_dir, "docs")
-    )
-    # sidecar row for the new segment (docs/norms remain derivable)
-    (
-        load_docs(spark, index_dir)
-        .where(F.col("seg") == new_seg)
-        .groupBy("seg")
-        .applyInPandas(_sidecar_from_docs, POSTINGS_SCHEMA)
-        .write.mode("append")
-        .partitionBy("seg")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
-    rebuild_norms(spark, index_dir)
+    docs_new = docs.withColumn("seg", F.lit(new_seg)).persist()
 
-    old = [s for s in manifest["segments"] if s["seg"] in set(seg_ids)]
-    for s in manifest["segments"]:
-        if s["seg"] in set(seg_ids):
-            s["status"] = "merged"
-    manifest["segments"].append(
-        {
-            "seg": new_seg,
-            "doc_base": min(s["doc_base"] for s in old),
-            "n_docs": sum(s["n_docs"] for s in old) - len(reclaim),
-            "sum_doclen": sum(s["sum_doclen"] for s in old) - removed_doclen,
-            "status": "done",
-            "lineage": sorted(seg_ids),
-            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
+    # sidecar row derived from the SAME frame (docs/norms stay derivable)
+    sidecar = docs_new.groupBy("seg").applyInPandas(_sidecar_from_docs, POSTINGS_SCHEMA)
+    _stage_partition(
+        merged.unionByName(sidecar), os.path.join(index_dir, "postings"), new_seg
     )
-    if reclaim:
-        manifest["tombstones"] = sorted(tombs - reclaim)
-    if "n_docs" in manifest:
-        manifest["n_docs"] = sum(
-            s["n_docs"] for s in manifest["segments"] if s["status"] == "done"
+    _stage_partition(docs_new, os.path.join(index_dir, "docs"), new_seg)
+    # norms for the NEW segment only — a merge never rescans other segments'
+    # docs (the old rebuild_norms full pass does not scale past a few tiers)
+    norms_new = (
+        docs_new.select("seg", "doc_id", "norm_byte")
+        .groupBy("seg")
+        .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
+    )
+    _stage_partition(norms_new, os.path.join(index_dir, "norms"), new_seg)
+    docs_new.unpersist()
+
+    import contextlib
+
+    with manifest_lock if manifest_lock is not None else contextlib.nullcontext():
+        # fresh read-modify-write: concurrent disjoint merges serialize here
+        manifest = read_manifest(index_dir)
+        old = [s for s in manifest["segments"] if s["seg"] in set(seg_ids)]
+        for s in manifest["segments"]:
+            if s["seg"] in set(seg_ids):
+                s["status"] = "merged"
+        manifest["segments"].append(
+            {
+                "seg": new_seg,
+                "doc_base": min(s["doc_base"] for s in old),
+                "n_docs": sum(s["n_docs"] for s in old) - len(reclaim),
+                "sum_doclen": sum(s["sum_doclen"] for s in old) - removed_doclen,
+                "status": "done",
+                "lineage": sorted(seg_ids),
+                "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
         )
-        manifest["sum_doclen"] = sum(
-            s["sum_doclen"] for s in manifest["segments"] if s["status"] == "done"
-        )
-    _write_manifest(index_dir, manifest)
+        if reclaim:
+            manifest["tombstones"] = sorted(set(manifest.get("tombstones", [])) - reclaim)
+        if "n_docs" in manifest:
+            manifest["n_docs"] = sum(
+                s["n_docs"] for s in manifest["segments"] if s["status"] == "done"
+            )
+            manifest["sum_doclen"] = sum(
+                s["sum_doclen"] for s in manifest["segments"] if s["status"] == "done"
+            )
+        _write_manifest(index_dir, manifest)
     return manifest
+
+
+def concurrent_merge(
+    spark: SparkSession,
+    index_dir: str,
+    segs_per_tier: int = 10,
+    max_workers: int = 2,
+    salt: int = 1,
+) -> dict:
+    """ConcurrentMergeScheduler analog (ConcurrentMergeScheduler.java): all
+    planned tier merges run as CONCURRENT Spark jobs on background threads
+    (plans are disjoint segment sets by construction, and the Spark
+    scheduler interleaves their stages across executors).  Data writes are
+    per-partition staged renames; the manifest read-modify-write is
+    serialized by a lock — the commit point, like IndexWriter's
+    synchronized segmentInfos update."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    manifest = read_manifest(index_dir)
+    plans = plan_merges(manifest, segs_per_tier)
+    if not plans:
+        return manifest
+    lock = threading.Lock()
+    base = 1 + max(s["seg"] for s in manifest["segments"])
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futures = [
+            ex.submit(
+                merge_segments, spark, index_dir, plan, base + i,
+                salt, lock,
+            )
+            for i, plan in enumerate(plans)
+        ]
+        for f in futures:
+            f.result()
+    return read_manifest(index_dir)
 
 
 def plan_merges(manifest: dict, segs_per_tier: int = 10) -> list[list[int]]:

@@ -78,7 +78,7 @@ def append_segment_batch(
         .groupBy("seg")
         .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
     )
-    norms.write.mode("append").parquet(os.path.join(index_dir, "norms"))
+    norms.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "norms"))
     # sidecar row so docs/norms stay derivable from postings alone
     (
         docs_df.groupBy("seg")

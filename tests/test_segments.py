@@ -259,3 +259,30 @@ def test_tombstones_and_reclaim(spark, index_dir, corpus, tmp_path):
     assert victim not in final
     res = verify_index(spark, d)
     assert res["ok"], res["problems"]
+
+
+def test_concurrent_merge_scheduler(spark, corpus, tmp_path):
+    """ConcurrentMergeScheduler analog: disjoint tier merges on concurrent
+    threads produce the same index state as sequential merges — and queries
+    over the compacted index equal queries over the original."""
+    from lucene_solr_intervals_spark.index.segment import concurrent_merge
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    d = str(tmp_path / "cms")
+    build_segments(corpus, d, n_segments=8, id_col="doc_id", analyzer="code")
+    before = SegmentSearcher(spark, d)
+    baseline = [(r["doc_id"], round(float(r["score"]), 5))
+                for r in before.search(["w1"], k=20).collect()]
+
+    m = concurrent_merge(spark, d, segs_per_tier=4, max_workers=2)
+    live = [s for s in m["segments"] if s["status"] == "done"]
+    assert len(live) == 2  # 8 segments -> two concurrent 4-way merges
+    assert all(len(s["lineage"]) == 4 for s in live)
+    assert m["n_docs"] == 400
+    res = verify_index(spark, d, corpus=corpus)
+    assert res["ok"], res["problems"]
+
+    after = SegmentSearcher(spark, d)
+    got = [(r["doc_id"], round(float(r["score"]), 5))
+           for r in after.search(["w1"], k=20).collect()]
+    assert got == baseline
