@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge", help="compact live segments (tiered)")
     m.add_argument("--index", required=True)
     m.add_argument("--segs-per-tier", type=int, default=10)
+    m.add_argument("--workers", type=int, default=1,
+                   help="concurrent tier merges (ConcurrentMergeScheduler analog)")
 
     q = sub.add_parser("query", help="BM25 top-k over the packed index")
     q.add_argument("--index", required=True)
@@ -72,14 +74,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(manifest["metrics"]))
     elif args.cmd == "merge":
-        from .index.segment import merge_segments, plan_merges, read_manifest
+        from .index.segment import (
+            concurrent_merge,
+            merge_segments,
+            plan_merges,
+            read_manifest,
+        )
 
         manifest = read_manifest(args.index)
-        new_seg = 1 + max(s["seg"] for s in manifest["segments"])
-        for plan in plan_merges(manifest, args.segs_per_tier):
-            merge_segments(spark, args.index, plan, new_seg)
-            new_seg += 1
-        print(json.dumps({"merged_tiers": len(plan_merges(manifest, args.segs_per_tier))}))
+        plans = plan_merges(manifest, args.segs_per_tier)
+        if args.workers > 1:
+            concurrent_merge(
+                spark, args.index, args.segs_per_tier, max_workers=args.workers
+            )
+        else:
+            new_seg = 1 + max(s["seg"] for s in manifest["segments"])
+            for plan in plans:
+                merge_segments(spark, args.index, plan, new_seg)
+                new_seg += 1
+        print(json.dumps({"merged_tiers": len(plans), "workers": args.workers}))
     elif args.cmd == "query":
         from .search.wand import SegmentSearcher
 

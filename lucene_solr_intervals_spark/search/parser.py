@@ -5,7 +5,8 @@ Covers the grammar subset the reference query set uses
 
   term                  bare word (analyzed)
   "a b c"               phrase;  "a b"~2  sloppy phrase
-  field prefixes        ignored (single-field engine: content)
+  field:term            fielded term / phrase / range / wildcard / fuzzy
+                        (Term.java:38 — None = the index's default field)
   AND / OR / NOT / + / -   boolean structure
   wild* / wi?d          wildcard;  pre*  prefix
   fuzzy~  fuzzy~1       fuzzy (default 2 edits)
@@ -22,18 +23,27 @@ import re
 
 from . import queries as Q
 
+_FIELD = r"(?:[A-Za-z_][A-Za-z0-9_.]*:)?"
+
 _TOKEN_RE = re.compile(
     r"""
     \s*(
       \(|\)|
-      \[[^\]]*\]|\{[^}]*\}|
-      "(?:[^"\\]|\\.)*"(?:~\d+)?|
+      """ + _FIELD + r"""\[[^\]]*\]|""" + _FIELD + r"""\{[^}]*\}|
+      """ + _FIELD + r""""(?:[^"\\]|\\.)*"(?:~\d+)?|
       AND\b|OR\b|NOT\b|
       \+|-|
       [^\s()\[\]{}]+
     )""",
     re.VERBOSE,
 )
+
+_FIELD_PREFIX_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(.+)$", re.DOTALL)
+
+
+def _split_field(t: str) -> tuple[str | None, str]:
+    m = _FIELD_PREFIX_RE.match(t)
+    return (m.group(1), m.group(2)) if m else (None, t)
 
 
 def tokenize_query(s: str) -> list[str]:
@@ -134,13 +144,20 @@ class QueryParser:
             inner = self._parse_bool()
             assert self._next() == ")", "unbalanced parens"
             return self._with_boost(inner)
+        field = None
+        if not (t.startswith('"') or t.startswith("[") or t.startswith("{")):
+            maybe_field, rest = _split_field(t)
+            if maybe_field and (
+                rest.startswith('"') or rest.startswith("[") or rest.startswith("{")
+            ):
+                field, t = maybe_field, rest
         if t.startswith('"'):
             m = re.match(r'"((?:[^"\\]|\\.)*)"(?:~(\d+))?$', t)
             phrase, slop = m.group(1), int(m.group(2) or 0)
             terms = tuple(self.analyzer(w) for w in phrase.split())
             if len(terms) == 1:
-                return Q.Term(terms[0])
-            return Q.Phrase(terms, slop=slop)
+                return Q.Term(terms[0], field=field)
+            return Q.Phrase(terms, slop=slop, field=field)
         if t.startswith("[") or t.startswith("{"):
             inc_lo = t.startswith("[")
             inc_hi = t.endswith("]")
@@ -148,7 +165,9 @@ class QueryParser:
             m = re.match(r"(\S+)\s+TO\s+(\S+)", body)
             lo = None if m.group(1) == "*" else self.analyzer(m.group(1))
             hi = None if m.group(2) == "*" else self.analyzer(m.group(2))
-            return Q.TermRange(lo, hi, include_lower=inc_lo, include_upper=inc_hi)
+            return Q.TermRange(
+                lo, hi, include_lower=inc_lo, include_upper=inc_hi, field=field
+            )
         return self._with_boost(self._parse_term(t))
 
     def _parse_term(self, t: str) -> Q.Query:
@@ -156,17 +175,18 @@ class QueryParser:
         m = re.match(r"(.*)\^(\d+(?:\.\d+)?)$", t)
         if m:
             t, boost = m.group(1), float(m.group(2))
-        if ":" in t:  # single-field engine: strip field prefix
-            t = t.split(":", 1)[1]
+        field, t = _split_field(t)
         fm = re.match(r"(.*?)~(\d*)$", t)
         if fm and fm.group(1):
             max_e = int(fm.group(2)) if fm.group(2) else 2
-            return Q.Fuzzy(self.analyzer(fm.group(1)), max_edits=max_e, boost=boost)
+            return Q.Fuzzy(
+                self.analyzer(fm.group(1)), max_edits=max_e, boost=boost, field=field
+            )
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
-            return Q.Prefix(self.analyzer(t[:-1]), boost=boost)
+            return Q.Prefix(self.analyzer(t[:-1]), boost=boost, field=field)
         if "*" in t or "?" in t:
-            return Q.Wildcard(self.analyzer(t), boost=boost)
-        return Q.Term(self.analyzer(t), boost=boost)
+            return Q.Wildcard(self.analyzer(t), boost=boost, field=field)
+        return Q.Term(self.analyzer(t), boost=boost, field=field)
 
     @staticmethod
     def _with_boost(q: Q.Query | None) -> Q.Query | None:

@@ -15,8 +15,9 @@ def test_parse_boost():
     assert parse("hello^2.5") == Q.Term("hello", boost=2.5)
 
 
-def test_parse_field_stripped():
-    assert parse("content:foo") == Q.Term("foo")
+def test_parse_field_binding():
+    # since the multi-field engine, field prefixes BIND instead of stripping
+    assert parse("content:foo") == Q.Term("foo", field="content")
 
 
 def test_parse_phrase_and_slop():
@@ -99,3 +100,26 @@ def test_common_terms_split():
     q2 = Q.Boolean(must=(Q.Term("the"), Q.Term("a")))
     out2 = common_terms_split(q2, {"the": 900, "a": 950}, max_doc=1000)
     assert not out2.must and len(out2.should) == 2
+
+
+def test_parser_fielded_syntax():
+    from lucene_solr_intervals_spark.search.parser import parse
+    from lucene_solr_intervals_spark.search import queries as Q
+
+    assert parse("title:hello") == Q.Term("hello", field="title")
+    assert parse("title:hello^2") == Q.Term("hello", boost=2.0, field="title")
+    assert parse('title:"big apple"~3') == Q.Phrase(
+        ("big", "apple"), slop=3, field="title"
+    )
+    assert parse("path:[a TO c]") == Q.TermRange(
+        "a", "c", include_lower=True, include_upper=True, field="path"
+    )
+    assert parse("name:foo*") == Q.Prefix("foo", field="name")
+    assert parse("name:fo?o") == Q.Wildcard("fo?o", field="name")
+    assert parse("name:fozy~1") == Q.Fuzzy("fozy", max_edits=1, field="name")
+    q = parse("title:fox AND body:dog")
+    assert q == Q.Boolean(
+        must=(Q.Term("fox", field="title"), Q.Term("dog", field="body"))
+    )
+    # bare terms keep the default (None) field
+    assert parse("hello") == Q.Term("hello")
