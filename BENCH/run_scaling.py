@@ -77,6 +77,48 @@ HARDWARE_NOTE = (
 )
 
 
+def measure_cpu_ceiling(low: int, high: int, n_tasks: int = 32) -> dict:
+    """Measured hardware ceiling: effective parallel speedup of pure-CPU
+    numpy tasks at `low` vs `high` worker processes.  The hypervisor caps
+    this sandbox well below nproc, so raw N-vs-4N efficiency must be read
+    against what the BOX can deliver, not the nominal core ratio."""
+    import multiprocessing as mp
+    import time
+
+    def speedup(workers: int) -> float:
+        t0 = time.time()
+        with mp.get_context("spawn").Pool(workers) as pool:
+            pool.map(_cpu_task, range(n_tasks))
+        wall = time.time() - t0
+        return n_tasks * _TASK_SEC / wall
+
+    base = speedup(1)
+    lo = speedup(low)
+    hi = speedup(high)
+    return {
+        "eff_cores_1": round(base, 2),
+        f"eff_cores_{low}": round(lo, 2),
+        f"eff_cores_{high}": round(hi, 2),
+        "ceiling": round((hi / lo), 3),
+    }
+
+
+_TASK_SEC = 0.4
+
+
+def _cpu_task(_i: int) -> int:
+    import time
+
+    import numpy as np
+
+    t0 = time.time()
+    x = np.random.RandomState(_i).rand(600, 600)
+    while time.time() - t0 < _TASK_SEC:
+        x = x @ x
+        x /= np.abs(x).max() + 1.0
+    return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=2)
@@ -87,6 +129,10 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     args = ap.parse_args()
+
+    print("[scaling] measuring pure-CPU hardware ceiling ...", flush=True)
+    ceiling = measure_cpu_ceiling(args.low, args.high)
+    print(f"[scaling] ceiling: {json.dumps(ceiling)}", flush=True)
 
     runs: dict[int, list[dict]] = {args.low: [], args.high: []}
     for i in range(args.repeats):
@@ -104,16 +150,28 @@ def main() -> None:
         f"{args.repeats} interleaved repeats each, best-of per phase; "
         f"spark.sql.shuffle.partitions scaled with cores (2x cores).",
         "",
-        "| phase | throughput@N (best) | throughput@4N (best) | scaling efficiency |",
-        "|---|---|---|---|",
+        f"Measured pure-CPU hardware ceiling at these levels: "
+        f"{json.dumps(ceiling)} — {args.low}->{args.high} workers of "
+        f"numpy-bound work speed up {ceiling['ceiling']:.2f}x, not "
+        f"{factor:.0f}x (hypervisor cap).  'normalized' = speedup / that "
+        f"measured ceiling: the fraction of the ACHIEVABLE speedup the "
+        f"engine captured.",
+        "",
+        "| phase | throughput@N (best) | throughput@4N (best) | efficiency | normalized |",
+        "|---|---|---|---|---|",
     ]
     effs = {}
+    norms = {}
     for name, fn in PHASES.items():
         tlo = max(fn(r) for r in runs[args.low])
         thi = max(fn(r) for r in runs[args.high])
         eff = (thi / tlo) / factor
+        norm = (thi / tlo) / ceiling["ceiling"]
         effs[name] = eff
-        lines.append(f"| {name} | {tlo:.1f} | {thi:.1f} | {eff:.2f} |")
+        norms[name] = norm
+        lines.append(
+            f"| {name} | {tlo:.1f} | {thi:.1f} | {eff:.2f} | {norm:.2f} |"
+        )
     lines += [
         "",
         LATENCY_NOTE,
@@ -139,7 +197,15 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({"efficiency": {k: round(v, 3) for k, v in effs.items()}}))
+    print(
+        json.dumps(
+            {
+                "efficiency": {k: round(v, 3) for k, v in effs.items()},
+                "normalized": {k: round(v, 3) for k, v in norms.items()},
+                "hardware_ceiling": ceiling,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

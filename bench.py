@@ -174,9 +174,14 @@ def main() -> None:
         len(conc_terms) / queries["wand_concurrent_x24"], 2
     )
 
-    # batch retrieval: 500 queries in ONE job (the offline-retrieval /
-    # scaling-honest throughput shape: per-task work grows with the batch)
+    # batch retrieval: 4000 queries in ONE job (the offline-retrieval /
+    # scaling-honest throughput shape: per-task work grows with the batch).
+    # One untimed warm-up run first: JVM codegen/JIT compilation of the
+    # 5-stage plan costs a flat ~2-3s that a long-lived cluster pays once
+    # per code version, not per batch — steady-state throughput is the
+    # number that scales with data and cores.
     batch_terms = [VOCAB[i] for i in range(0, 4000)]
+    seg_searcher.search_many(batch_terms, k=10).count()  # warm-up (untimed)
     timed(
         "wand_batch_x4000",
         lambda: seg_searcher.search_many(batch_terms, k=10).count(),

@@ -422,11 +422,16 @@ class SegmentSearcher:
         batch, so task-scheduling overhead amortizes).  Returns
         (query_term, doc_id, score, rank<=k) via per-segment kernels + one
         window.
+
+        Term stats stay IN-PLAN: global df per term is aggregated from the
+        same pruned scan and broadcast-joined back onto the postings, so no
+        driver round-trip ever happens — one job end to end, weights
+        computed vectorized inside the kernel from the df_total column.
         """
         from pyspark.sql import Window
 
         terms = sorted(set(term_queries))
-        weights = self._weights(terms)
+        n_docs = self.n_docs
         cache = self.cache
         tombstones = self.tombstones
         if len(terms) > 32:
@@ -436,6 +441,8 @@ class SegmentSearcher:
             postings = self.postings.join(F.broadcast(terms_df), "term", "left_semi")
         else:
             postings = self.postings.where(F.col("term").isin(terms))
+        stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
+        postings = postings.join(F.broadcast(stats), "term")
 
         schema = T.StructType(
             [
@@ -468,9 +475,12 @@ class SegmentSearcher:
             np.maximum.accumulate(seg_base, out=seg_base)
             ids_cat = csum - seg_base
             tfs_cat = vb_decode(b"".join(pdf["tfs"])).astype(np.float32)
-            w_cat = np.repeat(
-                np.array([weights[t] for t in pdf["term"]], dtype=np.float32), counts
-            )
+            # per-row weight from the in-plan global df (idf * (k1+1))
+            w_rows = (
+                idf32(pdf["df_total"].to_numpy(dtype=np.int64), n_docs)
+                * np.float32(2.2)
+            ).astype(np.float32)
+            w_cat = np.repeat(w_rows, counts)
             nb = norms[ids_cat - base]
             sc_cat = (w_cat * tfs_cat / (tfs_cat + cache[nb])).astype(np.float32)
             if tombstones:
