@@ -35,8 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names/types).
-    Entries absent here (minhash/simhash/ann — they use Spark-side hash
-    functions DuckDB lacks) get the driver's weaker rows-only check."""
+    EVERY queries() entry has one — including MinHash/SimHash/ANN, whose
+    md5-derived 48-bit hash family (ops.dedup.hash48) was chosen so DuckDB
+    reproduces the identical bits; ANN hyperplanes are deterministic
+    literals embedded in the SQL."""
     from lucene_solr_intervals_spark import driver_queries as DQ
 
     return dict(DQ.ORACLES)
