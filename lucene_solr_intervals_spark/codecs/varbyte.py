@@ -163,6 +163,61 @@ def unpack_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.n
     return flat, offsets
 
 
+def vb_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (vectorized) — the skip-data input."""
+    a = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    return nbytes
+
+
+def block_byte_starts(nbytes: np.ndarray, block: int = BLOCK_SIZE) -> np.ndarray:
+    """Byte offset of each BLOCK_SIZE-value block start within the encoded
+    buffer — the Lucene41SkipWriter skip-pointer analog: lets a reader seek
+    straight to a block without decoding everything before it."""
+    nb = np.asarray(nbytes, dtype=np.int64)
+    if nb.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(nb)
+    starts_idx = np.arange(0, nb.size, block)
+    out = np.zeros(starts_idx.size, dtype=np.int64)
+    out[1:] = ends[starts_idx[1:] - 1]
+    return out
+
+
+def decode_selected_blocks(
+    buf: bytes, block_starts: np.ndarray, n_values: int, sel: np.ndarray,
+    block: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the blocks where sel[i] is True.
+
+    Returns (values, block_value_counts) where values is the concatenation
+    of the selected blocks' decoded varbyte values (still deltas/raw — the
+    caller reconstructs absolutes using the block-last skip metadata) and
+    block_value_counts gives each selected block's value count.  Skipped
+    blocks' bytes are never touched — the WAND skip path.
+    """
+    bs = np.asarray(block_starts, dtype=np.int64)
+    sel = np.asarray(sel, dtype=bool)
+    n_blocks = bs.size
+    counts = np.full(n_blocks, block, dtype=np.int64)
+    if n_blocks:
+        counts[-1] = n_values - block * (n_blocks - 1)
+    idx = np.nonzero(sel)[0]
+    if idx.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if idx.size == n_blocks:
+        return vb_decode(buf), counts
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.append(bs[1:], b.size)
+    parts = [b[bs[i] : ends[i]] for i in idx]
+    vals = vb_decode(np.concatenate(parts).tobytes())
+    return vals, counts[idx]
+
+
 def block_meta(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """Per-BLOCK_SIZE-docs (last_doc_id, max_tf): the skip-list + block-max
     WAND structure.  Returned as two int32 binary columns."""

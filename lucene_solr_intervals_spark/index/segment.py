@@ -69,6 +69,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_last", T.BinaryType()),
         T.StructField("block_max_tf", T.BinaryType()),
         T.StructField("block_max_nb", T.BinaryType()),
+        # skip data (Lucene41SkipWriter analog): byte offset of each
+        # 128-value block inside doc_ids / tfs, so WAND decodes ONLY the
+        # blocks whose upper bound can still matter
+        T.StructField("block_id_offs", T.BinaryType()),
+        T.StructField("block_tf_offs", T.BinaryType()),
     ]
 )
 
@@ -166,6 +171,20 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         np.searchsorted(blk_term, np.arange(n_terms)), blk_term.size
     )
 
+    # skip data: byte offset of each block start within its term's encoded
+    # doc_ids / tfs buffers (one vectorized pass over per-value byte counts)
+    from ..codecs.varbyte import vb_nbytes
+
+    id_nb = vb_nbytes(doc_deltas.astype(np.uint64))
+    tf_nb = vb_nbytes(tfs_all.astype(np.uint64))
+    id_bs = np.zeros(run_term.size, dtype=np.int64)
+    id_bs[1:] = np.cumsum(id_nb)[:-1]
+    tf_bs = np.zeros(run_term.size, dtype=np.int64)
+    tf_bs[1:] = np.cumsum(tf_nb)[:-1]
+    term_first_run = term_run_starts[blk_term]
+    blk_id_off = id_bs[bstarts] - id_bs[term_first_run]
+    blk_tf_off = tf_bs[bstarts] - tf_bs[term_first_run]
+
     df_all = (term_run_offsets[1:] - term_run_offsets[:-1]).astype(np.int64)
     ttf_all = np.add.reduceat(tfs_all, term_run_offsets[:-1]).astype(np.int64)
 
@@ -184,6 +203,8 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                 "block_last": blk_last[ba:bb].astype(np.int64).tobytes(),
                 "block_max_tf": blk_max_tf[ba:bb].tobytes(),
                 "block_max_nb": blk_max_nb[ba:bb].tobytes(),
+                "block_id_offs": blk_id_off[ba:bb].tobytes(),
+                "block_tf_offs": blk_tf_off[ba:bb].tobytes(),
             }
         )
     return pd.DataFrame(
@@ -263,6 +284,8 @@ def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
         "block_last": shas,
         "block_max_tf": b"",
         "block_max_nb": b"",
+        "block_id_offs": b"",
+        "block_tf_offs": b"",
     }
 
 
@@ -322,6 +345,8 @@ def _sidecar_from_docs(pdf: pd.DataFrame) -> pd.DataFrame:
                 "block_last": shas,
                 "block_max_tf": b"",
                 "block_max_nb": b"",
+                "block_id_offs": b"",
+                "block_tf_offs": b"",
             }
         ],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],
@@ -622,6 +647,10 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
     n_blocks = (all_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     old_max = max(int(np.frombuffer(b, dtype=np.int32).max()) for b in pdf["block_max_nb"])
     max_nb = np.full(n_blocks, old_max, dtype=np.int32)
+    from ..codecs.varbyte import block_byte_starts, delta_encode, vb_nbytes
+
+    id_offs = block_byte_starts(vb_nbytes(delta_encode(all_ids).astype(np.uint64)))
+    tf_offs = block_byte_starts(vb_nbytes(all_tfs.astype(np.uint64)))
     return pd.DataFrame(
         [
             {
@@ -635,6 +664,8 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
                 "block_last": last_b,
                 "block_max_tf": max_b,
                 "block_max_nb": max_nb.tobytes(),
+                "block_id_offs": id_offs.tobytes(),
+                "block_tf_offs": tf_offs.tobytes(),
             }
         ],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],

@@ -79,6 +79,122 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[sel], scores[sel]
 
 
+def _wand_skip_kernel(
+    rows: list,
+    weights: dict[str, np.float32],
+    cache: np.ndarray,
+    k: int,
+    norms: np.ndarray,
+    base: int,
+    tomb_arr,
+) -> pd.DataFrame:
+    """Block-max WAND with SKIP-DATA block decode (Lucene41SkipWriter role):
+
+    1. per term x block upper bound from (block_max_tf, block_max_nb);
+    2. θ = exact k-th score of the highest-impact term (fully decoded);
+    3. a block B of term t is DECODED only if ub_B + Σ_{t'≠t} max_ub_{t'}
+       >= θ — otherwise no doc inside B can reach the top-k even with every
+       other term at its global maximum, so its bytes are never touched
+       (rank-safe: any true top-k doc's own blocks always pass the test,
+       and docs living only in skipped blocks provably score < θ);
+    4. per-doc sum of block bounds prunes the decoded candidates, exact
+       scoring on survivors.
+    """
+    from ..codecs.varbyte import decode_selected_blocks
+
+    nrm = _Rel(norms, base)
+    # per-term block upper bounds (weight * tf_max / (tf_max + norm_min))
+    ubs = []
+    for term, r in rows:
+        mt = np.frombuffer(r["block_max_tf"], dtype=np.int32).astype(np.float32)
+        nbm = np.frombuffer(r["block_max_nb"], dtype=np.int32)
+        ubs.append((weights[term] * mt / (mt + cache[nbm])).astype(np.float32))
+    max_ub = np.array([float(u.max()) if u.size else 0.0 for u in ubs])
+    seed_i = int(np.argmax(max_ub))
+
+    # θ from the seed term, exactly scored (every OR score >= its single-term
+    # score, so the seed's k-th best is a valid lower bound)
+    seed_term, seed_r = rows[seed_i]
+    seed_ids = unpack_doc_ids(seed_r["doc_ids"])
+    seed_tfs = unpack_tfs(seed_r["tfs"])
+    if tomb_arr is not None:
+        keep = ~np.isin(seed_ids, tomb_arr)
+        seed_ids, seed_tfs = seed_ids[keep], seed_tfs[keep]
+    theta = np.float32(0.0)
+    if seed_ids.size:
+        tf32 = seed_tfs.astype(np.float32)
+        sc = (weights[seed_term] * tf32 / (tf32 + cache[nrm[seed_ids]])).astype(
+            np.float32
+        )
+        if sc.size >= k:
+            theta = np.partition(-sc, k - 1)[k - 1] * np.float32(-1.0)
+
+    total_rest = max_ub.sum()
+    ids_all, ub_el_all, rows_dec = [], [], []
+    for i, (term, r) in enumerate(rows):
+        ub = ubs[i]
+        if i == seed_i:
+            ids_i, tfs_i = seed_ids, seed_tfs
+            # element->block alignment after tombstone filtering is lost for
+            # the seed; its per-element bound is its exact-enough max_ub
+            ub_el = np.full(ids_i.size, max_ub[i], dtype=np.float32)
+        else:
+            rest = np.float32(total_rest - max_ub[i])
+            sel = (ub + rest) >= theta
+            id_offs = np.frombuffer(r["block_id_offs"], dtype=np.int64)
+            tf_offs = np.frombuffer(r["block_tf_offs"], dtype=np.int64)
+            n_vals = int(r["df"])
+            gaps, counts = decode_selected_blocks(r["doc_ids"], id_offs, n_vals, sel)
+            if gaps.size == 0:
+                rows_dec.append((term, np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            tf_sel, _ = decode_selected_blocks(r["tfs"], tf_offs, n_vals, sel)
+            # absolute ids: per selected block, base = previous block's last
+            block_last = np.frombuffer(r["block_last"], dtype=np.int64)
+            prev_last = np.concatenate([[np.int64(0)], block_last[:-1]])
+            sel_idx = np.nonzero(sel)[0]
+            csum = np.cumsum(gaps.astype(np.int64))
+            starts = np.cumsum(counts) - counts
+            cs_before = np.where(starts > 0, csum[np.maximum(starts - 1, 0)], 0)
+            blk_base = prev_last[sel_idx] - cs_before
+            off = np.repeat(blk_base, counts)
+            ids_i = csum + off
+            tfs_i = tf_sel.astype(np.int64)
+            ub_el_i = np.repeat(ub[sel_idx], counts)
+            if tomb_arr is not None:
+                keep = ~np.isin(ids_i, tomb_arr)
+                ids_i, tfs_i, ub_el_i = ids_i[keep], tfs_i[keep], ub_el_i[keep]
+            ub_el = ub_el_i
+        rows_dec.append((term, ids_i, tfs_i))
+        ids_all.append(ids_i)
+        ub_el_all.append(ub_el)
+
+    if not ids_all:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float32"}
+        )
+    ids_cat = np.concatenate(ids_all)
+    ub_cat = np.concatenate(ub_el_all)
+    uniq, inv = np.unique(ids_cat, return_inverse=True)
+    ub_sum = np.zeros(uniq.size, dtype=np.float32)
+    np.add.at(ub_sum, inv, ub_cat)
+    alive = uniq[ub_sum >= theta] if theta > 0 else uniq
+
+    srows = []
+    for term, ids_i, tfs_i in rows_dec:
+        if ids_i.size == 0:
+            continue
+        mask = np.isin(ids_i, alive, assume_unique=True)
+        srows.append((term, ids_i[mask], tfs_i[mask]))
+    if not srows:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float32"}
+        )
+    uniq_f, summed = _exact_scores(srows, nrm, weights, cache)
+    ids_k, sc_k = _topk(uniq_f, summed, k)
+    return pd.DataFrame({"doc_id": ids_k.astype(np.int64), "score": sc_k})
+
+
 def segment_topk_kernel(
     term_rows: pd.DataFrame,
     weights: dict[str, np.float32],
@@ -100,6 +216,15 @@ def segment_topk_kernel(
     tomb_arr = (
         np.fromiter(tombstones, dtype=np.int64) if tombstones else None
     )
+
+    has_skip = (
+        "block_id_offs" in term_rows.columns
+        and not term_rows["block_id_offs"].isna().any()
+    )
+    if mode == "wand" and not conjunctive and has_skip:
+        rows = [(r["term"], r) for _, r in term_rows.iterrows()]
+        return _wand_skip_kernel(rows, weights, cache, k, norms, base, tomb_arr)
+
     decoded = []
     orig_pos: dict[int, np.ndarray] = {}
     for i, (_, r) in enumerate(term_rows.iterrows()):

@@ -78,3 +78,37 @@ def test_empty():
     assert vb_encode(np.empty(0, dtype=np.uint64)) == b""
     assert vb_decode(b"").size == 0
     assert pack_positions([]) == b""
+
+
+def test_block_byte_starts_and_selected_decode():
+    """Skip-data round-trip: decoding any subset of blocks via byte offsets
+    equals slicing the full decode."""
+    import numpy as np
+
+    from lucene_solr_intervals_spark.codecs.varbyte import (
+        BLOCK_SIZE,
+        block_byte_starts,
+        decode_selected_blocks,
+        vb_decode,
+        vb_encode,
+        vb_nbytes,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in (1, 127, 128, 129, 1000, 5000):
+        vals = rng.randint(0, 1 << 40, size=n).astype(np.uint64)
+        buf = vb_encode(vals)
+        nb = vb_nbytes(vals)
+        assert int(nb.sum()) == len(buf)
+        starts = block_byte_starts(nb)
+        n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        assert starts.size == n_blocks
+        full = vb_decode(buf)
+        for trial in range(5):
+            sel = rng.rand(n_blocks) < 0.5
+            got, counts = decode_selected_blocks(buf, starts, n, sel)
+            expect = np.concatenate(
+                [full[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE] for i in np.nonzero(sel)[0]]
+            ) if sel.any() else np.empty(0, dtype=np.uint64)
+            assert np.array_equal(got, expect), (n, trial)
+            assert int(counts.sum()) == expect.size

@@ -286,3 +286,38 @@ def test_concurrent_merge_scheduler(spark, corpus, tmp_path):
     got = [(r["doc_id"], round(float(r["score"]), 5))
            for r in after.search(["w1"], k=20).collect()]
     assert got == baseline
+
+
+def test_wand_skip_multiblock_rank_safety(spark, tmp_path):
+    """Block-skip WAND == exhaustive on an index with MANY 128-doc blocks
+    per term (the skip path actually fires), incl. under tombstones."""
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+    from lucene_solr_intervals_spark.streaming.nrt import delete_by_doc_ids
+
+    d = str(tmp_path / "skipidx")
+    corpus = generate_corpus(spark, 1500)
+    build_segments(corpus, d, n_segments=1, id_col="doc_id", analyzer="code",
+                   text_col="content")
+    ss = SegmentSearcher(spark, d)
+    # common terms -> >10 blocks each; mixed with a rare probe
+    batteries = [
+        ["w0"],
+        ["w0", "w1"],
+        ["interval_probe_alpha", "w0"],
+        ["w2", "w3", "w5"],
+    ]
+    for terms in batteries:
+        wand = [(r["doc_id"], round(float(r["score"]), 5))
+                for r in ss.search(terms, k=10, mode="wand").collect()]
+        exact = [(r["doc_id"], round(float(r["score"]), 5))
+                 for r in ss.search(terms, k=10, mode="exhaustive").collect()]
+        assert wand == exact, terms
+    # tombstones still masked on the skip path
+    victims = [r["doc_id"] for r in ss.search(["w0"], k=3, mode="exhaustive").collect()]
+    delete_by_doc_ids(d, victims)
+    ss2 = SegmentSearcher(spark, d)
+    wand = [r["doc_id"] for r in ss2.search(["w0"], k=10, mode="wand").collect()]
+    exact = [r["doc_id"] for r in ss2.search(["w0"], k=10, mode="exhaustive").collect()]
+    assert wand == exact
+    assert not set(victims) & set(wand)
