@@ -115,6 +115,56 @@ def append_segment_batch(
     return manifest
 
 
+def sessionize_stateful(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom STATEFUL streaming operator: gap-based sessionization via
+    applyInPandasWithState (the arbitrary-stateful-processing API — the
+    Spark-idiomatic home for operators the built-in windowed aggs can't
+    express).  Per user, state carries (n_sessions, last_ts); each
+    micro-batch folds its events in timestamp order and emits the updated
+    running total (Update output mode, no timeout — session closure is
+    decided by the next event's gap, so the count is exact whenever events
+    arrive time-ordered per key across batches).
+
+    Input: streaming DataFrame with (user_id long, ts timestamp, event_id
+    long).  Output stream: (user_id, n_sessions, last_ts) — latest row per
+    user is the current total.  Batch twin (identical semantics, one lag
+    window): driver_queries.events_sessionize.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, last_ts double"
+    state_schema = "n_sessions long, last_ts double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n_sessions, last_ts = state.get
+        else:
+            n_sessions, last_ts = 0, None
+        parts = [p[["ts", "event_id"]] for p in pdfs]
+        if parts:
+            batch = pd.concat(parts, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            for t in batch["ts"]:
+                epoch = t.timestamp()
+                if last_ts is None or epoch - last_ts > gap_sec:
+                    n_sessions += 1
+                last_ts = epoch
+        state.update((n_sessions, last_ts if last_ts is not None else -1.0))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_sessions": n_sessions, "last_ts": last_ts}]
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def delete_by_doc_ids(index_dir: str, doc_ids: list[int]) -> dict:
     """Delete-by-term analog: tombstones in the manifest (liveDocs bitset);
     applied as an anti-join by readers, reclaimed at merge."""

@@ -80,3 +80,73 @@ def test_tombstones(spark, tmp_path):
     append_segment_batch(df, index_dir)
     m = delete_by_doc_ids(index_dir, [0])
     assert m["tombstones"] == [0]
+
+
+def test_stateful_sessionization_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: two time-split micro-batches
+    (state must carry last_ts across the batch boundary) produce the same
+    per-user session counts as the batch lag-window twin."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucene_solr_intervals_spark.streaming.nrt import sessionize_stateful
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    # batch oracle: 30-min-gap sessionization via lag window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    g = events.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    expect = {
+        r["user_id"]: r["n"]
+        for r in g.groupBy("user_id").agg(F.sum("new_session").alias("n")).collect()
+    }
+
+    # two time-split files -> two micro-batches (maxFilesPerTrigger=1), so
+    # sessions spanning the boundary exercise the carried state
+    med = events.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as long), 0.5) AS m"
+    ).head()["m"]
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    ep = F.col("ts").cast("timestamp").cast("long")
+    events.where(ep <= med).coalesce(1).write.parquet(f"{src}/p=0")
+    events.where(ep > med).coalesce(1).write.parquet(f"{src}/p=1")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/p=*")
+    )
+    out_dir = str(tmp_path / "stream_out")
+    chk = str(tmp_path / "chk")
+    q = (
+        sessionize_stateful(stream, gap_sec=1800)
+        .writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    # latest emission per user = final running total
+    wl = Window.partitionBy("user_id").orderBy(F.desc("last_ts"))
+    final = (
+        res.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_sessions")
+        .collect()
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in final}
+    assert got == expect
