@@ -28,8 +28,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lucene_solr_intervals_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("build", help="build packed segments from a corpus parquet")
-    b.add_argument("--input", required=True)
+    b = sub.add_parser("build", help="build packed segments from a corpus table")
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="path read as --format (default parquet)")
+    src.add_argument(
+        "--table",
+        help="catalog table name, e.g. an Iceberg table like "
+        "catalog.db.source_files with (repo, path, commit, lang, content)",
+    )
+    b.add_argument("--format", default="parquet")
     b.add_argument("--index", required=True)
     b.add_argument("--segments", type=int, default=64)
     b.add_argument("--text-col", default="content")
@@ -63,7 +70,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .index.segment import build_segments
 
-        corpus = spark.read.parquet(args.input)
+        # Iceberg/catalog tables load via read.table (predicate pushdown,
+        # snapshot isolation and partition pruning come from the connector);
+        # --input paths via the named source format
+        if args.table:
+            corpus = spark.read.table(args.table)
+        else:
+            corpus = spark.read.format(args.format).load(args.input)
         manifest = build_segments(
             corpus,
             args.index,
