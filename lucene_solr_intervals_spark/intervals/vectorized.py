@@ -77,6 +77,41 @@ def ordered_near_2(
     return np.unique(bkeys[sel] // stride)
 
 
+def ordered_near_k(
+    term_keys: list[np.ndarray], slop: int, stride: int
+) -> np.ndarray:
+    """Docs with >=1 ordered chain t1 < t2 < ... < tk whose match distance
+    (tk - (k-1) - t1) <= slop — the k-term generalization, k-1 chained
+    searchsorted passes.
+
+    Invariant: after stage i, `cur` holds term-i positions that END a valid
+    chain, and `begins[j]` is the LATEST possible chain start ending at
+    cur[j].  begins is nondecreasing along cur within a doc (inductively:
+    stage 1 trivially; stage i+1 takes begins[latest valid predecessor],
+    and a later q has a later-or-equal latest predecessor), so the latest
+    predecessor always carries the maximal begin — exactly the minimal-
+    interval antichain of OrderedConjunctionIntervalIterator over term
+    operands.  Existence under WithinOrderedFilter(slop) follows from the
+    per-end minimal distance (tk - (k-1)) - begin."""
+    if any(k.size == 0 for k in term_keys):
+        return _EMPTY
+    cur = term_keys[0]
+    begins = cur
+    for nxt in term_keys[1:]:
+        idx = np.searchsorted(cur, nxt, side="left")
+        has_prev = idx > 0
+        prev_i = np.maximum(idx - 1, 0)
+        same_doc = (cur[prev_i] // stride) == (nxt // stride)
+        ok = has_prev & same_doc
+        if not ok.any():
+            return _EMPTY
+        begins = begins[prev_i[ok]]
+        cur = nxt[ok]
+    k = len(term_keys)
+    dist = (cur - (k - 1)) - begins
+    return np.unique(cur[dist <= slop] // stride)
+
+
 def unordered_near_2(
     akeys: np.ndarray, bkeys: np.ndarray, slop: int, stride: int
 ) -> np.ndarray:
@@ -152,10 +187,9 @@ def fast_shape(q) -> tuple | None:
         if q.slop > 0 and len(q.terms) == 2 and q.terms[0] != q.terms[1]:
             return ("sloppy2", q.terms[0], q.terms[1], q.slop)
         return None
-    if isinstance(q, Q.OrderedNear) and len(q.subs) == 2:
-        a, b = q.subs
-        if isinstance(a, Q.Term) and isinstance(b, Q.Term):
-            return ("ordered2", a.term, b.term, q.slop)
+    if isinstance(q, Q.OrderedNear) and len(q.subs) >= 2:
+        if all(isinstance(s, Q.Term) for s in q.subs):
+            return ("orderedk", tuple(s.term for s in q.subs), q.slop)
     if isinstance(q, Q.UnorderedNear) and len(q.subs) == 2:
         a, b = q.subs
         if isinstance(a, Q.Term) and isinstance(b, Q.Term) and a.term != b.term:
@@ -179,14 +213,17 @@ def run_shape(
         starts = exact_phrase(slots)
         docs, cnt = np.unique(starts // stride, return_counts=True)
         return docs, cnt.astype(np.int64), cnt.astype(np.float64)
+    if kind == "orderedk":
+        terms, slop = shape[1], shape[2]
+        docs = ordered_near_k([term_keys.get(t, _EMPTY) for t in terms], slop, stride)
+        ones = np.ones(docs.size, dtype=np.int64)
+        return docs, ones, ones.astype(np.float64)
     a = term_keys.get(shape[1], _EMPTY)
     b = term_keys.get(shape[2], _EMPTY)
     slop = shape[3]
     if kind == "sloppy2":
         return sloppy_pairs_2(a, b, slop, stride)
-    if kind == "ordered2":
-        docs = ordered_near_2(a, b, slop, stride)
-    elif kind == "unordered2":
+    if kind == "unordered2":
         docs = unordered_near_2(a, b, slop, stride)
     else:  # pragma: no cover
         raise ValueError(kind)

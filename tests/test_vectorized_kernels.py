@@ -55,6 +55,11 @@ def test_ordered_near_2_matches_iterator(slop):
         _keys(docs, "a", stride), _keys(docs, "b", stride), slop, stride
     ).tolist()
     assert got == expect
+    # the k-term kernel must agree on k == 2
+    got_k = VK.ordered_near_k(
+        [_keys(docs, "a", stride), _keys(docs, "b", stride)], slop, stride
+    ).tolist()
+    assert got_k == expect
 
 
 @pytest.mark.parametrize("slop", [0, 1, 3, 7])
@@ -118,13 +123,51 @@ def test_exact_phrase_matches_iterator(terms):
     assert g_cnt.tolist() == exp_cnt
 
 
+def _random_docs_k(n_docs: int, terms: list[str], max_len: int = 50):
+    docs = []
+    for _ in range(n_docs):
+        doclen = rng.randint(3, max_len)
+        owner = rng.randint(0, len(terms) + 2, size=doclen)  # +2 = filler
+        pos = {t: [] for t in terms}
+        for p in range(doclen):
+            if owner[p] < len(terms):
+                pos[terms[owner[p]]].append(p)
+        docs.append(pos)
+    return docs
+
+
+@pytest.mark.parametrize("k,slop", [(3, 0), (3, 2), (3, 6), (4, 3), (4, 10), (5, 8)])
+def test_ordered_near_k_matches_iterator(k, slop):
+    terms = [chr(ord("a") + i) for i in range(k)]
+    docs = _random_docs_k(250, terms)
+    stride = max(
+        (max((max(p, default=0) for p in d.values()), default=0) for d in docs),
+        default=0,
+    ) + k + 2
+    q = Q.OrderedNear(slop, tuple(Q.Term(t) for t in terms))
+    expect = sorted(
+        di for di, pos in enumerate(docs) if IK.build_iter(q, pos) is not None
+    )
+    keys = []
+    for t in terms:
+        arr = []
+        for di, pos in enumerate(docs):
+            arr.extend(di * stride + p for p in pos.get(t, []))
+        keys.append(np.array(arr, dtype=np.int64))
+    got = VK.ordered_near_k(keys, slop, stride).tolist()
+    assert got == expect
+
+
 def test_fast_shape_dispatch():
     assert VK.fast_shape(Q.Phrase(("x", "y"))) == ("phrase", ("x", "y"))
     assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2)) == ("sloppy2", "x", "y", 2)
     assert VK.fast_shape(Q.Phrase(("x", "x"), slop=2)) is None  # repeated term
     assert VK.fast_shape(Q.OrderedNear(3, (Q.Term("x"), Q.Term("y")))) == (
-        "ordered2", "x", "y", 3,
+        "orderedk", ("x", "y"), 3,
     )
+    assert VK.fast_shape(
+        Q.OrderedNear(3, (Q.Term("x"), Q.Term("y"), Q.Term("z")))
+    ) == ("orderedk", ("x", "y", "z"), 3)
     assert VK.fast_shape(Q.UnorderedNear(2, (Q.Term("x"), Q.Term("y")))) == (
         "unordered2", "x", "y", 2,
     )
@@ -133,3 +176,19 @@ def test_fast_shape_dispatch():
     assert (
         VK.fast_shape(Q.UnorderedNear(1, (Q.Term("x"), Q.Term("y"), Q.Term("z")))) is None
     )
+
+
+def test_ordered_near_k_repeated_term():
+    """Repeated term operands: the chain needs distinct increasing positions
+    of the same term (searchsorted is strict) — matches the iterator."""
+    for slop in (0, 2, 5):
+        docs = _random_docs(200, p_term=0.35)
+        stride = _stride(docs)
+        q = Q.OrderedNear(slop, (Q.Term("a"), Q.Term("a"), Q.Term("b")))
+        expect = sorted(
+            di for di, pos in enumerate(docs) if IK.build_iter(q, pos) is not None
+        )
+        ka = _keys(docs, "a", stride)
+        kb = _keys(docs, "b", stride)
+        got = VK.ordered_near_k([ka, ka, kb], slop, stride).tolist()
+        assert got == expect, slop
