@@ -143,12 +143,9 @@ def unpack_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def unpack_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized decode to (flat_positions, doc_offsets) without a Python loop.
-
-    flat_positions[doc_offsets[i]:doc_offsets[i+1]] are doc i's positions.
-    """
-    flat = vb_decode(buf).astype(np.int64)
+def _segmented_cumsum(flat: np.ndarray, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc cumulative sums over a concatenated delta stream: returns
+    (absolute values, doc_offsets)."""
     tfs = np.asarray(tfs, dtype=np.int64)
     offsets = np.zeros(tfs.size + 1, dtype=np.int64)
     np.cumsum(tfs, out=offsets[1:])
@@ -161,6 +158,43 @@ def unpack_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.n
         np.maximum.accumulate(seg_base, out=seg_base)
         flat = csum - seg_base
     return flat, offsets
+
+
+def unpack_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode to (flat_positions, doc_offsets) without a Python loop.
+
+    flat_positions[doc_offsets[i]:doc_offsets[i+1]] are doc i's positions.
+    """
+    flat = vb_decode(buf).astype(np.int64)
+    return _segmented_cumsum(flat, tfs)
+
+
+def pack_offsets(starts_per_doc: list[np.ndarray], ends_per_doc: list[np.ndarray]) -> bytes:
+    """OFFSETS posting stream (Lucene41PostingsWriter startOffset deltas +
+    lengths, :324-339): per doc, interleaved (start_delta, length) pairs."""
+    if not starts_per_doc:
+        return b""
+    parts = []
+    for s, e in zip(starts_per_doc, ends_per_doc):
+        s = np.asarray(s, dtype=np.int64)
+        e = np.asarray(e, dtype=np.int64)
+        inter = np.empty(2 * s.size, dtype=np.int64)
+        inter[0::2] = delta_encode(s)
+        inter[1::2] = e - s
+        parts.append(inter)
+    return vb_encode(np.concatenate(parts).astype(np.uint64))
+
+
+def unpack_offsets_flat(
+    buf: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (flat_starts, flat_ends, doc_offsets), aligned 1:1 with
+    unpack_positions_flat's layout."""
+    vals = vb_decode(buf).astype(np.int64)
+    sdel = vals[0::2]
+    lens = vals[1::2]
+    starts, offsets = _segmented_cumsum(sdel, tfs)
+    return starts, starts + lens, offsets
 
 
 def vb_nbytes(values: np.ndarray) -> np.ndarray:

@@ -46,6 +46,7 @@ from ..codecs.varbyte import (
     BLOCK_SIZE,
     block_meta,
     pack_doc_ids,
+    pack_offsets,
     pack_positions,
     pack_tfs,
     unpack_doc_ids,
@@ -74,6 +75,10 @@ POSTINGS_SCHEMA = T.StructType(
         # blocks whose upper bound can still matter
         T.StructField("block_id_offs", T.BinaryType()),
         T.StructField("block_tf_offs", T.BinaryType()),
+        # OFFSETS posting stream (optional — build_segments(keep_offsets=True)):
+        # per-doc interleaved (start_delta, length) pairs, aligned with the
+        # positions stream (Lucene41PostingsWriter offsets, :324-339)
+        T.StructField("offsets", T.BinaryType()),
     ]
 )
 
@@ -115,12 +120,22 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     pos_flat = np.concatenate(
         [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
     )
+    with_offsets = "starts" in pdf.columns
+    if with_offsets:
+        starts_flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["starts"]]
+        )
+        ends_flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["ends"]]
+        )
     doc_rep = np.repeat(doc_ids_col, lens)
     nb_rep = np.repeat(pdf["norm_byte"].to_numpy(dtype=np.int64), lens)
 
     codes, uniques = pd.factorize(pd.Series(terms_flat), sort=True)
     order = np.argsort(codes, kind="stable")  # stable keeps (doc, pos) order
     tc, dr, pf, nbr = codes[order], doc_rep[order], pos_flat[order], nb_rep[order]
+    if with_offsets:
+        sf_, ef_ = starts_flat[order], ends_flat[order]
 
     # (term, doc) run boundaries over the sorted occurrence stream
     new_run = np.empty(tc.size, dtype=bool)
@@ -156,6 +171,20 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     pos_bufs = vb_encode_batch(
         deltas.astype(np.uint64), occ_offsets[term_run_offsets]
     )
+    if with_offsets:
+        # interleaved (start_delta, length) pairs per occurrence, deltas
+        # resetting at run starts like positions
+        sdel = np.empty(sf_.size, dtype=np.int64)
+        sdel[1:] = sf_[1:] - sf_[:-1]
+        sdel[run_starts] = sf_[run_starts]
+        inter = np.empty(2 * sf_.size, dtype=np.int64)
+        inter[0::2] = sdel
+        inter[1::2] = ef_ - sf_
+        off_bufs = vb_encode_batch(
+            inter.astype(np.uint64), 2 * occ_offsets[term_run_offsets]
+        )
+    else:
+        off_bufs = None
 
     # vectorized block metadata: block boundaries every BLOCK_SIZE runs
     # within each term (reduceat over global block starts)
@@ -205,6 +234,7 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                 "block_max_nb": blk_max_nb[ba:bb].tobytes(),
                 "block_id_offs": blk_id_off[ba:bb].tobytes(),
                 "block_tf_offs": blk_tf_off[ba:bb].tobytes(),
+                "offsets": off_bufs[ti] if off_bufs is not None else b"",
             }
         )
     return pd.DataFrame(
@@ -241,30 +271,47 @@ def _norms_blob(pdf: pd.DataFrame) -> pd.DataFrame:
 DOCS_MARKER = "\x00__docs__"
 
 
-def _tokenize_pdf(pdf: pd.DataFrame, analyzer: str) -> pd.DataFrame:
-    """Tokenize a raw (seg, doc_id, _text) frame in place (kernel-side)."""
+def _tokenize_pdf(pdf: pd.DataFrame, analyzer: str, keep_offsets: bool = False) -> pd.DataFrame:
+    """Tokenize a raw (seg, doc_id, _text) frame in place (kernel-side).
+    keep_offsets adds aligned char-offset streams (OFFSETS posting feature)."""
     import hashlib
 
-    fn = ANALYZERS[analyzer]
-    terms_col, pos_col, len_col, sha_col = [], [], [], []
-    for t in pdf["_text"]:
-        terms, positions, doclen = fn(t)
-        terms_col.append(terms)
-        pos_col.append(positions)
-        len_col.append(doclen)
-        sha_col.append(hashlib.sha256((t or "").encode("utf-8")).hexdigest())
-    lens = np.maximum(np.array(len_col, dtype=np.int64), 1)
-    return pd.DataFrame(
-        {
-            "seg": pdf["seg"].to_numpy(),
-            "doc_id": pdf["doc_id"].to_numpy(),
-            "sha256": sha_col,
-            "terms": terms_col,
-            "positions": pos_col,
-            "doclen": len_col,
-            "norm_byte": encode_norm(lens).astype(np.int64),
-        }
-    )
+    cols = {"terms": [], "positions": [], "doclen": [], "sha256": []}
+    if keep_offsets:
+        from ..analysis.tokenizer import OFFSET_ANALYZERS
+
+        fn = OFFSET_ANALYZERS[analyzer]
+        cols["starts"], cols["ends"] = [], []
+        for t in pdf["_text"]:
+            terms, positions, starts, ends, doclen = fn(t)
+            cols["terms"].append(terms)
+            cols["positions"].append(positions)
+            cols["starts"].append(starts)
+            cols["ends"].append(ends)
+            cols["doclen"].append(doclen)
+            cols["sha256"].append(hashlib.sha256((t or "").encode("utf-8")).hexdigest())
+    else:
+        fn = ANALYZERS[analyzer]
+        for t in pdf["_text"]:
+            terms, positions, doclen = fn(t)
+            cols["terms"].append(terms)
+            cols["positions"].append(positions)
+            cols["doclen"].append(doclen)
+            cols["sha256"].append(hashlib.sha256((t or "").encode("utf-8")).hexdigest())
+    lens = np.maximum(np.array(cols["doclen"], dtype=np.int64), 1)
+    out = {
+        "seg": pdf["seg"].to_numpy(),
+        "doc_id": pdf["doc_id"].to_numpy(),
+        "sha256": cols["sha256"],
+        "terms": cols["terms"],
+        "positions": cols["positions"],
+        "doclen": cols["doclen"],
+        "norm_byte": encode_norm(lens).astype(np.int64),
+    }
+    if keep_offsets:
+        out["starts"] = cols["starts"]
+        out["ends"] = cols["ends"]
+    return pd.DataFrame(out)
 
 
 def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
@@ -286,10 +333,11 @@ def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
         "block_max_nb": b"",
         "block_id_offs": b"",
         "block_tf_offs": b"",
+        "offsets": b"",
     }
 
 
-def _fused_build_fn(analyzer: str):
+def _fused_build_fn(analyzer: str, keep_offsets: bool = False):
     """mapInPandas kernel: tokenize + invert + pack every segment in the
     partition (repartitionByRange(seg) guarantees a segment never spans
     partitions), emitting postings rows plus one docs sidecar row per seg."""
@@ -300,7 +348,7 @@ def _fused_build_fn(analyzer: str):
             return
         pdf = pd.concat(parts, ignore_index=True)
         for seg, g in pdf.groupby("seg", sort=True):
-            tok = _tokenize_pdf(g, analyzer)
+            tok = _tokenize_pdf(g, analyzer, keep_offsets)
             out = _invert_segment(tok)
             side = pd.DataFrame([_docs_sidecar_row(int(seg), tok.sort_values("doc_id"))])
             yield pd.concat([out, side], ignore_index=True)
@@ -347,6 +395,7 @@ def _sidecar_from_docs(pdf: pd.DataFrame) -> pd.DataFrame:
                 "block_max_nb": b"",
                 "block_id_offs": b"",
                 "block_tf_offs": b"",
+                "offsets": b"",
             }
         ],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],
@@ -431,6 +480,7 @@ def build_segments(
     order_cols: tuple[str, ...] = ("repo", "path"),
     resume: bool = False,
     n_docs_hint: int | None = None,
+    keep_offsets: bool = False,
 ) -> dict:
     """Tokenize + invert + pack the corpus into `n_segments` parquet segments.
 
@@ -470,7 +520,7 @@ def build_segments(
     # segment.  No token-array shuffle, no second tokenize, no persist.
     n_remaining = n_segments - len(done)
     fused = base.repartitionByRange(max(n_remaining, 1), "seg").mapInPandas(
-        _fused_build_fn(analyzer), POSTINGS_SCHEMA
+        _fused_build_fn(analyzer, keep_offsets), POSTINGS_SCHEMA
     )
     # dynamic partition overwrite: a resumed build rewrites exactly the
     # partitions of the segments it re-processes (idempotent even if a
@@ -526,6 +576,7 @@ def build_segments(
         "n_docs": int(sum(s["n_docs"] for s in segments)),
         "sum_doclen": int(sum(s["sum_doclen"] for s in segments)),
         "analyzer": analyzer,
+        "offsets": keep_offsets,
         "segments": segments,
         "metrics": {"build_wall_sec": wall, "docs_per_sec": n_total / wall if wall else 0},
     }
@@ -630,14 +681,30 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
     all_ids = np.concatenate([unpack_doc_ids(b) for b in pdf["doc_ids"]])
     all_tfs = np.concatenate([unpack_tfs(b) for b in pdf["tfs"]])
     all_pos: list[np.ndarray] = []
-    all_nb: list[np.ndarray] = []
-    for pos_buf, tf_buf, nb_buf in zip(pdf["positions"], pdf["tfs"], pdf["block_max_nb"]):
+    for pos_buf, tf_buf in zip(pdf["positions"], pdf["tfs"]):
         all_pos.extend(unpack_positions(pos_buf, unpack_tfs(tf_buf)))
+    has_offsets = "offsets" in pdf.columns and all(
+        len(b) > 0 for b in pdf["offsets"]
+    )
+    all_s: list[np.ndarray] = []
+    all_e: list[np.ndarray] = []
+    if has_offsets:
+        from ..codecs.varbyte import unpack_offsets_flat
+
+        for off_buf, tf_buf in zip(pdf["offsets"], pdf["tfs"]):
+            tfv = unpack_tfs(tf_buf)
+            fs, fe, doffs = unpack_offsets_flat(off_buf, tfv)
+            for i in range(tfv.size):
+                all_s.append(fs[doffs[i] : doffs[i + 1]])
+                all_e.append(fe[doffs[i] : doffs[i + 1]])
     if tombstones:
         keep = ~np.isin(all_ids, np.fromiter(tombstones, dtype=np.int64))
         all_ids = all_ids[keep]
         all_tfs = all_tfs[keep]
         all_pos = [p for p, k in zip(all_pos, keep) if k]
+        if has_offsets:
+            all_s = [x for x, k in zip(all_s, keep) if k]
+            all_e = [x for x, k in zip(all_e, keep) if k]
         if all_ids.size == 0:
             return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
     # block meta must be recomputed (block boundaries move); max-norm-byte
@@ -666,6 +733,7 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
                 "block_max_nb": max_nb.tobytes(),
                 "block_id_offs": id_offs.tobytes(),
                 "block_tf_offs": tf_offs.tobytes(),
+                "offsets": pack_offsets(all_s, all_e) if has_offsets else b"",
             }
         ],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],

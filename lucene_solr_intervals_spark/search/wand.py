@@ -539,6 +539,79 @@ class SegmentSearcher:
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def intervals_with_offsets(self, query) -> DataFrame:
+        """(doc_id, begin, end, offset_begin, offset_end) for every surviving
+        interval of `query`, with character offsets decoded straight from the
+        packed OFFSETS posting stream (index built with keep_offsets=True) —
+        the packed-path twin of Searcher.intervals_with_offsets; no
+        re-tokenization anywhere."""
+        from ..codecs.varbyte import unpack_offsets_flat, unpack_positions_flat
+        from ..intervals import kernel as IK
+        from ..search import queries as Q
+
+        if not self.manifest.get("offsets"):
+            raise ValueError("index was built without keep_offsets=True")
+        leaf_terms = sorted(set(Q.terms_of(query)))
+        tombstones = self.tombstones
+        q = query
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("begin", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+                T.StructField("offset_begin", T.IntegerType()),
+                T.StructField("offset_end", T.IntegerType()),
+            ]
+        )
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {c: [] for c in ["doc_id", "begin", "end", "offset_begin", "offset_end"]}
+            ).astype("int64")
+            if pdf.empty:
+                return empty
+            per_term = {}
+            for _, r in pdf.iterrows():
+                ids = unpack_doc_ids(r["doc_ids"])
+                tfs = unpack_tfs(r["tfs"])
+                flat, offs = unpack_positions_flat(r["positions"], tfs)
+                fs, fe, _ = unpack_offsets_flat(r["offsets"], tfs)
+                per_term[r["term"]] = (ids, flat, offs, fs, fe)
+            all_ids = np.unique(np.concatenate([v[0] for v in per_term.values()]))
+            idx_of = {
+                t: dict(zip(v[0].tolist(), range(v[0].size)))
+                for t, v in per_term.items()
+            }
+            rows = []
+            for d in all_ids.tolist():
+                if d in tombstones:
+                    continue
+                pos, omap = {}, {}
+                for t, (ids, flat, offs, fs, fe) in per_term.items():
+                    j = idx_of[t].get(d)
+                    if j is not None:
+                        sl = slice(offs[j], offs[j + 1])
+                        ps = flat[sl]
+                        pos[t] = ps.tolist()
+                        for p, s0, e0 in zip(ps, fs[sl], fe[sl]):
+                            omap[int(p)] = (int(s0), int(e0))
+                m = IK.match_intervals(q, pos)
+                if not m:
+                    continue
+                for b, e in m:
+                    ob = omap.get(b, (0, 0))[0]
+                    oe = omap.get(e, (0, 0))[1]
+                    rows.append((d, b, e, ob, oe))
+            if not rows:
+                return empty
+            return pd.DataFrame(
+                rows, columns=["doc_id", "begin", "end", "offset_begin", "offset_end"]
+            )
+
+        postings = self.postings.where(F.col("term").isin(leaf_terms))
+        return postings.groupBy("seg").applyInPandas(_run, schema)
+
     def search_many(self, term_queries: list[str], k: int = 10, mode: str = "wand") -> DataFrame:
         """Batch top-k: score MANY single-term queries in ONE Spark job.
 

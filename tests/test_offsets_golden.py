@@ -89,3 +89,59 @@ def test_spark_intervals_with_offsets(spark):
         ]
     finally:
         idx.unpersist()
+
+
+@pytest.mark.usefixtures("spark")
+def test_packed_offsets_posting_stream(spark, tmp_path):
+    """Packed-path offsets: stored at build, preserved through merge, decoded
+    straight from the OFFSETS stream — same golden expectations."""
+    from lucene_solr_intervals_spark.index.segment import (
+        build_segments,
+        merge_segments,
+        read_manifest,
+    )
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    d = str(tmp_path / "offidx")
+    corpus = spark.createDataFrame(
+        [(0, "r", "p0", DOC), (1, "r", "p1", "nine pease nine")],
+        ["doc_id", "repo", "path", "text"],
+    )
+    build_segments(
+        corpus, d, n_segments=2, id_col="doc_id", text_col="text",
+        analyzer="ws", keep_offsets=True,
+    )
+    ss = SegmentSearcher(spark, d)
+
+    def offs(q):
+        return sorted(
+            (r["doc_id"], r["offset_begin"], r["offset_end"])
+            for r in ss.intervals_with_offsets(q).collect()
+        )
+
+    assert offs(Q.Term("porridge")) == [
+        (0, 6, 14), (0, 26, 34), (0, 47, 55), (0, 164, 172), (0, 184, 192),
+    ]
+    q = Q.Boolean(must=(Q.Term("porridge"), Q.Term("nine")))
+    assert [(ob, oe) for d_, ob, oe in offs(q) if d_ == 0] == [
+        (6, 14), (26, 34), (47, 55), (67, 71), (143, 147), (164, 172), (184, 192),
+    ]
+    # composite phrase spans decode from the stream too
+    assert [(ob, oe) for _, ob, oe in offs(Q.Phrase(("pease", "porridge")))] == [
+        (0, 14), (20, 34), (41, 55), (158, 172), (178, 192),
+    ]
+
+    # merge preserves the offsets stream byte-exactly at the value level
+    m = read_manifest(d)
+    live = [s["seg"] for s in m["segments"] if s["status"] == "done"]
+    merge_segments(spark, d, live, new_seg=max(live) + 1)
+    ss2 = SegmentSearcher(spark, d)
+    got = sorted(
+        (r["doc_id"], r["offset_begin"], r["offset_end"])
+        for r in ss2.intervals_with_offsets(Q.Term("nine")).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["offset_begin"], r["offset_end"])
+        for r in ss.intervals_with_offsets(Q.Term("nine")).collect()
+    )
+    assert got == want and len(got) > 0
