@@ -716,12 +716,24 @@ class SegmentSearcher:
     def search(
         self, terms: list[str], k: int = 10, mode: str = "wand", conjunctive: bool = False
     ) -> DataFrame:
-        weights = self._weights(terms)
+        """Top-k for one query, ONE Spark job: global term stats are
+        aggregated in-plan from the same pruned scan and broadcast-joined
+        back (like search_many), so no separate stats job runs — weights
+        are derived inside the kernel from the df_total column."""
         cache = self.cache
         tombstones = self.tombstones
+        n_docs = self.n_docs
         postings = self.postings.where(F.col("term").isin(terms))
+        stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
+        postings = postings.join(F.broadcast(stats), "term")
 
         def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            weights = {
+                t: (idf32(int(d), n_docs) * np.float32(2.2)).astype(np.float32)
+                for t, d in zip(pdf["term"], pdf["df_total"])
+            }
+            for t in terms:
+                weights.setdefault(t, np.float32(0.0))
             return segment_topk_kernel(
                 pdf, weights, cache, k, mode, conjunctive, tombstones
             )
