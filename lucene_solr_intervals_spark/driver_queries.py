@@ -1376,6 +1376,78 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.ann_lsh_topk(emb, qvec, planes, k=10, multi_probe=2)
 
 
+def _near_pairs_oracle_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.8) -> str:
+    planes = _ann_planes(dim, n_planes)
+    plane_rows = ",\n    ".join(
+        "(" + str(pid) + ", [" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[])"
+        for pid, vec in enumerate(planes)
+    )
+    return f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, {dim} + 1),
+                        i -> 0.9 * CAST(embedding[i] AS DOUBLE)
+                           + 0.1 * CAST(embedding[(i % {dim}) + 1] AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+planes(pid, vec) AS (VALUES
+    {plane_rows}
+),
+dots AS (
+  SELECT a.vec_id, p.pid,
+         list_sum(list_transform(range(1, {dim} + 1), i -> a.embedding[i] * p.vec[i])) AS d
+  FROM aug a CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN d >= 0 THEN CAST(pow(2, pid) AS BIGINT) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+  FROM aug a JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.bucket = ba.bucket
+  JOIN aug b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         round(list_sum(list_transform(range(1, {dim} + 1), i -> ea[i] * eb[i]))
+               / (sqrt(list_sum(list_transform(ea, x -> x * x)))
+                * sqrt(list_sum(list_transform(eb, x -> x * x)))), 4) AS cosine
+  FROM cand
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+ORDER BY 1, 2
+"""
+
+
+@register("embedding_near_pairs", _near_pairs_oracle_sql())
+def embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH bucket blocking + exact
+    verify — the fifth dedup mode.  The source embeddings have no natural
+    near-dups (max pairwise cosine 0.51), so both sides augment the table
+    with deterministic perturbed copies of every 50th vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    dim = 64
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> 0.9 * element_at(embedding, i)"
+            f" + 0.1 * element_at(embedding, CAST(i % {dim} + 1 AS INT)))"
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    return SIM.embedding_near_pairs(
+        aug, _ann_planes(dim, 6), threshold=0.8
+    )
+
+
 @register(
     "multimodal_features",
     """

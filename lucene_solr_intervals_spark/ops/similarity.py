@@ -68,6 +68,42 @@ def lsh_buckets(
     )
 
 
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (a < b, cosine >= threshold).
+
+    LSH blocking: candidates share a sign-pattern bucket (one shuffle on the
+    bucket id — no cross join; pairs split across buckets are the documented
+    recall trade, shrink it with fewer planes or multiprobe); exact cosine
+    verifies every candidate.  The dedup counterpart of ann_lsh_topk — the
+    fifth dedup mode of the training-data suite (exact / ngram-Jaccard /
+    MinHash / SimHash / embedding-cosine)."""
+    bucketed = lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
