@@ -1043,6 +1043,68 @@ def fielded_intervals_leaves(spark, sf_dir):
     )
 
 
+@register(
+    "spell_suggest",
+    _PRELUDE
+    + """
+SELECT term AS suggestion, CAST(df AS BIGINT) AS df,
+       round(1.0 - CAST(levenshtein(term, 'vektor') AS DOUBLE)
+             / greatest(length(term), 6), 4) AS similarity
+FROM dfp
+WHERE term <> 'vektor' AND levenshtein(term, 'vektor') <= 2
+  AND substr(term, 1, 1) = 'v'
+  AND round(1.0 - CAST(levenshtein(term, 'vektor') AS DOUBLE)
+            / greatest(length(term), 6), 4) >= 0.5
+ORDER BY 3 DESC, 2 DESC, 1 ASC LIMIT 5
+""",
+)
+def spell_suggest(spark, sf_dir):
+    """DirectSpellChecker analog (DirectSpellChecker.java:59): term-dictionary
+    suggestions within 2 edits sharing the first char, ranked by normalized
+    Levenshtein similarity then df."""
+    from .search.spell import suggest_terms
+
+    return suggest_terms(get_index(spark, sf_dir), "vektor", k=5)
+
+
+@register(
+    "percolate_queries",
+    _PRELUDE
+    + f"""
+SELECT doc_id, 'q_near' AS query_name FROM (
+  SELECT DISTINCT t1.doc_id
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+  WHERE t1.term = '{T_A}' AND t2.term = '{T_B}'
+    AND t2.pos > t1.pos AND t2.pos - t1.pos - 1 <= 3
+)
+UNION ALL
+SELECT doc_id, 'q_phrase' AS query_name FROM (
+  SELECT DISTINCT t1.doc_id
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'table' AND t2.term = 'hash'
+)
+UNION ALL
+SELECT doc_id, 'q_rare' AS query_name
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}')
+ORDER BY 1, 2
+""",
+)
+def percolate_queries(spark, sf_dir):
+    """Percolation (MemoryIndex.java:79 use case): which registered queries
+    match each incoming document?  One mapInPandas pass, the parsed query
+    set rides the closure — no per-query Spark jobs."""
+    from .memoryindex import percolate
+
+    qs = {
+        "q_rare": Q.Term(T_RARE),
+        "q_phrase": Q.Phrase(("table", "hash")),
+        "q_near": Q.OrderedNear(3, (Q.Term(T_A), Q.Term(T_B))),
+    }
+    return percolate(get_docs(spark, sf_dir), qs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "query_name"
+    )
+
+
 # ====================================================== TRAINING-DATA OPS ==
 
 
