@@ -1105,6 +1105,56 @@ def percolate_queries(spark, sf_dir):
     )
 
 
+@register(
+    "nb_classify_lang",
+    _PRELUDE
+    + """
+, lab AS (SELECT doc_id, lang AS label FROM documents),
+cls AS (SELECT label, CAST(count(*) AS DOUBLE) AS n_c FROM lab GROUP BY label),
+stats2 AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tfp)
+         / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avg_unique,
+         (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n
+),
+den AS (
+  SELECT c.label, s.avg_unique * c.n_c + s.n AS den,
+         ln(c.n_c) - ln(s.n) AS log_prior
+  FROM cls c CROSS JOIN stats2 s
+),
+cls_term AS (
+  SELECT l.label, t.term, CAST(count(*) AS DOUBLE) AS df_c
+  FROM tfp t JOIN lab l USING (doc_id)
+  GROUP BY 1, 2
+),
+contrib AS (
+  SELECT t.doc_id, ct.label, sum(t.tf * ln(ct.df_c + 1.0)) AS pos_part
+  FROM tfp t JOIN cls_term ct ON ct.term = t.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dl.doc_id, d.label,
+         d.log_prior + coalesce(c.pos_part, 0.0) - dl.dl * ln(d.den) AS score
+  FROM dl CROSS JOIN den d
+  LEFT JOIN contrib c ON c.doc_id = dl.doc_id AND c.label = d.label
+)
+SELECT doc_id, label AS predicted FROM (
+  SELECT doc_id, label,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def nb_classify_lang(spark, sf_dir):
+    """SimpleNaiveBayesClassifier analog (lucene/classification): predict
+    each doc's lang label from its text — per-class doc-frequency likelihoods
+    with add-1 smoothing, resubstitution mode, all DataFrame-side."""
+    from .ops.classify import naive_bayes_classify
+
+    idx = get_index(spark, sf_dir)
+    labels = get_docs(spark, sf_dir).select("doc_id", F.col("lang").alias("label"))
+    return naive_bayes_classify(idx, labels)
+
+
 # ====================================================== TRAINING-DATA OPS ==
 
 
