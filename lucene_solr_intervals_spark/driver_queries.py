@@ -1155,6 +1155,45 @@ def nb_classify_lang(spark, sf_dir):
     return naive_bayes_classify(idx, labels)
 
 
+@register(
+    "geo_distance_docs",
+    """
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 1600 AS DOUBLE) / 10.0 - 80.0 AS lat,
+         CAST((doc_id * 73) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lat, lon,
+         2.0 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(lat - 10.0) / 2), 2)
+           + cos(radians(10.0)) * cos(radians(lat))
+             * pow(sin(radians(lon - 20.0) / 2), 2))) AS dist
+  FROM pts
+)
+SELECT doc_id, round(dist, 2) AS distance_km FROM d
+WHERE dist <= 1500.0 ORDER BY doc_id
+""",
+)
+def geo_distance_docs(spark, sf_dir):
+    """Spatial distance query (lucene/spatial PointVectorStrategy): docs
+    within 1500 km of (10, 20), bbox-prefiltered then exact haversine —
+    all JVM expressions.  Points are synthesized deterministically from
+    doc_id on both sides (the corpus has no geo columns)."""
+    from .ops.spatial import distance_filter
+
+    pts = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ((F.col("doc_id") * 37 % 1600).cast("double") / 10.0 - 80.0).alias("lat"),
+        ((F.col("doc_id") * 73 % 3600).cast("double") / 10.0 - 180.0).alias("lon"),
+    )
+    out = distance_filter(pts, lat=10.0, lon=20.0, radius_km=1500.0)
+    return out.select(
+        "doc_id", F.round(F.col("distance_km"), 2).alias("distance_km")
+    )
+
+
 # ====================================================== TRAINING-DATA OPS ==
 
 
