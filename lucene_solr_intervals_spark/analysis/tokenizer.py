@@ -179,3 +179,17 @@ def tokenize_series(texts, analyzer: str = "code"):
         pos_col.append(positions)
         len_col.append(doclen)
     return pd.Series(terms_col), pd.Series(pos_col), pd.Series(len_col)
+
+
+def en_stem_tokenize(text: str) -> tuple[list[str], list[int], int]:
+    """EnglishAnalyzer-style chain (lucene/analysis/common/.../en/
+    EnglishAnalyzer.java): tokenize -> lowercase -> stop (position holes)
+    -> PorterStemFilter.  Stemming happens after stop removal, like the
+    reference pipeline order."""
+    from .porter import porter_stem
+
+    terms, positions, doclen = code_tokenize(text, ENGLISH_STOP_WORDS)
+    return [porter_stem(t) for t in terms], positions, doclen
+
+
+ANALYZERS["en_stem"] = en_stem_tokenize
