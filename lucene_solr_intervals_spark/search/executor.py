@@ -52,6 +52,10 @@ from . import queries as Q
 K1 = 1.2
 B = 0.75
 
+
+class TimeExceeded(RuntimeError):
+    """TimeLimitingCollector.TimeExceededException analog."""
+
 _INTERVAL_RESULT = T.StructType(
     [
         T.StructField("n", T.IntegerType()),
@@ -813,6 +817,50 @@ class Searcher:
             .where(F.col("res.n") > 0)
             .select("doc_id", F.explode("res.intervals").alias("iv"))
             .select("doc_id", F.col("iv.begin").alias("begin"), F.col("iv.end").alias("end"))
+        )
+
+    # --------------------------------------------------- time-limited search
+
+    def search_with_timeout(
+        self, q: Q.Query, k: int = 10, timeout_sec: float = 30.0
+    ) -> DataFrame:
+        """TimeLimitingCollector analog (TimeLimitingCollector.java:32): abort
+        the search when the budget expires.  Spark's unit of cancellation is
+        the job, not the collected hit, so exceeding the budget cancels the
+        query's job group and raises TimeExceeded (partial-hit delivery is a
+        per-collector notion that doesn't exist under whole-stage execution).
+        Rows are collected eagerly and re-wrapped so cancellation cannot leak
+        into an unrelated later job."""
+        import threading
+        import uuid
+
+        spark = self.index.postings.sparkSession
+        sc = spark.sparkContext
+        group = f"timelimited-{uuid.uuid4().hex[:12]}"
+        result: dict = {}
+
+        def _run():
+            sc.setJobGroup(group, "search_with_timeout", interruptOnCancel=True)
+            try:
+                result["rows"] = self.search(q, k).collect()
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                result["error"] = e
+            finally:
+                sc.setJobGroup("", "")
+
+        t = threading.Thread(target=_run, daemon=True)
+        t.start()
+        t.join(timeout_sec)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(5.0)
+            raise TimeExceeded(
+                f"search exceeded {timeout_sec}s budget (job group {group} cancelled)"
+            )
+        if "error" in result:
+            raise result["error"]
+        return spark.createDataFrame(
+            result["rows"], schema="doc_id long, score double"
         )
 
     # ------------------------------------------------------------- explain

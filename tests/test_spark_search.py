@@ -299,3 +299,52 @@ def test_highlight(index, spark):
     assert r0["begin"] == 1 and r0["end"] == 3
     assert CORPUS[0][r0["offset_begin"]:r0["offset_end"]] == "quick brown fox"
     assert "quick brown fox" in r0["snippet"]
+
+
+def test_search_with_timeout(index, spark):
+    """TimeLimitingCollector analog: within budget returns the same hits;
+    an exhausted budget cancels and raises TimeExceeded."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_intervals_spark.search.executor import TimeExceeded
+
+    s = Searcher(index, mode="sql")
+    q = Q.Term("fox")
+    want = [(r["doc_id"], round(r["score"], 6)) for r in s.search(q, 5).collect()]
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_with_timeout(q, 5, timeout_sec=120.0).collect()
+    ]
+    assert got == want
+
+    # an artificially slow plan must be cancelled, not awaited
+    slow = Searcher(index, mode="sql")
+
+    @F.udf("double")
+    def _sleepy(x):
+        time.sleep(30)
+        return float(x)
+
+    class SlowIndex:
+        def __init__(self, idx):
+            self.postings = idx.postings.withColumn("tf", _sleepy("tf"))
+            self.docs = idx.docs
+            self.term_stats = idx.term_stats
+            self.max_doc = idx.max_doc
+            self.sum_ttf = idx.sum_ttf
+            self.default_field = idx.default_field
+            self.avgdl_by_field = idx.avgdl_by_field
+            self.avgdl = idx.avgdl
+
+        def avgdl_of(self, f):
+            return self.avgdl
+
+    slow.index = SlowIndex(index)
+    t0 = time.time()
+    import pytest as _pytest
+
+    with _pytest.raises(TimeExceeded):
+        slow.search_with_timeout(q, 5, timeout_sec=3.0)
+    assert time.time() - t0 < 20  # cancelled well before the 30s sleep chain
