@@ -440,8 +440,21 @@ class Searcher:
                 )
             return ts.where(cond).select("term")
         if isinstance(q, Q.Fuzzy):
-            matched = ts.where(
-                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            # FuzzyTermsEnum-style pruning (FuzzyTermsEnum.java automaton ∩
+            # sorted dict): never levenshtein the whole dictionary.  Two
+            # SOUND pre-filters cut the scan first — a length band
+            # |len(t)−len(q)| ≤ max_edits (an edit changes length by ≤1) and
+            # the non-fuzzy prefix (FuzzyQuery prefixLength) as a startswith
+            # range predicate that min/max column stats can prune; only the
+            # survivors pay the (thresholded) edit-distance evaluation.
+            cond = (
+                (F.length(F.col("term")) >= len(q.term) - q.max_edits)
+                & (F.length(F.col("term")) <= len(q.term) + q.max_edits)
+            )
+            if q.prefix_length > 0:
+                cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+            matched = ts.where(cond).where(
+                F.levenshtein(F.col("term"), F.lit(q.term), q.max_edits) >= 0
             )
             if q.max_expansions:
                 # TopTermsRewrite cap (MultiTermQuery.java:234): FuzzyQuery
@@ -451,7 +464,7 @@ class Searcher:
                 # list ever reaches the driver.
                 return (
                     matched.withColumn(
-                        "_ed", F.levenshtein(F.col("term"), F.lit(q.term))
+                        "_ed", F.levenshtein(F.col("term"), F.lit(q.term), q.max_edits)
                     )
                     .orderBy(F.asc("_ed"), F.desc("df"), F.asc("term"))
                     .limit(q.max_expansions)
@@ -490,7 +503,9 @@ class Searcher:
             idx.postings.where(F.col("field") == f)
             .select("term", "doc_id", "tf")
             .join(F.broadcast(terms), "term")
-            .join(stats, "term")
+            # stats after the field filter is query-expansion-sized; without
+            # the hint this was a shuffle of the postings side at scale
+            .join(F.broadcast(stats), "term")
             .join(
                 idx.docs.where(F.col("field") == f).select("doc_id", "doclen", "norm_byte"),
                 "doc_id",

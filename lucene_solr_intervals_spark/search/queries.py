@@ -126,6 +126,11 @@ class Fuzzy(Query):
     # (FuzzyQuery.java:54, defaultMaxExpansions)
     rewrite: str = "constant"
     max_expansions: int | None = 50
+    # non-fuzzy prefix (FuzzyQuery.java prefixLength): the first N chars
+    # must match exactly; edits apply to the suffix only.  Trimming an
+    # identical prefix preserves Levenshtein distance, so the whole-string
+    # predicate stays exact while the prefix becomes a pushdown-able range.
+    prefix_length: int = 0
 
 
 @dataclass(frozen=True)

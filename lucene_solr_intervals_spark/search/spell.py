@@ -40,6 +40,10 @@ def suggest_terms(
     ts = index.term_stats.where(F.col("field") == f)
     cond = (
         (F.col("term") != term)
+        # sound length band first: an edit changes length by at most 1, so
+        # the expensive levenshtein only runs on the banded survivors
+        & (F.length(F.col("term")) >= len(term) - max_edits)
+        & (F.length(F.col("term")) <= len(term) + max_edits)
         & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
         & (F.col("df") >= min_df)
     )

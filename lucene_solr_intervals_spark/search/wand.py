@@ -197,6 +197,7 @@ def _wand_skip_kernel(
 
 def segment_topk_kernel(
     term_rows: pd.DataFrame,
+    norms_row: pd.DataFrame,
     weights: dict[str, np.float32],
     cache: np.ndarray,
     k: int,
@@ -204,14 +205,20 @@ def segment_topk_kernel(
     conjunctive: bool = False,
     tombstones: frozenset = frozenset(),
 ) -> pd.DataFrame:
-    """Per-segment top-k. term_rows: packed posting rows for the query terms,
-    each carrying the segment's norms blob (doc_base, norm_bytes)."""
+    """Per-segment top-k. term_rows: packed posting rows for the query terms;
+    norms_row: this segment's single norms row (doc_base, norm_bytes) —
+    delivered by a seg-cogroup, never broadcast (the full norms relation is
+    corpus-doc-count bytes; only this segment's blob may reach the task)."""
     if term_rows.empty:
         return pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float32"}
         )
-    base = int(term_rows["doc_base"].iloc[0])
-    norms = np.frombuffer(term_rows["norm_bytes"].iloc[0], dtype=np.uint8)
+    if norms_row.empty:
+        raise ValueError(
+            f"segment {int(term_rows['seg'].iloc[0])} has postings but no norms row"
+        )
+    base = int(norms_row["doc_base"].iloc[0])
+    norms = np.frombuffer(norms_row["norm_bytes"].iloc[0], dtype=np.uint8)
 
     tomb_arr = (
         np.fromiter(tombstones, dtype=np.int64) if tombstones else None
@@ -350,14 +357,16 @@ def search_segments(
         weights.setdefault(t, np.float32(0.0))
     cache = norm_cache(avgdl)
 
-    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return segment_topk_kernel(pdf, weights, cache, k, mode, conjunctive)
+    def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        return segment_topk_kernel(pdf, npdf, weights, cache, k, mode, conjunctive)
 
-    # norms is one small row per segment -> broadcast hash join, no shuffle
-    # of the (much larger) postings side beyond the seg groupBy
+    # norms arrive via seg-cogroup: one small row shuffled to exactly its
+    # segment's task.  NEVER broadcast norms — the relation is total-corpus
+    # doc-count bytes (~1 TB at 10^12 docs); cogroup keeps per-task memory
+    # bounded by one segment regardless of corpus size.
     per_seg = (
-        postings.join(F.broadcast(norms), "seg")
-        .groupBy("seg")
+        postings.groupBy("seg")
+        .cogroup(norms.groupBy("seg"))
         .applyInPandas(_run, TOPK_SCHEMA)
     )
     return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -453,13 +462,13 @@ class SegmentSearcher:
         )
         shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side
 
-        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf.empty:
+        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty or npdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": "int64", "score": "float32"}
                 )
-            base = int(pdf["doc_base"].iloc[0])
-            norms = np.frombuffer(pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+            base = int(npdf["doc_base"].iloc[0])
+            norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
             per_term = {}
             for _, r in pdf.iterrows():
                 ids = unpack_doc_ids(r["doc_ids"])
@@ -533,8 +542,8 @@ class SegmentSearcher:
 
         postings = self.postings.where(F.col("term").isin(leaf_terms))
         per_seg = (
-            postings.join(F.broadcast(self.norms), "seg")
-            .groupBy("seg")
+            postings.groupBy("seg")
+            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, TOPK_SCHEMA)
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -652,14 +661,14 @@ class SegmentSearcher:
 
         from ..codecs.varbyte import vb_decode
 
-        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
                 {"query_term": "object", "doc_id": "int64", "score": "float32"}
             )
-            if pdf.empty:
+            if pdf.empty or npdf.empty:
                 return empty
-            base = int(pdf["doc_base"].iloc[0])
-            norms = np.frombuffer(pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+            base = int(npdf["doc_base"].iloc[0])
+            norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
             # batched decode: ONE varbyte pass over all rows' streams, then a
             # segmented gap-cumsum (row starts reset) — no per-row decode
             counts = pdf["df"].to_numpy(dtype=np.int64)
@@ -703,8 +712,8 @@ class SegmentSearcher:
             )
 
         per_seg = (
-            postings.join(F.broadcast(self.norms), "seg")
-            .groupBy("seg")
+            postings.groupBy("seg")
+            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, schema)
         )
         w = Window.partitionBy("query_term").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -727,7 +736,7 @@ class SegmentSearcher:
         stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
         postings = postings.join(F.broadcast(stats), "term")
 
-        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
             weights = {
                 t: (idf32(int(d), n_docs) * np.float32(2.2)).astype(np.float32)
                 for t, d in zip(pdf["term"], pdf["df_total"])
@@ -735,12 +744,12 @@ class SegmentSearcher:
             for t in terms:
                 weights.setdefault(t, np.float32(0.0))
             return segment_topk_kernel(
-                pdf, weights, cache, k, mode, conjunctive, tombstones
+                pdf, npdf, weights, cache, k, mode, conjunctive, tombstones
             )
 
         per_seg = (
-            postings.join(F.broadcast(self.norms), "seg")
-            .groupBy("seg")
+            postings.groupBy("seg")
+            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, TOPK_SCHEMA)
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

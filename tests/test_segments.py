@@ -321,3 +321,38 @@ def test_wand_skip_multiblock_rank_safety(spark, tmp_path):
     exact = [r["doc_id"] for r in ss2.search(["w0"], k=10, mode="exhaustive").collect()]
     assert wand == exact
     assert not set(victims) & set(wand)
+
+
+def test_norms_never_broadcast(spark, index_dir):
+    """100-TB guard: the norms relation is total-corpus doc-count bytes, so it
+    must reach per-segment kernels via a seg-cogroup (shuffle of one small row
+    per segment), NEVER a BroadcastExchange.  Walk the physical plan: no
+    ancestor of the norms parquet scan may be a broadcast exchange."""
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    ss = SegmentSearcher(spark, index_dir)
+    for df in [
+        ss.search(["w0", "w1"], k=10),
+        ss.search_many(["w0", "w1", "w5"], k=10),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+        norm_lines = [i for i, ln in enumerate(lines) if "/norms" in ln]
+        assert norm_lines, plan[:2000]
+
+        def depth(ln):
+            for j, ch in enumerate(ln):
+                if ch not in " :+-*(":
+                    return j
+            return len(ln)
+
+        for i in norm_lines:
+            d = depth(lines[i])
+            j = i - 1
+            while j >= 0:
+                dj = depth(lines[j])
+                if dj < d:
+                    assert "BroadcastExchange" not in lines[j], lines[j]
+                    d = dj
+                j -= 1

@@ -348,3 +348,29 @@ def test_search_with_timeout(index, spark):
     with _pytest.raises(TimeExceeded):
         slow.search_with_timeout(q, 5, timeout_sec=3.0)
     assert time.time() - t0 < 20  # cancelled well before the 30s sleep chain
+
+
+def test_fuzzy_pruned_scan(index):
+    """FuzzyTermsEnum-style pruning: the term-dict scan carries a sound
+    length band and (with prefix_length) a startswith predicate ahead of the
+    levenshtein evaluation — visible in the optimized plan — and the matched
+    set is unchanged by the pruning."""
+    s = Searcher(index, mode="sql")
+    base = sorted(r["doc_id"] for r in s.matching(Q.Fuzzy("quik", max_edits=1)).collect())
+    pfx = sorted(
+        r["doc_id"]
+        for r in s.matching(Q.Fuzzy("quik", max_edits=1, prefix_length=1)).collect()
+    )
+    # all edits of 'quik' within the corpus keep the leading 'q'
+    assert pfx == base
+
+    plan = (
+        s.matching(Q.Fuzzy("quik", max_edits=1, prefix_length=1))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "StartsWith(term" in plan.replace(" ", "").replace("'", "") or "StartsWith" in plan
+    assert "length(term" in plan
+    # thresholded levenshtein (early-exit form)
+    assert "levenshtein" in plan
