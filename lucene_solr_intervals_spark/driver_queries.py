@@ -500,6 +500,40 @@ def dismax_topk(spark, sf_dir):
     return _topk(searcher(spark, sf_dir).scored(q))
 
 
+_CLASSIC_TERMS = [T_A, T_B, T_RARE]
+_CT = ", ".join(f"'{t}'" for t in _CLASSIC_TERMS)
+
+@register(
+    "classic_bool_topk",
+    _PRELUDE
+    + f"""
+, ch AS (
+  SELECT tfp.doc_id,
+         sqrt(tfp.tf) * pow(1 + ln(cs.n/(dfp.df+1)), 2) / sqrt(dl.dl) AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term IN ({_CT})
+),
+qn AS (
+  SELECT 1.0/sqrt(sum(pow(1 + ln(cs.n/(df+1)), 2))) AS v
+  FROM dfp CROSS JOIN cs WHERE term IN ({_CT})
+)
+SELECT doc_id,
+       round(sum(score) * (count(*) / {float(len(_CLASSIC_TERMS))}) * (SELECT v FROM qn), 4)
+         AS score
+FROM ch GROUP BY doc_id
+ORDER BY 2 DESC, doc_id ASC LIMIT 10
+""",
+)
+def classic_bool_topk(spark, sf_dir):
+    """DefaultSimilarity (the reference's DEFAULT similarity,
+    IndexSearcher.java:92) Boolean SHOULD top-k: score = coord * queryNorm *
+    Σ sqrt(tf) * idf² / sqrt(dl), idf = 1+ln(N/(df+1)) — DefaultSimilarity
+    .java:45,51-59,109,120; engine mode="classic" (float64 exact-doclen
+    variant; float32+byte315 parity mode is pytest-golden-tested)."""
+    q = Q.Boolean(should=tuple(Q.Term(t) for t in _CLASSIC_TERMS))
+    return _topk(searcher(spark, sf_dir, mode="classic").scored(q))
+
+
 @register(
     "search_after_page2",
     _PRELUDE

@@ -96,7 +96,11 @@ class Searcher:
         b: float = B,
         text_col: str = "text",
     ):
-        assert mode in ("sql", "lucene")
+        # Similarity strategy (the §2.11 extension point): two families, two
+        # precision modes each — BM25Similarity ("sql"/"lucene") and
+        # DefaultSimilarity classic TF-IDF ("classic"/"classic_lucene"),
+        # the reference's default (IndexSearcher.java:92).
+        assert mode in ("sql", "lucene", "classic", "classic_lucene")
         self.index = index
         self.corpus = corpus
         self.mode = mode
@@ -123,8 +127,20 @@ class Searcher:
 
     # ------------------------------------------------------------- scoring
 
+    @property
+    def _classic(self) -> bool:
+        return self.mode in ("classic", "classic_lucene")
+
+    @property
+    def _f32(self) -> bool:
+        """Quantized-norm float32 modes (the rank-parity targets)."""
+        return self.mode in ("lucene", "classic_lucene")
+
     def _idf_col(self, df_col):
         n = self.index.max_doc
+        if self._classic:
+            # DefaultSimilarity.java:120 — 1 + ln(N / (df + 1))
+            return F.lit(1.0) + F.log(F.lit(float(n)) / (df_col + 1.0))
         return F.log(F.lit(1.0) + (F.lit(float(n)) - df_col + 0.5) / (df_col + 0.5))
 
     def _norm_col(self, doclen_col, field: str | None = None):
@@ -134,22 +150,45 @@ class Searcher:
         )
 
     def _score_col(self, idf_col, tf_col, doclen_col, field: str | None = None):
+        if self._classic:
+            # un-normalized classic term score: sqrt(tf) * idf^2 / sqrt(dl)
+            # (queryNorm and coord are query-level — applied in scored())
+            return F.sqrt(tf_col) * idf_col * idf_col / F.sqrt(doclen_col)
         return idf_col * F.lit(self.k1 + 1.0) * tf_col / (
             tf_col + self._norm_col(doclen_col, field)
         )
 
     def _lucene_score_udf(self, field: str | None = None):
-        """float32-exact scorer: (tf, norm_byte, df) -> score, via the
-        quantized norm cache of `field` (BM25Similarity.java:206-238 binds
-        the cache to the field's avgdl, :82-89)."""
+        """float32-exact scorer: (tf, norm_byte, df) -> score.
+
+        mode="lucene": BM25 via the quantized norm cache of `field`
+        (BM25Similarity.java:206-238 binds the cache to the field's avgdl).
+        mode="classic_lucene": DefaultSimilarity — sqrt(tf) * idf^2 *
+        byte315ToFloat(norm_byte) (TFIDFSimilarity TermScorer path; the
+        query-level queryNorm/coord are applied in scored())."""
         import numpy as np
 
         from ..scoring.bm25 import idf as idf32
         from ..scoring.bm25 import norm_cache
+        from ..scoring.classic import DECODE_TABLE, idf_classic
+
+        n_docs = self.index.max_doc
+
+        if self.mode == "classic_lucene":
+
+            @F.pandas_udf(T.FloatType())
+            def _score_classic(
+                tf: pd.Series, norm_byte: pd.Series, df: pd.Series
+            ) -> pd.Series:
+                tf32 = np.sqrt(tf.to_numpy(dtype=np.float32), dtype=np.float32)
+                i = idf_classic(df.to_numpy(dtype=np.int64), n_docs)
+                norm = DECODE_TABLE[norm_byte.to_numpy(dtype=np.int64) & 0xFF]
+                return pd.Series((i * i * tf32 * norm).astype(np.float32))
+
+            return _score_classic
 
         avgdl = self.index.avgdl_of(field) if field else self.index.avgdl
         cache = norm_cache(avgdl, self.k1, self.b)
-        n_docs = self.index.max_doc
         k1 = np.float32(self.k1)
 
         @F.pandas_udf(T.FloatType())
@@ -183,7 +222,7 @@ class Searcher:
             .join(F.broadcast(stats), "term")
             .join(idx.docs.where(F.col("field") == f).select("doc_id", "doclen", "norm_byte"), "doc_id")
         )
-        if self.mode == "lucene":
+        if self._f32:
             score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
         else:
             score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
@@ -257,7 +296,99 @@ class Searcher:
     # --------------------------------------------------------- scored sets
 
     def scored(self, q: Q.Query) -> DataFrame:
-        """All matching docs with scores: (doc_id, score)."""
+        """All matching docs with scores: (doc_id, score).
+
+        Classic modes apply the query-level queryNorm here — the
+        IndexSearcher.createNormalizedWeight step (one normalization at the
+        TOP of the tree; TFIDFSimilarity$IDFStats.normalize) — while the
+        recursive clause scoring below stays un-normalized."""
+        out = self._scored_raw(q)
+        if self._classic:
+            qn = self._query_norm(q)
+            if qn != 1.0:
+                out = out.select(
+                    "doc_id", (F.col("score") * F.lit(float(qn))).alias("score")
+                )
+        return out
+
+    def _query_norm(self, q: Q.Query) -> float:
+        """queryNorm = 1/sqrt(sumOfSquaredWeights) (DefaultSimilarity.java:56-59).
+        float32 like Java under classic_lucene; float64 under classic (the
+        SQL-expressible variant the DuckDB oracle replays); BM25Similarity
+        overrides queryNorm to 1."""
+        import math
+
+        ssw = self._sum_sq_weights(q)
+        if self.mode == "classic":
+            return 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+        from ..scoring.classic import query_norm
+
+        return float(query_norm(ssw))
+
+    def _sum_sq_weights(self, q: Q.Query) -> float:
+        """getValueForNormalization over the query tree: Term -> (idf*boost)^2
+        (TFIDFSimilarity$IDFStats), positional -> summed idf (PhraseWeight /
+        IntervalFilterQuery.getSimWeight), Boolean/DisMax -> boost^2 * Σ
+        clause values (BooleanWeight / DisjunctionMaxWeight), constant-score
+        shapes -> boost^2.  Accumulates float32 (Java parity) under
+        classic_lucene, float64 under classic."""
+        import math
+
+        import numpy as np
+
+        from ..scoring.classic import idf_classic
+
+        f32 = self.mode == "classic_lucene"
+        wrap = np.float32 if f32 else float
+        n = self.index.max_doc
+
+        def idf_of(field, term):
+            df = self._df_of(field, term)
+            if f32:
+                return idf_classic(df, n)
+            return 1.0 + math.log(n / (df + 1.0))
+
+        boost = wrap(getattr(q, "boost", 1.0))
+        if isinstance(q, Q.Term):
+            w = wrap(idf_of(self._field_of(q), q.term) * boost)
+            return float(wrap(w * w))
+        if isinstance(
+            q,
+            (Q.Phrase, Q.MultiPhrase, Q.OrderedNear, Q.UnorderedNear,
+             Q.NonOverlapping, Q.IntervalFiltered),
+        ):
+            f = self._positional_field(q)
+            s = wrap(0.0)
+            for t in Q.terms_of(q):
+                s = wrap(s + idf_of(f, t))
+            w = wrap(s * boost)
+            return float(wrap(w * w))
+        if isinstance(q, (Q.Boolean, Q.DisjunctionMax)):
+            subs = (
+                tuple(q.must) + tuple(q.should)
+                if isinstance(q, Q.Boolean)
+                else q.subs
+            )
+            s = wrap(0.0)
+            for c in subs:
+                s = wrap(s + wrap(self._sum_sq_weights(c)))
+            return float(wrap(boost * boost * s))
+        return float(wrap(boost * boost))
+
+    def _df_of(self, field: str, term: str) -> int:
+        """Driver-side point df lookup (memoized; query-term-bounded)."""
+        memo = getattr(self, "_df_point_memo", None)
+        if memo is None:
+            memo = self._df_point_memo = {}
+        key = (field, term)
+        if key not in memo:
+            rows = self.index.term_stats.where(
+                (F.col("field") == field) & (F.col("term") == term)
+            ).collect()
+            memo[key] = int(rows[0]["df"]) if rows else 0
+        return memo[key]
+
+    def _scored_raw(self, q: Q.Query) -> DataFrame:
         if isinstance(q, Q.Term):
             return self.term_hits([q.term], field=self._field_of(q)).select(
                 "doc_id", (F.col("score") * F.lit(q.boost)).alias("score")
@@ -294,7 +425,7 @@ class Searcher:
 
         if isinstance(q, Q.DisjunctionMax):
             parts = [
-                self.scored(sub).select("doc_id", "score") for sub in q.subs
+                self._scored_raw(sub).select("doc_id", "score") for sub in q.subs
             ]
             u = parts[0]
             for p in parts[1:]:
@@ -324,13 +455,13 @@ class Searcher:
         parts = []
         for c in q.must:
             parts.append(
-                self.scored(c).select(
+                self._scored_raw(c).select(
                     "doc_id", "score", F.lit(1).alias("is_must"), F.lit(0).alias("is_should")
                 )
             )
         for c in q.should:
             parts.append(
-                self.scored(c).select(
+                self._scored_raw(c).select(
                     "doc_id", "score", F.lit(0).alias("is_must"), F.lit(1).alias("is_should")
                 )
             )
@@ -350,7 +481,15 @@ class Searcher:
             msm = max(msm, 1)
         if msm:
             cond = cond & (F.col("n_should") >= msm)
-        out = agg.where(cond).select("doc_id", (F.col("score") * F.lit(q.boost)).alias("score"))
+        score = F.col("score") * F.lit(q.boost)
+        if self._classic and (q.must or q.should):
+            # coord(overlap, maxOverlap) = overlap / maxOverlap
+            # (DefaultSimilarity.java:51-53; BM25's coord override == 1)
+            max_overlap = len(q.must) + len(q.should)
+            score = score * (
+                (F.col("n_must") + F.col("n_should")) / F.lit(float(max_overlap))
+            )
+        out = agg.where(cond).select("doc_id", score.alias("score"))
         for c in q.must_not:
             out = out.join(self.matching(c), "doc_id", "left_anti")
         return out
@@ -511,7 +650,7 @@ class Searcher:
                 "doc_id",
             )
         )
-        if self.mode == "lucene":
+        if self._f32:
             score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
         else:
             score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
@@ -698,10 +837,25 @@ class Searcher:
 
         from ..scoring.bm25 import idf as idf32
 
-        sum_idf32 = np.float32(0.0)
-        for t in Q.terms_of(q):
-            sum_idf32 = np.float32(sum_idf32 + idf32(stats.get(t, 0), n))
-        sum_idf = float(sum_idf32)
+        if self._classic:
+            if self.mode == "classic_lucene":
+                from ..scoring.classic import idf_classic
+
+                s32 = np.float32(0.0)
+                for t in Q.terms_of(q):
+                    s32 = np.float32(s32 + idf_classic(stats.get(t, 0), n))
+                sum_idf = float(s32)
+            else:  # classic sql mode: float64 exact
+                import math
+
+                sum_idf = sum(
+                    1.0 + math.log(n / (stats.get(t, 0) + 1.0)) for t in Q.terms_of(q)
+                )
+        else:
+            sum_idf32 = np.float32(0.0)
+            for t in Q.terms_of(q):
+                sum_idf32 = np.float32(sum_idf32 + idf32(stats.get(t, 0), n))
+            sum_idf = float(sum_idf32)
 
         if freq_mode == "one":
             freq = F.lit(1.0)
@@ -711,7 +865,25 @@ class Searcher:
             freq = F.col("res.sloppy_freq")
 
         boost = getattr(q, "boost", 1.0)
-        if self.mode == "lucene":
+        if self.mode == "classic_lucene":
+            # DefaultSimilarity phrase/interval scoring: sqrt(freq) * idf^2
+            # * decodeNorm (PhraseWeight binds the summed idf); queryNorm is
+            # applied once at the top of the tree (scored())
+            import numpy as np
+
+            from ..scoring.classic import DECODE_TABLE
+
+            # sum_idf here is classic idf summed (float32) by the caller
+            w = np.float32(np.float32(sum_idf) * np.float32(sum_idf))
+
+            @F.pandas_udf(T.FloatType())
+            def _iscore_c(fr: pd.Series, nb: pd.Series) -> pd.Series:
+                f32 = np.sqrt(fr.to_numpy(dtype=np.float32), dtype=np.float32)
+                norm = DECODE_TABLE[nb.to_numpy(dtype=np.int64) & 0xFF]
+                return pd.Series((w * f32 * norm).astype(np.float32))
+
+            score = (_iscore_c(freq, F.col("norm_byte")) * F.lit(boost)).alias("score")
+        elif self.mode == "lucene":
             # float32 + quantized norms, consistent with the packed path
             import numpy as np
 
@@ -918,6 +1090,39 @@ class Searcher:
             import math
 
             idf_v = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            if self._classic:
+                # DefaultSimilarity explain: queryNorm * sqrt(tf) * idf^2 * norm
+                import numpy as np
+
+                from ..scoring.classic import DECODE_TABLE, idf_classic, query_norm
+
+                qn = query_norm(self._sum_sq_weights(q))
+                if self.mode == "classic_lucene":
+                    i32 = idf_classic(df, n)
+                    norm = np.float32(DECODE_TABLE[int(drow["norm_byte"]) & 0xFF])
+                    tf32 = np.sqrt(np.float32(tf), dtype=np.float32)
+                    value = float(
+                        np.float32(
+                            np.float32(i32 * i32) * tf32 * norm * qn * np.float32(q.boost)
+                        )
+                    )
+                    idf_v = float(i32)
+                else:
+                    idf_v = 1.0 + math.log(n / (df + 1.0))
+                    value = (
+                        math.sqrt(tf) * idf_v * idf_v / math.sqrt(float(drow["doclen"]))
+                        * float(qn) * q.boost
+                    )
+                return {
+                    "match": True,
+                    "value": value,
+                    "description": f"weight({f}:{q.term} in {doc_id}) [DefaultSimilarity]",
+                    "details": [
+                        {"value": idf_v, "description": f"idf(docFreq={df}, numDocs={n})"},
+                        {"value": float(qn), "description": "queryNorm"},
+                        {"value": tf, "description": f"tf(freq={tf})"},
+                    ],
+                }
             if self.mode == "lucene":
                 import numpy as np
 
