@@ -635,6 +635,71 @@ def group_top2_per_source(spark, sf_dir):
 
 
 @register(
+    "expand_topn",
+    _PRELUDE
+    + _hits_cte([T_A])
+    + """
+SELECT source, doc_id, score FROM (
+  SELECT d.source AS source, h.doc_id, round(h.score, 4) AS score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY round(h.score, 4) DESC, h.doc_id ASC) AS rn
+  FROM hits h JOIN documents d USING (doc_id)
+) WHERE rn BETWEEN 2 AND 3
+""",
+)
+def expand_topn(spark, sf_dir):
+    """ExpandComponent (ExpandComponent.java:95): collapse hits to one head
+    per `source`, then return the NEXT 2 docs of each collapsed group (the
+    expand section — heads excluded)."""
+    from .search.grouping import collapse_expand
+
+    s = searcher(spark, sf_dir)
+    hits = s.scored(Q.Term(T_A)).withColumn("score", F.round("score", 4))
+    docs = get_docs(spark, sf_dir)
+    joined = hits.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"), "doc_id"
+    )
+    _, expanded = collapse_expand(joined, "source", n_expand=2)
+    return expanded.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"), "score"
+    )
+
+
+@register(
+    "suggest_prefix",
+    _PRELUDE
+    + """
+SELECT term AS suggestion, CAST(df AS BIGINT) AS weight
+FROM dfp WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+""",
+)
+def suggest_prefix(spark, sf_dir):
+    """Prefix suggester (AnalyzingSuggester.java:86 FST role): completions
+    of 's' from the term dictionary, weight = df desc."""
+    from .search.suggest import suggest_prefix as _sp
+
+    return _sp(get_index(spark, sf_dir), "s", k=10)
+
+
+@register(
+    "suggest_infix",
+    _PRELUDE
+    + """
+SELECT term AS suggestion, CAST(df AS BIGINT) AS weight
+FROM dfp WHERE term LIKE '%or%'
+ORDER BY df DESC, term ASC LIMIT 10
+""",
+)
+def suggest_infix(spark, sf_dir):
+    """Infix suggester (AnalyzingInfixSuggester.java:109): terms containing
+    'or' anywhere, weight = df desc."""
+    from .search.suggest import suggest_infix as _si
+
+    return _si(get_index(spark, sf_dir), "or", k=10)
+
+
+@register(
     "query_parser_topk",
     _PRELUDE
     + _hits_cte([T_A, T_B, T_RARE])

@@ -49,6 +49,17 @@ def hash48_sql(expr: str, seed: int) -> str:
     return f"CAST(('0x' || substr(md5({expr} || '#{seed}'), 1, 12)) AS BIGINT)"
 
 
+def hash_fn(col: Column, seed: int, family: str = "md5") -> Column:
+    """Seeded integer hash for sketching.  family="md5" is the oracle mode
+    (hash48 — DuckDB-replicable, CORRECTNESS hash-match); family="xxhash64"
+    is the throughput mode (~3x faster per call, single JVM intrinsic, no
+    md5+hex+conv chain) for production-scale runs where a rows-only check
+    suffices."""
+    if family == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    return hash48(col, seed)
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash: (canonical_doc_id, n_dups)."""
     h = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.md5(text_col).alias("h"))
@@ -151,16 +162,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures over n-gram shingles.
 
-    Hash family: hash48(shingle, seed=i) — JVM-side md5+conv, no UDF, and
-    bit-identical in DuckDB so the oracle replays the whole pipeline.
+    Default hash family: hash48(shingle, seed=i) — JVM-side md5+conv, no
+    UDF, and bit-identical in DuckDB so the oracle replays the whole
+    pipeline.  hash_family="xxhash64" is the fast path (same plan shape).
     Pass `shingles` to reuse an already-persisted shingle scan.
     """
     sh = shingles if shingles is not None else shingles_df(docs, n, id_col, text_col)
     mins = sh.groupBy("doc_id").agg(
-        *[F.min(hash48(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(hash_fn(F.col("shingle"), i, hash_family)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -175,6 +191,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -182,11 +199,15 @@ def minhash_lsh_pairs(
     candidates (one shuffle on the band key — no cross join), then exact
     shingle Jaccard filters to >= threshold.  The shingle scan is computed
     ONCE and persisted — signatures and verification share it.
-    """
+    hash_family="xxhash64" swaps the LSH hash for the fast JVM intrinsic
+    (verification is exact Jaccard either way, so output differs only if a
+    banding near-miss differs)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sh = shingles_df(docs, n, id_col, text_col).persist()
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles=sh)
+    sig = minhash_signatures(
+        docs, num_hashes, n, id_col, text_col, shingles=sh, hash_family=hash_family
+    )
     # band key: the r signature values concatenated — no second hash needed
     # (and trivially replicable in SQL)
     band_rows = sig.select(

@@ -1,0 +1,108 @@
+"""Suggest (prefix/infix/stored), collapse+expand, and the xxhash64 minhash
+fast path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_intervals_spark.index.builder import build_index
+from lucene_solr_intervals_spark.search import queries as Q
+from lucene_solr_intervals_spark.search.executor import Searcher
+from lucene_solr_intervals_spark.search.grouping import collapse_expand, group_topk
+from lucene_solr_intervals_spark.search.suggest import (
+    suggest_infix,
+    suggest_prefix,
+    suggest_stored,
+)
+
+CORPUS = [
+    (0, "merge sort and merge join", "a"),
+    (1, "merge the sorted runs", "a"),
+    (2, "sort sort sort quickly", "a"),
+    (3, "mermaid merchant merge", "b"),
+    (4, "quick sort beats bubble sort", "b"),
+    (5, "sorting networks merge", "b"),
+    (6, "merge merge merge merge", "c"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text", "source"])
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    idx = build_index(corpus, analyzer="code")
+    yield idx
+    idx.unpersist()
+
+
+def test_suggest_prefix_weight_order(index):
+    got = [(r["suggestion"], r["weight"]) for r in suggest_prefix(index, "mer", k=10).collect()]
+    # merge df=5 docs, mermaid df=1, merchant df=1 -> weight desc, term asc
+    assert got == [("merge", 5), ("merchant", 1), ("mermaid", 1)]
+    # k caps
+    assert len(suggest_prefix(index, "mer", k=2).collect()) == 2
+
+
+def test_suggest_infix(index):
+    got = [r["suggestion"] for r in suggest_infix(index, "ort", k=10).collect()]
+    # sort (df 3), sorted (1), sorting (1) — all contain 'ort'
+    assert got[0] == "sort"
+    assert set(got) == {"sort", "sorted", "sorting"}
+
+
+def test_suggest_stored(corpus):
+    titled = corpus.withColumn("views", F.col("doc_id") * 10 + 1)
+    got = [
+        (r["suggestion"], r["weight"])
+        for r in suggest_stored(titled, "text", "views", "MERGE", k=3).collect()
+    ]
+    # case-insensitive infix over stored text, weight desc
+    assert got[0][0] == "merge merge merge merge"
+    assert [w for _, w in got] == sorted([w for _, w in got], reverse=True)
+
+
+def test_collapse_expand(spark, corpus, index):
+    s = Searcher(index, mode="sql")
+    hits = s.scored(Q.Term("merge")).join(
+        corpus.select(F.col("doc_id").cast("long").alias("doc_id"), "source"), "doc_id"
+    )
+    collapsed, expanded = collapse_expand(hits, "source", n_expand=1)
+    col_rows = {r["source"]: r["doc_id"] for r in collapsed.collect()}
+    exp_rows = {(r["source"], r["doc_id"]) for r in expanded.collect()}
+    # one head per group that has merge-matching docs
+    assert set(col_rows) == {"a", "b", "c"}
+    # expanded never contains a head, and <= 1 per group
+    for src, d in exp_rows:
+        assert col_rows[src] != d
+    per_group = {}
+    for src, _ in exp_rows:
+        per_group[src] = per_group.get(src, 0) + 1
+    assert all(v <= 1 for v in per_group.values())
+    # group c has a single matching doc -> no expand rows
+    assert "c" not in per_group
+    # group_topk(k=2) == collapsed + expanded(n=1)
+    both = {(r["source"], r["doc_id"]) for r in group_topk(hits, "source", 2).collect()}
+    assert both == exp_rows | {(s_, d) for s_, d in col_rows.items()}
+
+
+def test_minhash_xxhash64_fast_path(spark):
+    """Both hash families find the planted near-duplicate pair; md5 mode
+    stays the oracle default."""
+    from lucene_solr_intervals_spark.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, base + f"unique tail {i} " + "filler words " * i) for i in range(8)]
+    rows.append((100, base + "unique tail 0 tiny edit"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_hashes=16, bands=8, threshold=0.5)
+    md5_pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, **kw).collect()}
+    xx_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, hash_family="xxhash64", **kw).collect()
+    }
+    assert (0, 100) in md5_pairs
+    assert (0, 100) in xx_pairs
