@@ -198,6 +198,88 @@ def fast_shape(q) -> tuple | None:
     return None
 
 
+def interval_shape(q) -> tuple | None:
+    """fast_shape extended with the shapes whose minimal-interval ENDPOINTS
+    (not just existence/counts) are extractable vectorized — the offsets /
+    highlighting feed.  Adds ("term", t): every position is an interval."""
+    if isinstance(q, Q.Term):
+        return ("term", q.term)
+    return fast_shape(q)
+
+
+def run_shape_intervals(
+    shape: tuple, term_keys: dict[str, np.ndarray], stride: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(begin_keys, end_keys) of every surviving minimal interval of `shape`
+    — the vectorized twin of kernel.match_intervals for the fast shapes,
+    used by offsets extraction (one searchsorted per endpoint stream instead
+    of a per-doc Python iterator tree).
+
+    Shape semantics (each pinned by the golden cross-path tests):
+      term      every position, begin == end (TermIntervalIterator).
+      phrase    starts from exact_phrase; end = start + k - 1 (BlockIter).
+      orderedk  per chain end, begin = LATEST valid chain start (the
+                ordered_near_k invariant); the antichain keeps the FIRST end
+                of each distinct begin (ends ascend, begins nondecrease, so
+                later equal-begin intervals strictly contain the first);
+                WithinOrderedFilter keeps dist = end-(k-1)-begin <= slop.
+      sloppy2 / unordered2  consecutive opposite-type neighbors in the
+                merged stream (the 2-term conjunction's minimal antichain),
+                gap - 1 <= slop.
+    """
+    kind = shape[0]
+    if kind == "term":
+        keys = term_keys.get(shape[1], _EMPTY)
+        return keys, keys
+    if kind == "phrase":
+        terms = shape[1]
+        starts = exact_phrase([term_keys.get(t, _EMPTY) for t in terms])
+        return starts, starts + np.int64(len(terms) - 1)
+    if kind == "orderedk":
+        terms, slop = shape[1], shape[2]
+        keys = [term_keys.get(t, _EMPTY) for t in terms]
+        if any(k.size == 0 for k in keys):
+            return _EMPTY, _EMPTY
+        cur = keys[0]
+        begins = cur
+        for nxt in keys[1:]:
+            idx = np.searchsorted(cur, nxt, side="left")
+            has_prev = idx > 0
+            prev_i = np.maximum(idx - 1, 0)
+            same_doc = (cur[prev_i] // stride) == (nxt // stride)
+            ok = has_prev & same_doc
+            if not ok.any():
+                return _EMPTY, _EMPTY
+            begins = begins[prev_i[ok]]
+            cur = nxt[ok]
+        keep = np.concatenate([[True], begins[1:] != begins[:-1]])
+        begins, cur = begins[keep], cur[keep]
+        k = len(terms)
+        sel = (cur - (k - 1)) - begins <= slop
+        return begins[sel], cur[sel]
+    a = term_keys.get(shape[1], _EMPTY)
+    b = term_keys.get(shape[2], _EMPTY)
+    slop = shape[3]
+    if kind in ("sloppy2", "unordered2"):
+        if a.size == 0 or b.size == 0:
+            return _EMPTY, _EMPTY
+        keys = np.concatenate([a, b])
+        typ = np.concatenate(
+            [np.zeros(a.size, dtype=np.int8), np.ones(b.size, dtype=np.int8)]
+        )
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        t = typ[order]
+        if ks.size < 2:
+            return _EMPTY, _EMPTY
+        same_doc = (ks[1:] // stride) == (ks[:-1] // stride)
+        diff_type = t[1:] != t[:-1]
+        gap = ks[1:] - ks[:-1]
+        sel = same_doc & diff_type & (gap - 1 <= slop)
+        return ks[:-1][sel], ks[1:][sel]
+    raise ValueError(kind)  # pragma: no cover
+
+
 def run_shape(
     shape: tuple, term_keys: dict[str, np.ndarray], stride: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -976,6 +976,119 @@ class Searcher:
             F.col("h.snippet").alias("snippet"),
         )
 
+    def highlight_fragments(
+        self,
+        q: Q.Query,
+        k: int = 10,
+        n_fragments: int = 3,
+        fragment_size: int = 100,
+        analyzer: str = "code",
+    ) -> DataFrame:
+        """Highlighter.getBestFragments analog (lucene/highlighter/src/java/
+        org/apache/lucene/search/highlight/Highlighter.java getBestFragments
+        + SimpleFragmenter): split each top-k doc into fixed-size character
+        fragments, score each fragment by how many surviving query intervals
+        start inside it (the QueryScorer role, with the fork's minimal
+        intervals standing in for term weights), and return the top
+        `n_fragments` NON-OVERLAPPING fragments per doc ordered by fragment
+        score desc then position asc.
+
+        Returns (doc_id, score, frag_rank, offset_begin, offset_end,
+        n_matches, snippet).
+        """
+        if self.corpus is None:
+            raise ValueError("highlight requires a corpus DataFrame")
+        from ..analysis.tokenizer import OFFSET_ANALYZERS
+
+        expanded = self._expand_tree(q)
+        top = self.search(q, k)
+        joined = top.join(
+            self.corpus.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col(self._text_col).alias("_text"),
+            ),
+            "doc_id",
+        )
+        tok_fn = OFFSET_ANALYZERS[analyzer]
+        query = expanded
+        fsz = int(fragment_size)
+        nfr = int(n_fragments)
+
+        frag_schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("offset_begin", T.IntegerType()),
+                    T.StructField("offset_end", T.IntegerType()),
+                    T.StructField("n_matches", T.IntegerType()),
+                    T.StructField("snippet", T.StringType()),
+                ]
+            )
+        )
+
+        @F.pandas_udf(frag_schema)
+        def _frags(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                terms, positions, starts, ends, _ = tok_fn(text)
+                pos: dict[str, list[int]] = {}
+                cs: dict[int, int] = {}
+                for t, p, s0, _e0 in zip(terms, positions, starts, ends):
+                    pos.setdefault(t, []).append(p)
+                    cs[p] = s0
+                m = IK.match_intervals(query, pos) if query is not None else None
+                if not m:
+                    out.append([])
+                    continue
+                # token-aligned fragmentation (SimpleFragmenter.isNewFragment:
+                # a new fragment starts when the NEXT token would exceed the
+                # size budget — fragments never split a token, so a match is
+                # always whole inside its fragment)
+                bounds: list[tuple[int, int]] = []  # (char_lo, char_hi)
+                frag_of_tok: list[int] = []
+                lo = 0
+                hi = 0
+                for s0, e0 in zip(starts, ends):
+                    if e0 - lo > fsz and hi > lo:
+                        bounds.append((lo, hi))
+                        lo = s0
+                    frag_of_tok.append(len(bounds))
+                    hi = e0
+                if hi > lo or not bounds:
+                    bounds.append((lo, max(hi, lo)))
+                frag_of_pos = dict(zip(positions, frag_of_tok))
+                counts: dict[int, int] = {}
+                for b, _e in m:
+                    fi = frag_of_pos.get(b, 0)
+                    counts[fi] = counts.get(fi, 0) + 1
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:nfr]
+                frags = [
+                    {
+                        "offset_begin": bounds[fi][0],
+                        "offset_end": bounds[fi][1],
+                        "n_matches": n,
+                        "snippet": text[bounds[fi][0] : bounds[fi][1]],
+                    }
+                    for fi, n in best
+                ]
+                # rank by score desc, position asc (getBestFragments order)
+                frags.sort(key=lambda f: (-f["n_matches"], f["offset_begin"]))
+                out.append(frags)
+            return pd.Series(out)
+
+        return (
+            joined.withColumn("frags", _frags(F.col("_text")))
+            .select("doc_id", "score", F.posexplode("frags").alias("i", "f"))
+            .select(
+                "doc_id",
+                "score",
+                (F.col("i") + 1).alias("frag_rank"),
+                F.col("f.offset_begin").alias("offset_begin"),
+                F.col("f.offset_end").alias("offset_end"),
+                F.col("f.n_matches").alias("n_matches"),
+                F.col("f.snippet").alias("snippet"),
+            )
+        )
+
     def intervals(self, q: Q.Query) -> DataFrame:
         """(doc_id, begin, end) of every surviving interval — the highlighter
         feed (HighlightingIntervalCollector analog)."""

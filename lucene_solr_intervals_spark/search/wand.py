@@ -560,9 +560,12 @@ class SegmentSearcher:
 
         if not self.manifest.get("offsets"):
             raise ValueError("index was built without keep_offsets=True")
+        from ..intervals import vectorized as VK
+
         leaf_terms = sorted(set(Q.terms_of(query)))
         tombstones = self.tombstones
         q = query
+        shape = VK.interval_shape(q)  # endpoint-extractable? decided driver-side
 
         schema = T.StructType(
             [
@@ -587,6 +590,57 @@ class SegmentSearcher:
                 flat, offs = unpack_positions_flat(r["positions"], tfs)
                 fs, fe, _ = unpack_offsets_flat(r["offsets"], tfs)
                 per_term[r["term"]] = (ids, flat, offs, fs, fe)
+
+            if shape is not None:
+                # vectorized: surviving interval ENDPOINT keys from the flat
+                # streams, then ONE merged searchsorted maps each endpoint to
+                # its character offsets — no per-doc Python loop
+                maxpos = max(
+                    (int(flat.max()) if flat.size else 0)
+                    for _, flat, _, _, _ in per_term.values()
+                )
+                stride = maxpos + len(per_term) + 2
+                term_keys, key_parts, fs_parts, fe_parts = {}, [], [], []
+                for t, (ids, flat, offs, fs, fe) in per_term.items():
+                    keys = (
+                        np.repeat(ids, np.diff(offs)).astype(np.int64) * stride
+                        + flat.astype(np.int64)
+                    )
+                    term_keys[t] = keys
+                    key_parts.append(keys)
+                    fs_parts.append(fs)
+                    fe_parts.append(fe)
+                bkeys, ekeys = VK.run_shape_intervals(shape, term_keys, stride)
+                if bkeys.size == 0:
+                    return empty
+                if tombstones:
+                    keep = ~np.isin(
+                        bkeys // stride, np.fromiter(tombstones, dtype=np.int64)
+                    )
+                    bkeys, ekeys = bkeys[keep], ekeys[keep]
+                    if bkeys.size == 0:
+                        return empty
+                keys_all = np.concatenate(key_parts)
+                fs_all = np.concatenate(fs_parts)
+                fe_all = np.concatenate(fe_parts)
+                order = np.argsort(keys_all, kind="stable")
+                keys_sorted = keys_all[order]
+                ob = np.asarray(fs_all)[order][
+                    np.searchsorted(keys_sorted, bkeys)
+                ]
+                oe = np.asarray(fe_all)[order][
+                    np.searchsorted(keys_sorted, ekeys)
+                ]
+                return pd.DataFrame(
+                    {
+                        "doc_id": (bkeys // stride).astype(np.int64),
+                        "begin": (bkeys % stride).astype(np.int64),
+                        "end": (ekeys % stride).astype(np.int64),
+                        "offset_begin": ob.astype(np.int64),
+                        "offset_end": oe.astype(np.int64),
+                    }
+                )
+
             all_ids = np.unique(np.concatenate([v[0] for v in per_term.values()]))
             idx_of = {
                 t: dict(zip(v[0].tolist(), range(v[0].size)))

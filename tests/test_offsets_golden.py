@@ -145,3 +145,49 @@ def test_packed_offsets_posting_stream(spark, tmp_path):
         for r in ss.intervals_with_offsets(Q.Term("nine")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_packed_offsets_vectorized_equals_fallback(spark, tmp_path):
+    """The vectorized endpoint extraction (run_shape_intervals) must produce
+    byte-identical rows to the per-doc iterator fallback for every fast
+    shape, on a randomized corpus."""
+    import random
+
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+    from lucene_solr_intervals_spark.intervals import vectorized as VK
+
+    rng = random.Random(13)
+    vocab = ["pea", "pod", "hot", "cold", "nine", "days", "old"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 30)
+        rows.append((i, "r", f"p{i}", " ".join(rng.choice(vocab) for _ in range(n))))
+    corpus = spark.createDataFrame(rows, ["doc_id", "repo", "path", "text"])
+    d = str(tmp_path / "vecoff")
+    build_segments(
+        corpus, d, n_segments=3, id_col="doc_id", text_col="text",
+        analyzer="ws", keep_offsets=True,
+    )
+    ss = SegmentSearcher(spark, d)
+
+    queries = [
+        Q.Term("pea"),
+        Q.Phrase(("hot", "cold")),
+        Q.Phrase(("nine", "days", "old")),
+        Q.Phrase(("pea", "pod"), slop=2),
+        Q.OrderedNear(3, (Q.Term("hot"), Q.Term("cold"))),
+        Q.OrderedNear(4, (Q.Term("nine"), Q.Term("days"), Q.Term("old"))),
+        Q.UnorderedNear(2, (Q.Term("pea"), Q.Term("old"))),
+    ]
+    orig = VK.interval_shape
+    for q in queries:
+        assert orig(q) is not None, q
+        fast = sorted(tuple(r) for r in ss.intervals_with_offsets(q).collect())
+        try:
+            VK.interval_shape = lambda _q: None  # force the iterator fallback
+            slow = sorted(tuple(r) for r in ss.intervals_with_offsets(q).collect())
+        finally:
+            VK.interval_shape = orig
+        assert fast == slow, q
+        assert fast, q  # non-vacuous on this corpus

@@ -106,3 +106,32 @@ def test_minhash_xxhash64_fast_path(spark):
     }
     assert (0, 100) in md5_pairs
     assert (0, 100) in xx_pairs
+
+
+def test_multi_fragment_highlighting(spark):
+    """Highlighter.getBestFragments analog: N fragments per doc with
+    non-overlapping offset windows on a doc with multiple match clusters."""
+    text = (
+        "alpha beta gamma " * 6          # no matches: chars 0..101
+        + "target here and target again "  # cluster 1 (2 matches)
+        + "filler words only " * 6         # gap
+        + "target once more "              # cluster 2 (1 match)
+        + "padding tail " * 5
+    )
+    corpus = spark.createDataFrame([(0, text), (1, "no match at all")], ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(idx, corpus=corpus, mode="sql")
+    rows = s.highlight_fragments(
+        Q.Term("target"), k=5, n_fragments=3, fragment_size=80
+    ).collect()
+    assert rows and all(r["doc_id"] == 0 for r in rows)
+    # non-overlapping windows
+    spans = sorted((r["offset_begin"], r["offset_end"]) for r in rows)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0
+    # rank 1 is the densest fragment and every fragment contains a match
+    by_rank = sorted(rows, key=lambda r: r["frag_rank"])
+    assert by_rank[0]["n_matches"] == max(r["n_matches"] for r in rows)
+    assert all("target" in r["snippet"] for r in rows)
+    assert sum(r["n_matches"] for r in rows) == 3
+    idx.unpersist()
