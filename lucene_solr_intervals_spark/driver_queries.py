@@ -273,6 +273,30 @@ def phrase_topk(spark, sf_dir):
 
 
 @register(
+    "ngram_phrase_topk",
+    _PRELUDE
+    + f"""
+, pfreq AS (
+  SELECT t1.doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM tok t1 JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+  WHERE t1.term = '{T_A}' AND t3.term = '{T_C}'
+  GROUP BY t1.doc_id
+)
+SELECT p.doc_id,
+       round({_const_freq_score_sql([T_A, T_C], 'p.freq')}, 4) AS score
+FROM pfreq p JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN cs
+ORDER BY 2 DESC, p.doc_id ASC LIMIT 10
+""",
+)
+def ngram_phrase_topk(spark, sf_dir):
+    """NGramPhraseQuery (NGramPhraseQuery.java:33): the rewrite keeps slots
+    0 and 2 of a 3-gram phrase (every n-th + last, n=2) — a gapped exact
+    phrase; freq = #matches, idf summed over the KEPT terms only."""
+    q = Q.NGramPhrase((T_A, T_B, T_C), n=2)
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
     "ordered_near",
     _PRELUDE
     + f"""

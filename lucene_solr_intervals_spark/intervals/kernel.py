@@ -672,6 +672,20 @@ def build_iter(q, positions: dict[str, list[int]]):
         conj = ConjIter(iters)
         return _replay_nonempty(WithinIter(conj, q.slop))
 
+    if isinstance(q, Q.NGramPhrase):
+        # gapped exact phrase over the REWRITTEN slots (NGramPhraseQuery.java
+        # :33 rewrite: every n-th gram + the last, positions preserved);
+        # interval spans the FULL original phrase width
+        kept = q.kept_slots()
+        if any(positions.get(t) is None for t, _ in kept):
+            return None
+        starts = set(positions[kept[0][0]])  # offset 0 always kept
+        for t, off in kept[1:]:
+            starts &= {p - off for p in positions[t]}
+        k = len(q.terms) - 1
+        items = [(Interval(p, p + k), k and 0) for p in sorted(starts)]
+        return ReplayIter(items) if items else None
+
     if isinstance(q, Q.MultiPhrase):
         slot_iters = []
         for slot in q.slots:

@@ -61,6 +61,17 @@ def exact_phrase(slot_keys: list[np.ndarray]) -> np.ndarray:
     return starts
 
 
+def gapped_phrase(slot_keys: list[np.ndarray], offsets: list[int]) -> np.ndarray:
+    """exact_phrase with explicit per-slot position offsets — the rewritten
+    NGramPhraseQuery shape (slot j's term at start + offsets[j])."""
+    starts = slot_keys[0] - np.int64(offsets[0])
+    for keys, off in zip(slot_keys[1:], offsets[1:]):
+        if starts.size == 0:
+            return _EMPTY
+        starts = starts[np.isin(starts, keys - np.int64(off), assume_unique=True)]
+    return starts
+
+
 def ordered_near_2(
     akeys: np.ndarray, bkeys: np.ndarray, slop: int, stride: int
 ) -> np.ndarray:
@@ -187,6 +198,8 @@ def fast_shape(q) -> tuple | None:
         if q.slop > 0 and len(q.terms) == 2 and q.terms[0] != q.terms[1]:
             return ("sloppy2", q.terms[0], q.terms[1], q.slop)
         return None
+    if isinstance(q, Q.NGramPhrase):
+        return ("phrase_off", q.kept_slots(), len(q.terms))
     if isinstance(q, Q.OrderedNear) and len(q.subs) >= 2:
         if all(isinstance(s, Q.Term) for s in q.subs):
             return ("orderedk", tuple(s.term for s in q.subs), q.slop)
@@ -235,6 +248,12 @@ def run_shape_intervals(
         terms = shape[1]
         starts = exact_phrase([term_keys.get(t, _EMPTY) for t in terms])
         return starts, starts + np.int64(len(terms) - 1)
+    if kind == "phrase_off":
+        kept, total = shape[1], shape[2]
+        starts = gapped_phrase(
+            [term_keys.get(t, _EMPTY) for t, _ in kept], [off for _, off in kept]
+        )
+        return starts, starts + np.int64(total - 1)
     if kind == "orderedk":
         terms, slop = shape[1], shape[2]
         keys = [term_keys.get(t, _EMPTY) for t in terms]
@@ -293,6 +312,13 @@ def run_shape(
         terms = shape[1]
         slots = [term_keys.get(t, _EMPTY) for t in terms]
         starts = exact_phrase(slots)
+        docs, cnt = np.unique(starts // stride, return_counts=True)
+        return docs, cnt.astype(np.int64), cnt.astype(np.float64)
+    if kind == "phrase_off":
+        kept = shape[1]
+        starts = gapped_phrase(
+            [term_keys.get(t, _EMPTY) for t, _ in kept], [off for _, off in kept]
+        )
         docs, cnt = np.unique(starts // stride, return_counts=True)
         return docs, cnt.astype(np.int64), cnt.astype(np.float64)
     if kind == "orderedk":

@@ -354,8 +354,8 @@ class Searcher:
             return float(wrap(w * w))
         if isinstance(
             q,
-            (Q.Phrase, Q.MultiPhrase, Q.OrderedNear, Q.UnorderedNear,
-             Q.NonOverlapping, Q.IntervalFiltered),
+            (Q.Phrase, Q.MultiPhrase, Q.NGramPhrase, Q.OrderedNear,
+             Q.UnorderedNear, Q.NonOverlapping, Q.IntervalFiltered),
         ):
             f = self._positional_field(q)
             s = wrap(0.0)
@@ -442,7 +442,7 @@ class Searcher:
         if isinstance(q, Q.Phrase):
             return self._scored_positional(q, freq_mode="sloppy")
 
-        if isinstance(q, Q.MultiPhrase):
+        if isinstance(q, (Q.MultiPhrase, Q.NGramPhrase)):
             return self._scored_positional(q, freq_mode="count")
 
         if isinstance(q, (Q.OrderedNear, Q.UnorderedNear, Q.NonOverlapping, Q.IntervalFiltered)):

@@ -77,6 +77,29 @@ class MultiPhrase(Query):
 
 
 @dataclass(frozen=True)
+class NGramPhrase(Query):
+    """NGramPhraseQuery (NGramPhraseQuery.java:33): a phrase over an n-gram
+    analyzed field.  Because consecutive grams overlap by n-1 characters,
+    matching every n-th gram PLUS the last implies the full phrase; the
+    rewrite keeps only those slots (positions preserved), cutting the terms
+    checked by ~1/n.  Executed as a gapped exact phrase."""
+
+    terms: tuple[str, ...]
+    n: int = 2
+    boost: float = 1.0
+    field: str | None = None
+
+    def kept_slots(self) -> tuple[tuple[str, int], ...]:
+        """(term, position_offset) pairs after the rewrite
+        (NGramPhraseQuery.rewrite: keep i % n == 0 and the last slot)."""
+        last = len(self.terms) - 1
+        idxs = [i for i in range(len(self.terms)) if i % self.n == 0]
+        if last not in idxs:
+            idxs.append(last)
+        return tuple((self.terms[i], i) for i in idxs)
+
+
+@dataclass(frozen=True)
 class DisjunctionMax(Query):
     subs: tuple[Query, ...]
     tie_breaker: float = 0.0
@@ -239,6 +262,9 @@ def terms_of(q: Query) -> tuple[str, ...]:
         return tuple(q.terms)
     if isinstance(q, MultiPhrase):
         return tuple(t for slot in q.slots for t in slot)
+    if isinstance(q, NGramPhrase):
+        # the rewritten query's terms only (scoring follows the rewrite)
+        return tuple(t for t, _ in q.kept_slots())
     out: list[str] = []
     for child in children_of(q):
         out.extend(terms_of(child))
@@ -257,6 +283,9 @@ def field_term_pairs(q: Query, default_field: str) -> tuple[tuple[str, str], ...
     if isinstance(q, MultiPhrase):
         f = q.field or default_field
         return tuple((f, t) for slot in q.slots for t in slot)
+    if isinstance(q, NGramPhrase):
+        f = q.field or default_field
+        return tuple((f, t) for t, _ in q.kept_slots())
     out: list[tuple[str, str]] = []
     for child in children_of(q):
         out.extend(field_term_pairs(child, default_field))

@@ -457,7 +457,8 @@ class SegmentSearcher:
         q = query
         freq_mode = (
             "count"
-            if isinstance(q, (Q.Phrase, Q.MultiPhrase)) and getattr(q, "slop", 0) == 0
+            if isinstance(q, (Q.Phrase, Q.MultiPhrase, Q.NGramPhrase))
+            and getattr(q, "slop", 0) == 0
             else ("sloppy" if isinstance(q, Q.Phrase) else "one")
         )
         shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side

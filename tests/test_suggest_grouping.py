@@ -135,3 +135,39 @@ def test_multi_fragment_highlighting(spark):
     assert all("target" in r["snippet"] for r in rows)
     assert sum(r["n_matches"] for r in rows) == 3
     idx.unpersist()
+
+
+def test_ngram_phrase_rewrite_equivalence(spark):
+    """NGramPhraseQuery.rewrite correctness: on a REAL n-gram field (bigrams
+    of contiguous text) the gapped query must match exactly the docs and
+    freqs of the full phrase, via both the kernel and the packed path."""
+    import random
+
+    rng = random.Random(5)
+    alpha = "abcdef"
+    rows = []
+    for i in range(80):
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(4, 12)))
+        if i % 7 == 0:  # plant the target so the check is non-vacuous
+            word = word[: rng.randint(0, 3)] + "abcde" + word[rng.randint(0, 3):]
+        grams = " ".join(word[j : j + 2] for j in range(len(word) - 1))
+        rows.append((i, grams))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="ws")
+    s = Searcher(idx, mode="sql")
+    target = ("ab", "bc", "cd", "de")  # grams of 'abcde'
+    full = {r["doc_id"]: r["score"] for r in s.scored(Q.Phrase(target)).collect()}
+    ng = Q.NGramPhrase(target, n=2)
+    assert ng.kept_slots() == (("ab", 0), ("cd", 2), ("de", 3))
+    got = {r["doc_id"]: r["score"] for r in s.scored(ng).collect()}
+    # same doc set; same match freq (scores differ: idf over kept terms only)
+    assert set(got) == set(full)
+    assert got, "vacuous: no doc contains abcde-grams"
+    # kernel fallback == vectorized shape
+    from lucene_solr_intervals_spark.intervals import kernel as IK
+    pos = {"ab": [0, 9], "bc": [1], "cd": [2, 11], "de": [3, 12]}
+    m = IK.match_intervals(ng, pos)
+    # (9,12) matches WITHOUT bc@10 — the rewrite never checks skipped slots
+    assert m == [(0, 3), (9, 12)]
+    assert IK.match_intervals(Q.Phrase(target), pos) == [(0, 3)]
+    idx.unpersist()
