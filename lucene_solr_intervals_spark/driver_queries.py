@@ -66,6 +66,21 @@ def get_index_2field(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return _INDEX_CACHE[key]
 
 
+def get_index_payload(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Index with the PAYLOADS posting stream (pos_mod7 payload family —
+    deterministic and ANSI-SQL replicable)."""
+    key = f"{sf_dir}#payload"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir),
+            id_col="doc_id",
+            text_col="text",
+            analyzer="code",
+            payload="pos_mod7",
+        )
+    return _INDEX_CACHE[key]
+
+
 def searcher(spark: SparkSession, sf_dir: str, mode: str = "sql") -> Searcher:
     return Searcher(get_index(spark, sf_dir), corpus=get_docs(spark, sf_dir), mode=mode)
 
@@ -270,6 +285,30 @@ def phrase_topk(spark, sf_dir):
     """Exact PhraseQuery: freq = #matches, summed idf (PhraseQuery.java:49)."""
     q = Q.Phrase(("table", "hash"))
     return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
+    "payload_term_topk",
+    _PRELUDE
+    + _hits_cte([T_C])
+    + f"""
+, pay AS (
+  SELECT doc_id, avg(CAST(pos % 7 + 1 AS DOUBLE)) AS p
+  FROM tok WHERE term = '{T_C}' GROUP BY doc_id
+)
+SELECT h.doc_id, round(h.score * pay.p, 4) AS score
+FROM hits h JOIN pay ON pay.doc_id = h.doc_id
+ORDER BY 2 DESC, h.doc_id ASC LIMIT 10
+""",
+)
+def payload_term_topk(spark, sf_dir):
+    """PayloadTermQuery + AveragePayloadFunction (PayloadTermQuery.java:55):
+    score = BM25 spanScore * avg(payload at matching positions); payload
+    stream = pos_mod7 (builder PAYLOAD_EXPRS), stored aligned with
+    positions — the PAYLOADS posting feature (Weight.java:217-235)."""
+    idx = get_index_payload(spark, sf_dir)
+    s = Searcher(idx, mode="sql")
+    return _topk(s.scored(Q.PayloadTerm(T_C, fn="avg")))
 
 
 @register(

@@ -169,6 +169,22 @@ class InvertedIndex:
                 pass
 
 
+# PAYLOADS posting feature (Weight.PostingFeatures.PAYLOADS,
+# lucene/core/src/java/org/apache/lucene/search/Weight.java:217-235): a
+# per-position value stream parallel to positions.  Lucene payloads are
+# produced by analysis-chain filters; each registry entry is the JVM-column
+# twin of one such filter over the occurrence stream (term, pos, ...):
+#   token_len  NumericPayloadTokenFilter-style token-derived value
+#   pos_mod7   synthetic position-derived value (deterministic + ANSI-SQL
+#              replicable, so the DuckDB oracle checks the whole pipeline)
+#   delimited  DelimitedPayloadTokenFilter.java:33 — tokens arrive as
+#              "term|payload"; the term is split and the float tail stored
+PAYLOAD_EXPRS = {
+    "token_len": lambda: F.length(F.col("term")).cast("double"),
+    "pos_mod7": lambda: ((F.col("pos") % 7) + 1).cast("double"),
+}
+
+
 def build_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
@@ -178,6 +194,7 @@ def build_index(
     persist: bool = True,
     fields: dict[str, str] | None = None,
     keep_offsets: bool = False,
+    payload: str | None = None,
 ) -> InvertedIndex:
     """Build the exploded inverted index from a corpus DataFrame.
 
@@ -226,20 +243,40 @@ def build_index(
         *([F.col("o.starts").alias("start"), F.col("o.ends").alias("end")] if keep_offsets else []),
     )
 
-    if keep_offsets:
-        # positions + aligned char-offset streams (OFFSETS posting feature):
-        # one struct-sorted collect keeps the three arrays parallel
+    if payload is not None:
+        if payload == "delimited":
+            # DelimitedPayloadTokenFilter: "term|1.5" -> term + float payload
+            occurrences = occurrences.withColumn(
+                "payload",
+                F.coalesce(
+                    F.get(F.split(F.col("term"), r"\|"), 1).cast("double"),
+                    F.lit(1.0),  # undelimited token -> default payload
+                ),
+            ).withColumn("term", F.get(F.split(F.col("term"), r"\|"), 0))
+        else:
+            occurrences = occurrences.withColumn("payload", PAYLOAD_EXPRS[payload]())
+
+    extra = (["start", "end"] if keep_offsets else []) + (
+        ["payload"] if payload is not None else []
+    )
+    if extra:
+        # positions + aligned per-position streams (OFFSETS / PAYLOADS
+        # posting features): one struct-sorted collect keeps arrays parallel
         postings = (
             occurrences.groupBy("field", "term", "doc_id")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("tf"),
-                F.sort_array(F.collect_list(F.struct("pos", "start", "end"))).alias("pse"),
+                F.sort_array(F.collect_list(F.struct("pos", *extra))).alias("pse"),
             )
             .select(
                 "field", "term", "doc_id", "tf",
                 F.col("pse.pos").alias("positions"),
-                F.col("pse.start").alias("starts"),
-                F.col("pse.end").alias("ends"),
+                *(
+                    [F.col("pse.start").alias("starts"), F.col("pse.end").alias("ends")]
+                    if keep_offsets
+                    else []
+                ),
+                *([F.col("pse.payload").alias("payloads")] if payload is not None else []),
             )
         )
     elif keep_positions:

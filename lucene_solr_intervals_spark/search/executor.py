@@ -202,7 +202,11 @@ class Searcher:
         return _score
 
     def term_hits(
-        self, terms: list[str], with_positions: bool = False, field: str | None = None
+        self,
+        terms: list[str],
+        with_positions: bool = False,
+        field: str | None = None,
+        with_payloads: bool = False,
     ) -> DataFrame:
         """Per-(term, doc) scored hits for a list of same-field terms.
 
@@ -212,7 +216,11 @@ class Searcher:
         """
         idx = self.index
         f = field or self.default_field
-        cols = ["term", "doc_id", "tf"] + (["positions"] if with_positions else [])
+        cols = (
+            ["term", "doc_id", "tf"]
+            + (["positions"] if with_positions else [])
+            + (["payloads"] if with_payloads else [])
+        )
         stats = idx.term_stats.where(
             (F.col("field") == f) & F.col("term").isin(terms)
         ).select("term", "df")
@@ -392,6 +400,30 @@ class Searcher:
         if isinstance(q, Q.Term):
             return self.term_hits([q.term], field=self._field_of(q)).select(
                 "doc_id", (F.col("score") * F.lit(q.boost)).alias("score")
+            )
+
+        if isinstance(q, Q.PayloadTerm):
+            # PayloadTermQuery.java:55: spanScore * payloadScore; the payload
+            # function folds the per-position payload stream JVM-side
+            hits = self.term_hits(
+                [q.term], field=self._field_of(q), with_payloads=True
+            )
+            p = F.col("payloads")
+            if q.fn == "avg":
+                pscore = F.aggregate(
+                    p, F.lit(0.0), lambda a, x: a + x
+                ) / F.size(p).cast("double")
+            elif q.fn == "min":
+                pscore = F.array_min(p).cast("double")
+            elif q.fn == "max":
+                pscore = F.array_max(p).cast("double")
+            elif q.fn == "sum":
+                pscore = F.aggregate(p, F.lit(0.0), lambda a, x: a + x)
+            else:
+                raise ValueError(f"unknown payload function {q.fn}")
+            base = F.col("score") if q.include_span_score else F.lit(1.0)
+            return hits.select(
+                "doc_id", (base * pscore * F.lit(float(q.boost))).alias("score")
             )
 
         if isinstance(q, Q.MatchAll):

@@ -77,6 +77,22 @@ class MultiPhrase(Query):
 
 
 @dataclass(frozen=True)
+class PayloadTerm(Query):
+    """PayloadTermQuery (lucene/core/src/java/org/apache/lucene/search/
+    payloads/PayloadTermQuery.java:55): a TermQuery whose score is combined
+    with a PayloadFunction over the payloads at the matching positions —
+    score = spanScore * payloadScore when include_span_score (the default),
+    else payloadScore alone.  fn: avg (AveragePayloadFunction), min, max
+    (MinPayloadFunction / MaxPayloadFunction), sum."""
+
+    term: str
+    fn: str = "avg"
+    include_span_score: bool = True
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class NGramPhrase(Query):
     """NGramPhraseQuery (NGramPhraseQuery.java:33): a phrase over an n-gram
     analyzed field.  Because consecutive grams overlap by n-1 characters,
@@ -256,7 +272,7 @@ class IntervalFiltered(Query):
 
 def terms_of(q: Query) -> tuple[str, ...]:
     """All leaf terms of a query tree, in depth-first order (with repeats)."""
-    if isinstance(q, Term):
+    if isinstance(q, (Term, PayloadTerm)):
         return (q.term,)
     if isinstance(q, Phrase):
         return tuple(q.terms)
@@ -275,7 +291,7 @@ def field_term_pairs(q: Query, default_field: str) -> tuple[tuple[str, str], ...
     """All leaf (field, term) pairs in depth-first order (with repeats) —
     the multi-field analog of :func:`terms_of` (Term.java:38 binds every
     term to a field)."""
-    if isinstance(q, Term):
+    if isinstance(q, (Term, PayloadTerm)):
         return ((q.field or default_field, q.term),)
     if isinstance(q, Phrase):
         f = q.field or default_field
