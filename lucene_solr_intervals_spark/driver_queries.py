@@ -288,6 +288,27 @@ def phrase_topk(spark, sf_dir):
 
 
 @register(
+    "complex_phrase_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT t1.doc_id
+FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.term LIKE 'vec%' AND t2.term = 'window'
+ORDER BY t1.doc_id
+""",
+)
+def complex_phrase_docs(spark, sf_dir):
+    """ComplexPhraseQueryParser (ComplexPhraseQueryParser.java:60): a quoted
+    phrase with a wildcard slot — '"vec* window"' — parsed, the wildcard
+    slot expanded against the term dictionary, executed as a MultiPhrase."""
+    from .search.parser import parse_complex_phrase
+
+    q = parse_complex_phrase('"vec* window"')
+    s = searcher(spark, sf_dir)
+    return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
     "payload_term_topk",
     _PRELUDE
     + _hits_cte([T_C])

@@ -477,6 +477,9 @@ class Searcher:
         if isinstance(q, (Q.MultiPhrase, Q.NGramPhrase)):
             return self._scored_positional(q, freq_mode="count")
 
+        if isinstance(q, Q.ComplexPhrase):
+            return self._scored_raw(self._rewrite_complex_phrase(q))
+
         if isinstance(q, (Q.OrderedNear, Q.UnorderedNear, Q.NonOverlapping, Q.IntervalFiltered)):
             # IntervalFilterQuery: freq() == 1 (IntervalFilterQuery.java:375-377)
             return self._scored_positional(q, freq_mode="one")
@@ -577,6 +580,40 @@ class Searcher:
             return out
         # positional queries: reuse the scored path (kernel decides matches)
         return self.scored(q).select("doc_id")
+
+    def _rewrite_complex_phrase(self, q: Q.ComplexPhrase) -> Q.Query:
+        """ComplexPhraseQuery.rewrite (ComplexPhraseQueryParser.java:60 inner
+        class): expand every multi-term slot against the term dictionary
+        (capped, like the span rewrite materializing terms), then
+
+          slop == 0 -> MultiPhraseQuery over the expanded slots
+          slop  > 0 -> SpanNearQuery(slop, inOrder=true) analog: OrderedNear
+                       over slot disjunctions
+        """
+        expanded: list[tuple[str, ...]] = []
+        for slot in q.slots:
+            terms: list[str] = []
+            for sub in slot:
+                if isinstance(sub, Q.Term):
+                    terms.append(sub.term)
+                else:
+                    rows = self._cap_expansion(self._expand_terms(sub), sub).collect()
+                    terms.extend(r["term"] for r in rows)
+            if not terms:
+                # a slot with zero dictionary matches can never match
+                return Q.Boolean(
+                    must=(Q.Term("\x00__never__"),), boost=q.boost
+                )
+            expanded.append(tuple(sorted(set(terms))))
+        if q.slop == 0:
+            return Q.MultiPhrase(tuple(expanded), boost=q.boost, field=q.field)
+        subs = tuple(
+            Q.Term(ts[0], field=q.field)
+            if len(ts) == 1
+            else Q.Boolean(should=tuple(Q.Term(t, field=q.field) for t in ts))
+            for ts in expanded
+        )
+        return Q.OrderedNear(q.slop, subs, boost=q.boost)
 
     def _expand_terms(self, q: Q.Query) -> DataFrame:
         """Multi-term expansion against the term dictionary (term_stats).

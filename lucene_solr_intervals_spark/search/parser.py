@@ -195,3 +195,59 @@ class QueryParser:
 
 def parse(s: str, default_operator: str = "OR") -> Q.Query:
     return QueryParser(default_operator).parse(s)
+
+
+# ------------------------------------------------- complex phrase parser
+
+_CP_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+def parse_complex_phrase(
+    s: str, slop: int | None = None, field: str | None = None, analyzer=None
+) -> Q.ComplexPhrase:
+    """ComplexPhraseQueryParser subset (ComplexPhraseQueryParser.java:60):
+    the CONTENT of a quoted phrase whose words may carry wildcards / fuzzy
+    suffixes, with parenthesized alternation groups:
+
+        parse_complex_phrase('(john jonathon) smyth*')
+        parse_complex_phrase('"vec* window"~2')        # quoted + slop
+
+    Each word becomes a slot sub-query via the classic term grammar
+    (wildcard/prefix/fuzzy/term); a parenthesized group becomes one slot
+    with several alternatives."""
+    an = analyzer or (lambda t: t.lower())
+    s = s.strip()
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+))?$', s)
+    if m:
+        body = m.group(1)
+        if slop is None:
+            slop = int(m.group(2) or 0)
+    else:
+        body = s
+    slop = slop or 0
+    p = QueryParser(analyzer=an)
+    slots: list[tuple[Q.Query, ...]] = []
+    group: list[Q.Query] | None = None
+    for tok in _CP_TOKEN_RE.findall(body):
+        if tok == "(":
+            group = []
+        elif tok == ")":
+            if not group:
+                raise ValueError("empty alternation group")
+            slots.append(tuple(group))
+            group = None
+        else:
+            sub = p._parse_term(tok)
+            if field is not None:
+                import dataclasses
+
+                sub = dataclasses.replace(sub, field=field)
+            if group is not None:
+                group.append(sub)
+            else:
+                slots.append((sub,))
+    if group is not None:
+        raise ValueError("unbalanced parens in complex phrase")
+    if not slots:
+        raise ValueError(f"empty complex phrase: {s!r}")
+    return Q.ComplexPhrase(tuple(slots), slop=slop, field=field)

@@ -77,6 +77,22 @@ class MultiPhrase(Query):
 
 
 @dataclass(frozen=True)
+class ComplexPhrase(Query):
+    """ComplexPhraseQueryParser's query (lucene/queryparser/src/java/org/
+    apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java:60):
+    a phrase whose slots may be wildcards, prefixes, fuzzies, or
+    alternation groups — '"(john jonathon) smyth*"'.  Rewrites to a
+    MultiPhrase (slop == 0) or an ordered near over slot disjunctions
+    (slop > 0, SpanNearQuery inOrder=true), expanding each multi-term slot
+    against the term dictionary."""
+
+    slots: tuple[tuple[Query, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class PayloadTerm(Query):
     """PayloadTermQuery (lucene/core/src/java/org/apache/lucene/search/
     payloads/PayloadTermQuery.java:55): a TermQuery whose score is combined

@@ -123,3 +123,52 @@ def test_parser_fielded_syntax():
     )
     # bare terms keep the default (None) field
     assert parse("hello") == Q.Term("hello")
+
+
+def test_complex_phrase_parser():
+    from lucene_solr_intervals_spark.search.parser import parse_complex_phrase
+
+    q = parse_complex_phrase('"(john jonathon) smyth*"')
+    assert q.slop == 0 and len(q.slots) == 2
+    assert q.slots[0] == (Q.Term("john"), Q.Term("jonathon"))
+    assert q.slots[1] == (Q.Prefix("smyth"),)
+    q2 = parse_complex_phrase('"vec* windo?"~2')
+    assert q2.slop == 2
+    assert q2.slots == ((Q.Prefix("vec"),), (Q.Wildcard("windo?"),))
+    q3 = parse_complex_phrase("fuzzi~1 exact")
+    assert q3.slots[0] == (Q.Fuzzy("fuzzi", max_edits=1),)
+    assert q3.slots[1] == (Q.Term("exact"),)
+
+
+def test_complex_phrase_execution(spark):
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search.executor import Searcher
+    from lucene_solr_intervals_spark.search.parser import parse_complex_phrase
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "john smyth was here"),
+            (1, "jonathon smythe arrived"),
+            (2, "john smith stayed"),
+            (3, "smyth john reversed"),
+            (4, "john met smythe later on"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(idx, corpus=corpus, mode="sql")
+    # exact complex phrase: (john|jonathon) then smyth* adjacent
+    got = sorted(
+        r["doc_id"]
+        for r in s.matching(parse_complex_phrase('"(john jonathon) smyth*"')).collect()
+    )
+    assert got == [0, 1]
+    # sloppy: ordered near with slop 2 also reaches doc 4 (one word between)
+    got2 = sorted(
+        r["doc_id"]
+        for r in s.matching(parse_complex_phrase('"(john jonathon) smyth*"~2')).collect()
+    )
+    assert got2 == [0, 1, 4]
+    # a slot with no dictionary match -> empty result, no error
+    assert s.matching(parse_complex_phrase('"zzzz* john"')).count() == 0
+    idx.unpersist()
