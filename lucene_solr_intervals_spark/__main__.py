@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="content")
     b.add_argument("--id-col", default=None)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--codec", default="varbyte",
+                   help="postings codec name (codecs.registry: varbyte, plain32)")
 
     m = sub.add_parser("merge", help="compact live segments (tiered)")
     m.add_argument("--index", required=True)
@@ -84,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             resume=args.resume,
+            codec=args.codec,
         )
         print(json.dumps(manifest["metrics"]))
     elif args.cmd == "merge":

@@ -151,11 +151,68 @@ def ws_tokenize_offsets(
     return terms, positions, starts, ends, len(terms)
 
 
+_LETTER_SPLIT = re.compile(r"[^A-Za-z]+")
+
+
+def keyword_tokenize(text: str) -> tuple[list[str], list[int], int]:
+    """KeywordAnalyzer (lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/core/KeywordAnalyzer.java:28): the ENTIRE input as one token,
+    verbatim — id/zipcode-style fields."""
+    if not text:
+        return [], [], 0
+    return [text], [0], 1
+
+
+def letter_tokenize(
+    text: str,
+    lowercase: bool = True,
+    stopwords: frozenset[str] | None = None,
+) -> tuple[list[str], list[int], int]:
+    """LetterTokenizer chain (core/LetterTokenizer.java:36 — maximal runs of
+    letters): SimpleAnalyzer = letter + lowercase (SimpleAnalyzer.java:31);
+    StopAnalyzer adds the english stop set (StopAnalyzer.java:51-55)."""
+    if text is None:
+        return [], [], 0
+    return _analyze(_LETTER_SPLIT.split(text), lowercase, stopwords)
+
+
+# Representative stop sets for two more language chains — the structural
+# analog of the reference's per-language analyzers (FrenchAnalyzer.java /
+# GermanAnalyzer.java: tokenizer -> lowercase -> language stop set); sets
+# are common-knowledge function words, extensible via register_analyzer.
+FRENCH_STOP_WORDS = frozenset(
+    "au aux avec ce ces dans de des du elle en et eux il je la le les leur "
+    "lui ma mais me même mes moi mon ne nos notre nous on ou par pas pour "
+    "qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre "
+    "vous".split()
+)
+GERMAN_STOP_WORDS = frozenset(
+    "aber als am an auch auf aus bei bin bis bist da damit das dass dein "
+    "deine dem den der des dessen die dies diese dir du er es für hatte "
+    "ich ihr ihre im in ist ja kann mein meine mit muss nach nicht noch "
+    "nun oder sein seine sich sie sind so und uns unser unter vom von vor "
+    "war was weiter wie wieder wir wird zu zum zur".split()
+)
+
 ANALYZERS = {
     "code": code_tokenize,
     "code_stop": lambda s: code_tokenize(s, ENGLISH_STOP_WORDS),
     "ws": ws_tokenize,
+    "keyword": keyword_tokenize,
+    "simple": letter_tokenize,
+    "stop": lambda s: letter_tokenize(s, True, ENGLISH_STOP_WORDS),
+    "fr": lambda s: letter_tokenize(s, True, FRENCH_STOP_WORDS),
+    "de": lambda s: letter_tokenize(s, True, GERMAN_STOP_WORDS),
 }
+
+
+def register_analyzer(name: str, fn, offsets_fn=None) -> None:
+    """Custom-analyzer extension point (the Analyzer SPI role): fn maps
+    text -> (terms, positions, doclen); optional offsets_fn additionally
+    returns character (starts, ends) for the OFFSETS posting stream."""
+    ANALYZERS[name] = fn
+    if offsets_fn is not None:
+        OFFSET_ANALYZERS[name] = offsets_fn
 
 OFFSET_ANALYZERS = {
     "code": code_tokenize_offsets,

@@ -106,34 +106,40 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.int64))
 
 
-def pack_doc_ids(doc_ids: np.ndarray) -> bytes:
-    return vb_encode(delta_encode(doc_ids))
+def pack_doc_ids(doc_ids: np.ndarray, codec=None) -> bytes:
+    enc = codec.encode if codec is not None else vb_encode
+    return enc(delta_encode(doc_ids).astype(np.uint64))
 
 
-def unpack_doc_ids(buf: bytes) -> np.ndarray:
-    return delta_decode(vb_decode(buf).astype(np.int64))
+def unpack_doc_ids(buf: bytes, codec=None) -> np.ndarray:
+    dec = codec.decode if codec is not None else vb_decode
+    return delta_decode(dec(buf).astype(np.int64))
 
 
-def pack_tfs(tfs: np.ndarray) -> bytes:
-    return vb_encode(np.asarray(tfs, dtype=np.uint64))
+def pack_tfs(tfs: np.ndarray, codec=None) -> bytes:
+    enc = codec.encode if codec is not None else vb_encode
+    return enc(np.asarray(tfs, dtype=np.uint64))
 
 
-def unpack_tfs(buf: bytes) -> np.ndarray:
-    return vb_decode(buf).astype(np.int64)
+def unpack_tfs(buf: bytes, codec=None) -> np.ndarray:
+    dec = codec.decode if codec is not None else vb_decode
+    return dec(buf).astype(np.int64)
 
 
-def pack_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+def pack_positions(positions_per_doc: list[np.ndarray], codec=None) -> bytes:
     """Concatenated per-doc position deltas (posDelta :324); boundaries come
     from the tf stream (doc i contributes tf_i positions)."""
     if not positions_per_doc:
         return b""
+    enc = codec.encode if codec is not None else vb_encode
     deltas = [delta_encode(np.asarray(p, dtype=np.int64)) for p in positions_per_doc]
-    return vb_encode(np.concatenate(deltas).astype(np.uint64))
+    return enc(np.concatenate(deltas).astype(np.uint64))
 
 
-def unpack_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+def unpack_positions(buf: bytes, tfs: np.ndarray, codec=None) -> list[np.ndarray]:
     """Inverse of pack_positions given the tf stream."""
-    flat = vb_decode(buf).astype(np.int64)
+    dec = codec.decode if codec is not None else vb_decode
+    flat = dec(buf).astype(np.int64)
     out: list[np.ndarray] = []
     off = 0
     for tf in np.asarray(tfs, dtype=np.int64):
@@ -160,20 +166,26 @@ def _segmented_cumsum(flat: np.ndarray, tfs: np.ndarray) -> tuple[np.ndarray, np
     return flat, offsets
 
 
-def unpack_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def unpack_positions_flat(
+    buf: bytes, tfs: np.ndarray, codec=None
+) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized decode to (flat_positions, doc_offsets) without a Python loop.
 
     flat_positions[doc_offsets[i]:doc_offsets[i+1]] are doc i's positions.
     """
-    flat = vb_decode(buf).astype(np.int64)
+    dec = codec.decode if codec is not None else vb_decode
+    flat = dec(buf).astype(np.int64)
     return _segmented_cumsum(flat, tfs)
 
 
-def pack_offsets(starts_per_doc: list[np.ndarray], ends_per_doc: list[np.ndarray]) -> bytes:
+def pack_offsets(
+    starts_per_doc: list[np.ndarray], ends_per_doc: list[np.ndarray], codec=None
+) -> bytes:
     """OFFSETS posting stream (Lucene41PostingsWriter startOffset deltas +
     lengths, :324-339): per doc, interleaved (start_delta, length) pairs."""
     if not starts_per_doc:
         return b""
+    enc = codec.encode if codec is not None else vb_encode
     parts = []
     for s, e in zip(starts_per_doc, ends_per_doc):
         s = np.asarray(s, dtype=np.int64)
@@ -182,15 +194,16 @@ def pack_offsets(starts_per_doc: list[np.ndarray], ends_per_doc: list[np.ndarray
         inter[0::2] = delta_encode(s)
         inter[1::2] = e - s
         parts.append(inter)
-    return vb_encode(np.concatenate(parts).astype(np.uint64))
+    return enc(np.concatenate(parts).astype(np.uint64))
 
 
 def unpack_offsets_flat(
-    buf: bytes, tfs: np.ndarray
+    buf: bytes, tfs: np.ndarray, codec=None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (flat_starts, flat_ends, doc_offsets), aligned 1:1 with
     unpack_positions_flat's layout."""
-    vals = vb_decode(buf).astype(np.int64)
+    dec = codec.decode if codec is not None else vb_decode
+    vals = dec(buf).astype(np.int64)
     sdel = vals[0::2]
     lens = vals[1::2]
     starts, offsets = _segmented_cumsum(sdel, tfs)
@@ -224,16 +237,19 @@ def block_byte_starts(nbytes: np.ndarray, block: int = BLOCK_SIZE) -> np.ndarray
 
 def decode_selected_blocks(
     buf: bytes, block_starts: np.ndarray, n_values: int, sel: np.ndarray,
-    block: int = BLOCK_SIZE,
+    block: int = BLOCK_SIZE, codec=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode ONLY the blocks where sel[i] is True.
 
     Returns (values, block_value_counts) where values is the concatenation
-    of the selected blocks' decoded varbyte values (still deltas/raw — the
+    of the selected blocks' decoded values (still deltas/raw — the
     caller reconstructs absolutes using the block-last skip metadata) and
     block_value_counts gives each selected block's value count.  Skipped
-    blocks' bytes are never touched — the WAND skip path.
+    blocks' bytes are never touched — the WAND skip path.  Works for any
+    registry codec: block_starts were computed from that codec's nbytes at
+    write time, and both codecs decode arbitrary block-aligned slices.
     """
+    dec = codec.decode if codec is not None else vb_decode
     bs = np.asarray(block_starts, dtype=np.int64)
     sel = np.asarray(sel, dtype=bool)
     n_blocks = bs.size
@@ -244,11 +260,11 @@ def decode_selected_blocks(
     if idx.size == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     if idx.size == n_blocks:
-        return vb_decode(buf), counts
+        return dec(buf), counts
     b = np.frombuffer(buf, dtype=np.uint8)
     ends = np.append(bs[1:], b.size)
     parts = [b[bs[i] : ends[i]] for i in idx]
-    vals = vb_decode(np.concatenate(parts).tobytes())
+    vals = dec(np.concatenate(parts).tobytes())
     return vals, counts[idx]
 
 

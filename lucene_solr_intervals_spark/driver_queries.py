@@ -309,6 +309,29 @@ def complex_phrase_docs(spark, sf_dir):
 
 
 @register(
+    "surround_query_docs",
+    _PRELUDE
+    + f"""
+SELECT DISTINCT t1.doc_id
+FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+WHERE t1.term = '{T_A}' AND t2.term = '{T_B}'
+  AND t2.pos > t1.pos AND t2.pos - t1.pos - 1 <= 2
+  AND t1.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{T_C}')
+ORDER BY t1.doc_id
+""",
+)
+def surround_query_docs(spark, sf_dir):
+    """Surround parser (surround/parser/QueryParser.jj): 'vector 3W window
+    NOT merge' — ordered within distance 3 (slop 2, DistanceQuery.java:100)
+    minus docs containing 'merge'."""
+    from .search.surround import parse_surround
+
+    q = parse_surround(f"{T_A} 3W {T_B} NOT {T_C}")
+    s = searcher(spark, sf_dir)
+    return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
     "payload_term_topk",
     _PRELUDE
     + _hits_cte([T_C])
@@ -618,6 +641,71 @@ def classic_bool_topk(spark, sf_dir):
     return _topk(searcher(spark, sf_dir, mode="classic").scored(q))
 
 
+# SimilarityBase-family oracles need ttf and the field token total on top of
+# the shared prelude (BasicStats.getTotalTermFreq / getNumberOfFieldTokens)
+_SIM_STATS = """
+, dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df, CAST(sum(tf) AS DOUBLE) AS ttf
+          FROM tfp GROUP BY term),
+tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_ttf FROM dl)
+"""
+
+
+@register(
+    "lm_dirichlet_topk",
+    _PRELUDE
+    + _SIM_STATS
+    + f"""
+SELECT tfp.doc_id,
+       round(greatest(
+         ln(1 + tfp.tf / (2000.0 * ((dft.ttf + 1.0) / (tot.sum_ttf + 1.0))))
+         + ln(2000.0 / (dl.dl + 2000.0)), 0.0), 4) AS score
+FROM tfp JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+WHERE tfp.term = '{T_A}'
+ORDER BY 2 DESC, tfp.doc_id ASC LIMIT 10
+""",
+)
+def lm_dirichlet_topk(spark, sf_dir):
+    """LMDirichletSimilarity(mu=2000) (LMDirichletSimilarity.java:65-69):
+    ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), p = (ttf+1)/(sum_ttf+1)
+    (LMSimilarity.java:154), clipped at 0."""
+    s = Searcher(
+        get_index(spark, sf_dir),
+        corpus=get_docs(spark, sf_dir),
+        mode="sql",
+        similarity="lm_dirichlet",
+    )
+    return _topk(s.scored(Q.Term(T_A)))
+
+
+@register(
+    "dfr_inl2_topk",
+    _PRELUDE
+    + _SIM_STATS
+    + f"""
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT tfp.doc_id,
+         (tfp.tf * log2(1 + cs.avgdl / dl.dl))
+           * log2((cs.n + 1) / (dft.df + 0.5))
+           / ((tfp.tf * log2(1 + cs.avgdl / dl.dl)) + 1.0) AS score
+  FROM tfp JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term = '{T_A}'
+)
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def dfr_inl2_topk(spark, sf_dir):
+    """DFR I(n)L2 (DFRSimilarity.java:61; BasicModelIn.java:36,
+    AfterEffectL.java:33, NormalizationH2.java:53): tfn = tf*log2(1+avgdl/dl),
+    score = tfn * log2((N+1)/(df+0.5)) / (tfn+1)."""
+    s = Searcher(
+        get_index(spark, sf_dir),
+        corpus=get_docs(spark, sf_dir),
+        mode="sql",
+        similarity="dfr_inl2",
+    )
+    return _topk(s.scored(Q.Term(T_A)))
+
+
 @register(
     "search_after_page2",
     _PRELUDE
@@ -764,6 +852,45 @@ def suggest_prefix(spark, sf_dir):
     from .search.suggest import suggest_prefix as _sp
 
     return _sp(get_index(spark, sf_dir), "s", k=10)
+
+
+@register(
+    "freetext_suggest",
+    _PRELUDE
+    + """
+, big AS (
+  SELECT t1.term AS ctx, t2.term AS tok
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+),
+uni AS (SELECT term AS tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM tok),
+ctxc AS (SELECT coalesce((SELECT cnt FROM uni WHERE tok = 'hash'), 0) AS c),
+bt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS bcnt FROM big WHERE ctx = 'hash' GROUP BY tok),
+scored AS (
+  SELECT tok AS suggestion, bcnt / (SELECT c FROM ctxc) AS score FROM bt
+  UNION ALL
+  SELECT u.tok, 0.4 * u.cnt / (SELECT tot FROM tot)
+  FROM uni u WHERE u.tok NOT IN (SELECT tok FROM bt)
+)
+SELECT suggestion, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, suggestion ASC LIMIT 10
+""",
+)
+def freetext_suggest(spark, sf_dir):
+    """FreeTextSuggester (FreeTextSuggester.java:91,366): bigram LM over the
+    corpus; next-token prediction after 'hash' with stupid backoff
+    (ALPHA=0.4) to unigram probabilities, seen-set dedup across orders."""
+    from .search.suggest import build_freetext_model, suggest_free_text
+
+    model = build_freetext_model(get_docs(spark, sf_dir), "text")
+    # superset then round-before-order so top-k tie-breaks are engine-
+    # independent (same convention as _topk)
+    res = suggest_free_text(model, "hash", k=1000)
+    return (
+        res.withColumn("score", F.round("score", 6))
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(10)
+    )
 
 
 @register(

@@ -102,14 +102,21 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
-def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+def _invert_segment(pdf: pd.DataFrame, codec=None) -> pd.DataFrame:
     """Build one segment's postings from tokenized docs (runs per seg group).
 
     Fully vectorized invert — the FreqProxTermsWriter flush re-expressed as
     array ops: flatten all (term, doc, pos) occurrences, factorize terms,
     one stable argsort brings occurrences into (term, doc, pos) order, and
     run-length boundaries give per-(term,doc) tfs.  No per-token Python.
+
+    `codec` (codecs.registry.IntStreamCodec, None = varbyte) encodes the
+    doc-id / tf / position / offset streams; skip offsets use the SAME
+    codec's per-value widths so block byte starts stay valid for any
+    registered format.
     """
+    if codec is None:
+        from ..codecs.registry import VARBYTE as codec  # noqa: N813
     seg = int(pdf["seg"].iloc[0])
     pdf = pdf.sort_values("doc_id")
     doc_ids_col = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -165,10 +172,10 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     doc_deltas[1:] = run_doc[1:] - run_doc[:-1]
     doc_deltas[term_run_starts] = run_doc[term_run_starts]
 
-    # batch varbyte: one vectorized pass each for ids / tfs / positions
-    ids_bufs = vb_encode_batch(doc_deltas.astype(np.uint64), term_run_offsets)
-    tfs_bufs = vb_encode_batch(tfs_all.astype(np.uint64), term_run_offsets)
-    pos_bufs = vb_encode_batch(
+    # batch encode: one vectorized pass each for ids / tfs / positions
+    ids_bufs = codec.encode_batch(doc_deltas.astype(np.uint64), term_run_offsets)
+    tfs_bufs = codec.encode_batch(tfs_all.astype(np.uint64), term_run_offsets)
+    pos_bufs = codec.encode_batch(
         deltas.astype(np.uint64), occ_offsets[term_run_offsets]
     )
     if with_offsets:
@@ -180,7 +187,7 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         inter = np.empty(2 * sf_.size, dtype=np.int64)
         inter[0::2] = sdel
         inter[1::2] = ef_ - sf_
-        off_bufs = vb_encode_batch(
+        off_bufs = codec.encode_batch(
             inter.astype(np.uint64), 2 * occ_offsets[term_run_offsets]
         )
     else:
@@ -202,10 +209,8 @@ def _invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # skip data: byte offset of each block start within its term's encoded
     # doc_ids / tfs buffers (one vectorized pass over per-value byte counts)
-    from ..codecs.varbyte import vb_nbytes
-
-    id_nb = vb_nbytes(doc_deltas.astype(np.uint64))
-    tf_nb = vb_nbytes(tfs_all.astype(np.uint64))
+    id_nb = codec.nbytes(doc_deltas.astype(np.uint64))
+    tf_nb = codec.nbytes(tfs_all.astype(np.uint64))
     id_bs = np.zeros(run_term.size, dtype=np.int64)
     id_bs[1:] = np.cumsum(id_nb)[:-1]
     tf_bs = np.zeros(run_term.size, dtype=np.int64)
@@ -337,19 +342,22 @@ def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
     }
 
 
-def _fused_build_fn(analyzer: str, keep_offsets: bool = False):
+def _fused_build_fn(analyzer: str, keep_offsets: bool = False, codec: str = "varbyte"):
     """mapInPandas kernel: tokenize + invert + pack every segment in the
     partition (repartitionByRange(seg) guarantees a segment never spans
     partitions), emitting postings rows plus one docs sidecar row per seg."""
 
     def fn(batches):
+        from ..codecs.registry import get_codec
+
+        cdc = get_codec(codec)
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         for seg, g in pdf.groupby("seg", sort=True):
             tok = _tokenize_pdf(g, analyzer, keep_offsets)
-            out = _invert_segment(tok)
+            out = _invert_segment(tok, codec=cdc)
             side = pd.DataFrame([_docs_sidecar_row(int(seg), tok.sort_values("doc_id"))])
             yield pd.concat([out, side], ignore_index=True)
 
@@ -481,6 +489,7 @@ def build_segments(
     resume: bool = False,
     n_docs_hint: int | None = None,
     keep_offsets: bool = False,
+    codec: str = "varbyte",
 ) -> dict:
     """Tokenize + invert + pack the corpus into `n_segments` parquet segments.
 
@@ -518,9 +527,12 @@ def build_segments(
     # partitions), then a single fused mapInPandas pass does tokenize +
     # invert + pack and emits postings rows + one docs sidecar row per
     # segment.  No token-array shuffle, no second tokenize, no persist.
+    from ..codecs.registry import get_codec
+
+    get_codec(codec)  # fail fast on unknown codec, before any Spark work
     n_remaining = n_segments - len(done)
     fused = base.repartitionByRange(max(n_remaining, 1), "seg").mapInPandas(
-        _fused_build_fn(analyzer, keep_offsets), POSTINGS_SCHEMA
+        _fused_build_fn(analyzer, keep_offsets, codec), POSTINGS_SCHEMA
     )
     # dynamic partition overwrite: a resumed build rewrites exactly the
     # partitions of the segments it re-processes (idempotent even if a
@@ -577,6 +589,7 @@ def build_segments(
         "sum_doclen": int(sum(s["sum_doclen"] for s in segments)),
         "analyzer": analyzer,
         "offsets": keep_offsets,
+        "codec": codec,
         "segments": segments,
         "metrics": {"build_wall_sec": wall, "docs_per_sec": n_total / wall if wall else 0},
     }
@@ -667,7 +680,9 @@ def rebuild_norms(spark: SparkSession, index_dir: str) -> None:
 # ------------------------------------------------------------------- merge
 
 
-def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.DataFrame:
+def _merge_group(
+    pdf: pd.DataFrame, tombstones: frozenset = frozenset(), codec=None
+) -> pd.DataFrame:
     """Merge one term's postings across segments (runs per term group).
 
     Segments hold disjoint contiguous doc ranges, so concatenating streams
@@ -678,11 +693,11 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
     pdf = pdf.sort_values("seg")
     term = pdf["term"].iloc[0]
     new_seg = int(pdf["new_seg"].iloc[0])
-    all_ids = np.concatenate([unpack_doc_ids(b) for b in pdf["doc_ids"]])
-    all_tfs = np.concatenate([unpack_tfs(b) for b in pdf["tfs"]])
+    all_ids = np.concatenate([unpack_doc_ids(b, codec) for b in pdf["doc_ids"]])
+    all_tfs = np.concatenate([unpack_tfs(b, codec) for b in pdf["tfs"]])
     all_pos: list[np.ndarray] = []
     for pos_buf, tf_buf in zip(pdf["positions"], pdf["tfs"]):
-        all_pos.extend(unpack_positions(pos_buf, unpack_tfs(tf_buf)))
+        all_pos.extend(unpack_positions(pos_buf, unpack_tfs(tf_buf, codec), codec))
     has_offsets = "offsets" in pdf.columns and all(
         len(b) > 0 for b in pdf["offsets"]
     )
@@ -692,8 +707,8 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
         from ..codecs.varbyte import unpack_offsets_flat
 
         for off_buf, tf_buf in zip(pdf["offsets"], pdf["tfs"]):
-            tfv = unpack_tfs(tf_buf)
-            fs, fe, doffs = unpack_offsets_flat(off_buf, tfv)
+            tfv = unpack_tfs(tf_buf, codec)
+            fs, fe, doffs = unpack_offsets_flat(off_buf, tfv, codec)
             for i in range(tfv.size):
                 all_s.append(fs[doffs[i] : doffs[i + 1]])
                 all_e.append(fe[doffs[i] : doffs[i + 1]])
@@ -716,8 +731,9 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
     max_nb = np.full(n_blocks, old_max, dtype=np.int32)
     from ..codecs.varbyte import block_byte_starts, delta_encode, vb_nbytes
 
-    id_offs = block_byte_starts(vb_nbytes(delta_encode(all_ids).astype(np.uint64)))
-    tf_offs = block_byte_starts(vb_nbytes(all_tfs.astype(np.uint64)))
+    nbytes_fn = codec.nbytes if codec is not None else vb_nbytes
+    id_offs = block_byte_starts(nbytes_fn(delta_encode(all_ids).astype(np.uint64)))
+    tf_offs = block_byte_starts(nbytes_fn(all_tfs.astype(np.uint64)))
     return pd.DataFrame(
         [
             {
@@ -725,15 +741,15 @@ def _merge_group(pdf: pd.DataFrame, tombstones: frozenset = frozenset()) -> pd.D
                 "term": term,
                 "df": int(all_ids.size),
                 "ttf": int(all_tfs.sum()),
-                "doc_ids": pack_doc_ids(all_ids),
-                "tfs": pack_tfs(all_tfs),
-                "positions": pack_positions(all_pos),
+                "doc_ids": pack_doc_ids(all_ids, codec),
+                "tfs": pack_tfs(all_tfs, codec),
+                "positions": pack_positions(all_pos, codec),
                 "block_last": last_b,
                 "block_max_tf": max_b,
                 "block_max_nb": max_nb.tobytes(),
                 "block_id_offs": id_offs.tobytes(),
                 "block_tf_offs": tf_offs.tobytes(),
-                "offsets": pack_offsets(all_s, all_e) if has_offsets else b"",
+                "offsets": pack_offsets(all_s, all_e, codec) if has_offsets else b"",
             }
         ],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],
@@ -801,8 +817,12 @@ def merge_segments(
         if any(s["doc_base"] <= d < s["doc_base"] + s["n_docs"] for s in old)
     )
 
+    from ..codecs.registry import get_codec
+
+    merge_codec = get_codec(manifest.get("codec", "varbyte"))
+
     def _mg(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_group(pdf, tombstones=reclaim)
+        return _merge_group(pdf, tombstones=reclaim, codec=merge_codec)
 
     postings = load_postings(spark, index_dir).where(F.col("seg").isin(seg_ids))
     n_part = max(spark.sparkContext.defaultParallelism, 8)
@@ -959,14 +979,18 @@ def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None =
     manifest = read_manifest(index_dir)
     live = [s["seg"] for s in manifest["segments"] if s.get("status") == "done"]
     postings = load_postings(spark, index_dir).where(F.col("seg").isin(live))
+    codec_name = manifest.get("codec", "varbyte")
 
     @F.pandas_udf(T.StringType())
     def _check(doc_ids: pd.Series, tfs: pd.Series, positions: pd.Series,
                dfv: pd.Series, ttfv: pd.Series) -> pd.Series:
+        from ..codecs.registry import get_codec
+
+        codec = get_codec(codec_name)
         out = []
         for db, tb, pb, dfx, ttfx in zip(doc_ids, tfs, positions, dfv, ttfv):
-            ids = unpack_doc_ids(db)
-            tf = unpack_tfs(tb)
+            ids = unpack_doc_ids(db, codec)
+            tf = unpack_tfs(tb, codec)
             msgs = []
             if ids.size != dfx:
                 msgs.append(f"df {dfx} != {ids.size}")

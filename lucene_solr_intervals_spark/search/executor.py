@@ -95,12 +95,25 @@ class Searcher:
         k1: float = K1,
         b: float = B,
         text_col: str = "text",
+        similarity=None,
     ):
         # Similarity strategy (the §2.11 extension point): two families, two
         # precision modes each — BM25Similarity ("sql"/"lucene") and
         # DefaultSimilarity classic TF-IDF ("classic"/"classic_lucene"),
-        # the reference's default (IndexSearcher.java:92).
+        # the reference's default (IndexSearcher.java:92) — plus the
+        # SimilarityBase families (DFR/IB/LM, scoring/similarities.py)
+        # selected by name or instance via `similarity=` (sql precision).
         assert mode in ("sql", "lucene", "classic", "classic_lucene")
+        if isinstance(similarity, str):
+            from ..scoring.similarities import make_similarity
+
+            similarity = make_similarity(similarity)
+        if similarity is not None and mode != "sql":
+            raise ValueError(
+                "SimilarityBase families are float64 column expressions; "
+                "use mode='sql' with similarity="
+            )
+        self.similarity = similarity
         self.index = index
         self.corpus = corpus
         self.mode = mode
@@ -147,6 +160,26 @@ class Searcher:
         avgdl = self.index.avgdl_of(field) if field else self.index.avgdl
         return F.lit(self.k1) * (
             F.lit(1.0 - self.b) + F.lit(self.b) * doclen_col / F.lit(avgdl)
+        )
+
+    def _sim_score_col(self, field: str):
+        """SimilarityBase.score(stats, freq, docLen) as one column expression
+        over (tf, df, ttf, doclen).  sum_ttf/avgdl are bound per field the
+        same way BasicStats.getNumberOfFieldTokens is (BasicStats.java)."""
+        idx = self.index
+        if field != self.default_field:
+            raise ValueError(
+                "SimilarityBase families are bound to the default field "
+                f"(sum_ttf is tracked for {self.default_field!r} only)"
+            )
+        return self.similarity.score_col(
+            F.col("tf"),
+            F.col("df"),
+            F.col("ttf"),
+            F.col("doclen"),
+            n_docs=idx.max_doc,
+            avgdl=idx.avgdl_of(field),
+            sum_ttf=idx.sum_ttf,
         )
 
     def _score_col(self, idf_col, tf_col, doclen_col, field: str | None = None):
@@ -223,14 +256,16 @@ class Searcher:
         )
         stats = idx.term_stats.where(
             (F.col("field") == f) & F.col("term").isin(terms)
-        ).select("term", "df")
+        ).select("term", "df", "ttf")
         hits = (
             idx.postings.where((F.col("field") == f) & F.col("term").isin(terms))
             .select(*cols)
             .join(F.broadcast(stats), "term")
             .join(idx.docs.where(F.col("field") == f).select("doc_id", "doclen", "norm_byte"), "doc_id")
         )
-        if self._f32:
+        if self.similarity is not None:
+            score = self._sim_score_col(f)
+        elif self._f32:
             score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
         else:
             score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
@@ -706,7 +741,7 @@ class Searcher:
         f = self._field_of(q)
         terms = self._cap_expansion(self._expand_terms(q), q)
         idx = self.index
-        stats = idx.term_stats.where(F.col("field") == f).select("term", "df")
+        stats = idx.term_stats.where(F.col("field") == f).select("term", "df", "ttf")
         hits = (
             idx.postings.where(F.col("field") == f)
             .select("term", "doc_id", "tf")
@@ -719,7 +754,9 @@ class Searcher:
                 "doc_id",
             )
         )
-        if self._f32:
+        if self.similarity is not None:
+            score = self._sim_score_col(f)
+        elif self._f32:
             score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
         else:
             score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
@@ -797,6 +834,11 @@ class Searcher:
         terms (pre-filtered to candidate docs by a required-term semi-join),
         run the minimal-interval kernel per doc inside an Arrow-batched UDF,
         score with the IntervalFilterQuery semantics."""
+        if self.similarity is not None:
+            raise ValueError(
+                "positional queries score with BM25/classic similarities; "
+                "the SimilarityBase families cover term-level scoring"
+            )
         expanded = self._expand_tree(q)
         if expanded is None:
             return self.index.docs.select("doc_id").where(F.lit(False)).withColumn(

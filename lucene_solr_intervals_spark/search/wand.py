@@ -87,6 +87,7 @@ def _wand_skip_kernel(
     norms: np.ndarray,
     base: int,
     tomb_arr,
+    codec=None,
 ) -> pd.DataFrame:
     """Block-max WAND with SKIP-DATA block decode (Lucene41SkipWriter role):
 
@@ -115,8 +116,8 @@ def _wand_skip_kernel(
     # θ from the seed term, exactly scored (every OR score >= its single-term
     # score, so the seed's k-th best is a valid lower bound)
     seed_term, seed_r = rows[seed_i]
-    seed_ids = unpack_doc_ids(seed_r["doc_ids"])
-    seed_tfs = unpack_tfs(seed_r["tfs"])
+    seed_ids = unpack_doc_ids(seed_r["doc_ids"], codec)
+    seed_tfs = unpack_tfs(seed_r["tfs"], codec)
     if tomb_arr is not None:
         keep = ~np.isin(seed_ids, tomb_arr)
         seed_ids, seed_tfs = seed_ids[keep], seed_tfs[keep]
@@ -144,11 +145,13 @@ def _wand_skip_kernel(
             id_offs = np.frombuffer(r["block_id_offs"], dtype=np.int64)
             tf_offs = np.frombuffer(r["block_tf_offs"], dtype=np.int64)
             n_vals = int(r["df"])
-            gaps, counts = decode_selected_blocks(r["doc_ids"], id_offs, n_vals, sel)
+            gaps, counts = decode_selected_blocks(
+                r["doc_ids"], id_offs, n_vals, sel, codec=codec
+            )
             if gaps.size == 0:
                 rows_dec.append((term, np.empty(0, np.int64), np.empty(0, np.int64)))
                 continue
-            tf_sel, _ = decode_selected_blocks(r["tfs"], tf_offs, n_vals, sel)
+            tf_sel, _ = decode_selected_blocks(r["tfs"], tf_offs, n_vals, sel, codec=codec)
             # absolute ids: per selected block, base = previous block's last
             block_last = np.frombuffer(r["block_last"], dtype=np.int64)
             prev_last = np.concatenate([[np.int64(0)], block_last[:-1]])
@@ -204,6 +207,7 @@ def segment_topk_kernel(
     mode: str = "wand",
     conjunctive: bool = False,
     tombstones: frozenset = frozenset(),
+    codec=None,
 ) -> pd.DataFrame:
     """Per-segment top-k. term_rows: packed posting rows for the query terms;
     norms_row: this segment's single norms row (doc_base, norm_bytes) —
@@ -230,13 +234,13 @@ def segment_topk_kernel(
     )
     if mode == "wand" and not conjunctive and has_skip:
         rows = [(r["term"], r) for _, r in term_rows.iterrows()]
-        return _wand_skip_kernel(rows, weights, cache, k, norms, base, tomb_arr)
+        return _wand_skip_kernel(rows, weights, cache, k, norms, base, tomb_arr, codec)
 
     decoded = []
     orig_pos: dict[int, np.ndarray] = {}
     for i, (_, r) in enumerate(term_rows.iterrows()):
-        ids = unpack_doc_ids(r["doc_ids"])
-        tfs = unpack_tfs(r["tfs"])
+        ids = unpack_doc_ids(r["doc_ids"], codec)
+        tfs = unpack_tfs(r["tfs"], codec)
         pos = np.arange(ids.size, dtype=np.int64)
         if tomb_arr is not None:
             keep = ~np.isin(ids, tomb_arr)
@@ -338,6 +342,9 @@ def search_segments(
     """
     manifest = read_manifest(index_dir)
     live = _live_segments(manifest)
+    from ..codecs.registry import get_codec
+
+    codec = get_codec(manifest.get("codec", "varbyte"))
     postings = (
         load_postings(spark, index_dir)
         .where(F.col("seg").isin(live))
@@ -358,7 +365,9 @@ def search_segments(
     cache = norm_cache(avgdl)
 
     def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
-        return segment_topk_kernel(pdf, npdf, weights, cache, k, mode, conjunctive)
+        return segment_topk_kernel(
+            pdf, npdf, weights, cache, k, mode, conjunctive, codec=codec
+        )
 
     # norms arrive via seg-cogroup: one small row shuffled to exactly its
     # segment's task.  NEVER broadcast norms — the relation is total-corpus
@@ -398,6 +407,11 @@ class SegmentSearcher:
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["sum_doclen"] / self.n_docs if self.n_docs else 1.0
         self.cache = norm_cache(self.avgdl)
+        # Codec.forName at reader open (Codec.java:94): the manifest declares
+        # the postings format; kernels decode with the resolved codec
+        from ..codecs.registry import get_codec
+
+        self.codec = get_codec(self.manifest.get("codec", "varbyte"))
 
     # queried-term stats memo: bounded by the observed query workload (a
     # search service's working set), NOT the vocabulary — the full term
@@ -462,6 +476,7 @@ class SegmentSearcher:
             else ("sloppy" if isinstance(q, Q.Phrase) else "one")
         )
         shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side
+        codec = self.codec
 
         def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty or npdf.empty:
@@ -472,9 +487,9 @@ class SegmentSearcher:
             norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
             per_term = {}
             for _, r in pdf.iterrows():
-                ids = unpack_doc_ids(r["doc_ids"])
-                tfs = unpack_tfs(r["tfs"])
-                flat, offs = unpack_positions_flat(r["positions"], tfs)
+                ids = unpack_doc_ids(r["doc_ids"], codec)
+                tfs = unpack_tfs(r["tfs"], codec)
+                flat, offs = unpack_positions_flat(r["positions"], tfs, codec)
                 per_term[r["term"]] = (ids, flat, offs)
 
             if shape is not None:
@@ -567,6 +582,7 @@ class SegmentSearcher:
         tombstones = self.tombstones
         q = query
         shape = VK.interval_shape(q)  # endpoint-extractable? decided driver-side
+        codec = self.codec
 
         schema = T.StructType(
             [
@@ -586,10 +602,10 @@ class SegmentSearcher:
                 return empty
             per_term = {}
             for _, r in pdf.iterrows():
-                ids = unpack_doc_ids(r["doc_ids"])
-                tfs = unpack_tfs(r["tfs"])
-                flat, offs = unpack_positions_flat(r["positions"], tfs)
-                fs, fe, _ = unpack_offsets_flat(r["offsets"], tfs)
+                ids = unpack_doc_ids(r["doc_ids"], codec)
+                tfs = unpack_tfs(r["tfs"], codec)
+                flat, offs = unpack_positions_flat(r["positions"], tfs, codec)
+                fs, fe, _ = unpack_offsets_flat(r["offsets"], tfs, codec)
                 per_term[r["term"]] = (ids, flat, offs, fs, fe)
 
             if shape is not None:
@@ -714,7 +730,7 @@ class SegmentSearcher:
             ]
         )
 
-        from ..codecs.varbyte import vb_decode
+        codec = self.codec
 
         def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
@@ -724,19 +740,20 @@ class SegmentSearcher:
                 return empty
             base = int(npdf["doc_base"].iloc[0])
             norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
-            # batched decode: ONE varbyte pass over all rows' streams, then a
-            # segmented gap-cumsum (row starts reset) — no per-row decode
+            # batched decode: ONE codec pass over all rows' streams (both
+            # registry codecs decode concatenations), then a segmented
+            # gap-cumsum (row starts reset) — no per-row decode
             counts = pdf["df"].to_numpy(dtype=np.int64)
             offsets = np.zeros(counts.size + 1, dtype=np.int64)
             np.cumsum(counts, out=offsets[1:])
-            gaps = vb_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
+            gaps = codec.decode(b"".join(pdf["doc_ids"])).astype(np.int64)
             csum = np.cumsum(gaps)
             seg_base = np.zeros(gaps.size, dtype=np.int64)
             starts = offsets[:-1][counts > 0]
             seg_base[starts[1:]] = csum[starts[1:] - 1]
             np.maximum.accumulate(seg_base, out=seg_base)
             ids_cat = csum - seg_base
-            tfs_cat = vb_decode(b"".join(pdf["tfs"])).astype(np.float32)
+            tfs_cat = codec.decode(b"".join(pdf["tfs"])).astype(np.float32)
             # per-row weight from the in-plan global df (idf * (k1+1))
             w_rows = (
                 idf32(pdf["df_total"].to_numpy(dtype=np.int64), n_docs)
@@ -787,6 +804,7 @@ class SegmentSearcher:
         cache = self.cache
         tombstones = self.tombstones
         n_docs = self.n_docs
+        codec = self.codec
         postings = self.postings.where(F.col("term").isin(terms))
         stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
         postings = postings.join(F.broadcast(stats), "term")
@@ -799,7 +817,7 @@ class SegmentSearcher:
             for t in terms:
                 weights.setdefault(t, np.float32(0.0))
             return segment_topk_kernel(
-                pdf, npdf, weights, cache, k, mode, conjunctive, tombstones
+                pdf, npdf, weights, cache, k, mode, conjunctive, tombstones, codec
             )
 
         per_seg = (

@@ -69,7 +69,15 @@ def append_segment_batch(
     )
     docs_df = tokenized.select("seg", "doc_id", "doclen", "norm_byte", "sha256")
     docs_df.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
-    postings = tokenized.groupBy("seg").applyInPandas(_invert_segment, POSTINGS_SCHEMA)
+    # appended segments encode with the index's declared codec
+    codec_name = manifest.get("codec", "varbyte")
+
+    def _invert(pdf):
+        from ..codecs.registry import get_codec
+
+        return _invert_segment(pdf, codec=get_codec(codec_name))
+
+    postings = tokenized.groupBy("seg").applyInPandas(_invert, POSTINGS_SCHEMA)
     postings.write.mode("append").partitionBy("seg").parquet(
         os.path.join(index_dir, "postings")
     )

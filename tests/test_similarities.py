@@ -1,0 +1,154 @@
+"""SimilarityBase families (DFR InL2, IB LL, LMDirichlet, LMJelinekMercer)
+vs pure-Python oracles of the reference formulas.
+
+Reference: similarities/LMDirichletSimilarity.java:65-69,
+LMJelinekMercerSimilarity.java:53-57, BasicModelIn.java:36,
+AfterEffectL.java:33, NormalizationH2.java:53, DistributionLL.java:34,
+LambdaDF.java:33, LMSimilarity.java:154.
+"""
+
+import math
+
+import pytest
+
+from lucene_solr_intervals_spark.search import queries as Q
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry cherry cherry durian"),
+    (2, "apple apple apple"),
+    (3, "durian elderberry fig grape apple banana"),
+    (4, "fig grape"),
+]
+
+
+def _corpus_stats():
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(DOCS)
+    sum_ttf = sum(len(v) for v in toks.values())
+    avgdl = sum_ttf / n
+    return toks, n, sum_ttf, avgdl
+
+
+def _tf_df_ttf(term):
+    toks, n, sum_ttf, avgdl = _corpus_stats()
+    tf = {d: v.count(term) for d, v in toks.items() if term in v}
+    df = len(tf)
+    ttf = sum(tf.values())
+    return tf, df, ttf
+
+
+def _log2(x):
+    return math.log(x) / math.log(2.0)
+
+
+def _expected(sim_name, term):
+    toks, n, sum_ttf, avgdl = _corpus_stats()
+    tf, df, ttf = _tf_df_ttf(term)
+    out = {}
+    for d, f in tf.items():
+        dl = float(len(toks[d]))
+        if sim_name == "dfr_inl2":
+            tfn = f * _log2(1 + avgdl / dl)
+            s = tfn * _log2((n + 1) / (df + 0.5)) / (tfn + 1.0)
+        elif sim_name == "ib_ll":
+            tfn = f * _log2(1 + avgdl / dl)
+            lam = (df + 1.0) / (n + 1.0)
+            s = -math.log(lam / (tfn + lam))
+        elif sim_name == "lm_dirichlet":
+            p = (ttf + 1.0) / (sum_ttf + 1.0)
+            s = math.log(1 + f / (2000.0 * p)) + math.log(2000.0 / (dl + 2000.0))
+            s = max(s, 0.0)
+        elif sim_name == "lm_jelinek_mercer":
+            p = (ttf + 1.0) / (sum_ttf + 1.0)
+            s = math.log(1 + (0.9 * f / dl) / (0.1 * p))
+        else:
+            raise AssertionError(sim_name)
+        out[d] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    from lucene_solr_intervals_spark.index.builder import build_index
+
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="code")
+    yield corpus, idx
+    idx.unpersist()
+
+
+@pytest.mark.parametrize(
+    "sim_name", ["dfr_inl2", "ib_ll", "lm_dirichlet", "lm_jelinek_mercer"]
+)
+def test_term_scores_match_formula(spark, tiny_index, sim_name):
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity=sim_name)
+    got = {r["doc_id"]: r["score"] for r in s.scored(Q.Term("apple")).collect()}
+    want = _expected(sim_name, "apple")
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), (sim_name, d)
+
+
+def test_boolean_sums_clause_scores(spark, tiny_index):
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity="lm_dirichlet")
+    q = Q.Boolean(should=(Q.Term("apple"), Q.Term("banana")))
+    got = {r["doc_id"]: r["score"] for r in s.scored(q).collect()}
+    ea, eb = _expected("lm_dirichlet", "apple"), _expected("lm_dirichlet", "banana")
+    want = {}
+    for d in set(ea) | set(eb):
+        want[d] = ea.get(d, 0.0) + eb.get(d, 0.0)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_dirichlet_clips_negative_scores(spark, tiny_index):
+    # a doc whose tf/dl ratio is BELOW the collection probability pushes the
+    # Dirichlet log-ratio negative (large mu: score ~ (tf/p - dl)/mu); the
+    # reference clips at 0 (LMDirichletSimilarity.java:69).  'apple' has
+    # p = 7/21 = 1/3 and doc 3 carries tf=1 over dl=6: 1 < 6/3 -> negative.
+    from lucene_solr_intervals_spark.scoring.similarities import LMDirichlet
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity=LMDirichlet(mu=1e5))
+    got = {r["doc_id"]: r["score"] for r in s.scored(Q.Term("apple")).collect()}
+    assert all(v >= 0.0 for v in got.values())
+    assert got[3] == 0.0  # the clip actually fired
+    assert got[2] > 0.0
+
+
+def test_positional_rejected_under_similarity_base(spark, tiny_index):
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity="dfr_inl2")
+    with pytest.raises(ValueError, match="positional"):
+        s.scored(Q.Phrase(("apple", "banana")))
+
+
+def test_multi_term_rewrite_uses_similarity(spark, tiny_index):
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity="ib_ll")
+    q = Q.Prefix("app", rewrite="scoring_boolean")
+    got = {r["doc_id"]: r["score"] for r in s.scored(q).collect()}
+    want = _expected("ib_ll", "apple")
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_unknown_similarity_name():
+    from lucene_solr_intervals_spark.scoring.similarities import make_similarity
+
+    with pytest.raises(ValueError, match="unknown similarity"):
+        make_similarity("bm42")
