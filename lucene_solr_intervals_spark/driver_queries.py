@@ -332,6 +332,34 @@ def surround_query_docs(spark, sf_dir):
 
 
 @register(
+    "xml_query_docs",
+    _PRELUDE
+    + f"""
+SELECT DISTINCT t1.doc_id
+FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+WHERE t1.term = '{T_A}' AND t2.term = '{T_B}'
+  AND t2.pos > t1.pos AND t2.pos - t1.pos - 1 <= 2
+  AND t2.pos <= 19
+ORDER BY t1.doc_id
+""",
+)
+def xml_query_docs(spark, sf_dir):
+    """XML query parser (CoreParser.java:67-117): SpanFirst(end=20) wrapping
+    SpanNear(slop=2, inOrder) — the span-within-first-k-positions query,
+    executed as IntervalFiltered(OrderedNear, RangeFilter(0,19))
+    (SpanFirstBuilder.java:38)."""
+    from .search.xmlparser import parse_xml
+
+    q = parse_xml(
+        '<SpanFirst end="20"><SpanNear slopFactor="2" inOrder="true">'
+        f"<SpanTerm>{T_A}</SpanTerm><SpanTerm>{T_B}</SpanTerm>"
+        "</SpanNear></SpanFirst>"
+    )
+    s = searcher(spark, sf_dir)
+    return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
     "payload_term_topk",
     _PRELUDE
     + _hits_cte([T_C])
