@@ -143,6 +143,7 @@ class InvertedIndex:
     sum_ttf: int
     default_field: str = "text"
     avgdl_by_field: dict[str, float] | None = None
+    sum_ttf_by_field: dict[str, int] | None = None
 
     @property
     def bm25_stats(self) -> BM25Stats:
@@ -156,6 +157,13 @@ class InvertedIndex:
         if self.avgdl_by_field is None or field == self.default_field:
             return self.avgdl
         return self.avgdl_by_field.get(field, 1.0)
+
+    def sum_ttf_of(self, field: str) -> int:
+        """getNumberOfFieldTokens per field (BasicStats.java) — exact int,
+        feeding the SimilarityBase collection models."""
+        if self.sum_ttf_by_field is None or field == self.default_field:
+            return self.sum_ttf
+        return self.sum_ttf_by_field.get(field, 0)
 
     @property
     def fields(self) -> list[str]:
@@ -320,6 +328,7 @@ def build_index(
         sum_ttf=sum_by_field.get(default_field, 0),
         default_field=default_field,
         avgdl_by_field=avgdl_by_field,
+        sum_ttf_by_field=sum_by_field,
     )
 
 

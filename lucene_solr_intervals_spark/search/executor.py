@@ -167,11 +167,9 @@ class Searcher:
         over (tf, df, ttf, doclen).  sum_ttf/avgdl are bound per field the
         same way BasicStats.getNumberOfFieldTokens is (BasicStats.java)."""
         idx = self.index
-        if field != self.default_field:
-            raise ValueError(
-                "SimilarityBase families are bound to the default field "
-                f"(sum_ttf is tracked for {self.default_field!r} only)"
-            )
+        sum_ttf = (
+            idx.sum_ttf_of(field) if hasattr(idx, "sum_ttf_of") else idx.sum_ttf
+        )
         return self.similarity.score_col(
             F.col("tf"),
             F.col("df"),
@@ -179,7 +177,7 @@ class Searcher:
             F.col("doclen"),
             n_docs=idx.max_doc,
             avgdl=idx.avgdl_of(field),
-            sum_ttf=idx.sum_ttf,
+            sum_ttf=sum_ttf,
         )
 
     def _score_col(self, idf_col, tf_col, doclen_col, field: str | None = None):

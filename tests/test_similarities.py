@@ -152,3 +152,52 @@ def test_unknown_similarity_name():
 
     with pytest.raises(ValueError, match="unknown similarity"):
         make_similarity("bm42")
+
+
+def test_fielded_similarity_uses_per_field_stats(spark):
+    """A term scored on a NON-default field must use that field's own
+    df/ttf/avgdl/sum_ttf (BasicStats bound per field)."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    rows = [
+        (0, "apple banana", "red red green"),
+        (1, "apple", "green blue"),
+        (2, "cherry", "red"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "tags"])
+    idx = build_index(
+        corpus, analyzer="code", fields={"text": "text", "tags": "tags"}
+    )
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity="lm_dirichlet")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.scored(Q.Term("red", field="tags")).collect()
+    }
+    # tags-field stats: sum_ttf=6, avgdl=2; red: ttf=3
+    p = (3 + 1.0) / (6 + 1.0)
+    for d, tf, dl in [(0, 2, 3), (2, 1, 1)]:
+        want = max(
+            math.log(1 + tf / (2000.0 * p)) + math.log(2000.0 / (dl + 2000.0)), 0.0
+        )
+        assert got[d] == pytest.approx(want, rel=1e-9)
+    assert 1 not in got
+    idx.unpersist()
+
+
+def test_similarity_plan_is_jvm_side(spark, tiny_index):
+    """The SimilarityBase score is ONE column expression: the only Python
+    eval node in the physical plan is the index-BUILD tokenizer (_tok,
+    upstream lineage of the in-memory index); the scoring itself adds no
+    Python/Pandas eval — the 100-TB hot path stays in whole-stage codegen."""
+    import re
+
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    s = Searcher(idx, corpus=corpus, mode="sql", similarity="dfr_inl2")
+    plan = s.scored(Q.Term("apple"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+    assert "FlatMapGroupsInPandas" not in plan  # no grouped-pandas kernel
+    for m in re.finditer(r"ArrowEvalPython \[([a-zA-Z0-9_]+)\(", plan):
+        assert m.group(1) == "_tok", f"unexpected Python eval: {m.group(1)}"
