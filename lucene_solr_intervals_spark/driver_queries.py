@@ -332,6 +332,27 @@ def surround_query_docs(spark, sf_dir):
 
 
 @register(
+    "boosting_query_topk",
+    _PRELUDE
+    + _hits_cte([T_A])
+    + f"""
+SELECT doc_id,
+       round(score * CASE WHEN doc_id IN (
+           SELECT DISTINCT doc_id FROM tok WHERE term = '{T_C}'
+         ) THEN 0.5 ELSE 1.0 END, 4) AS score
+FROM hits
+ORDER BY 2 DESC, doc_id ASC LIMIT 10
+""",
+)
+def boosting_query_topk(spark, sf_dir):
+    """BoostingQuery (lucene/queries/BoostingQuery.java:40): score 'vector'
+    normally but halve the score of docs also containing 'merge' — demote
+    without excluding."""
+    q = Q.Boosting(Q.Term(T_A), Q.Term(T_C), context_boost=0.5)
+    return _topk(searcher(spark, sf_dir).scored(q))
+
+
+@register(
     "xml_query_docs",
     _PRELUDE
     + f"""
@@ -1029,6 +1050,45 @@ def query_time_join(spark, sf_dir):
         s.matching(Q.Term(T_RARE)).join(docs, "doc_id").select("source").distinct()
     )
     return docs.join(F.broadcast(hit_sources), "source", "left_semi").select("doc_id")
+
+
+@register(
+    "query_time_join_scored",
+    _PRELUDE
+    + _hits_cte([T_RARE])
+    + """
+, sv AS (
+  SELECT dd.source, sum(round(h.score, 4)) AS total, max(round(h.score, 4)) AS mx
+  FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id
+  GROUP BY dd.source
+)
+SELECT d.doc_id, round(sv.total, 4) AS score_total, round(sv.mx, 4) AS score_max
+FROM documents d JOIN sv ON d.source = sv.source
+ORDER BY d.doc_id
+""",
+)
+def query_time_join_scored(spark, sf_dir):
+    """JoinUtil score modes (JoinUtil.java:31, ScoreMode Total/Max; Avg is
+    total/count of the same aggregate): from-side hits of the rare term
+    aggregate their BM25 scores per join value (source); every to-side doc
+    with that value carries the aggregated score — one groupBy on the join
+    key + one broadcast join, the scale shape of a scored query-time join."""
+    s = searcher(spark, sf_dir)
+    docs = get_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    hits = (
+        s.scored(Q.Term(T_RARE))
+        .withColumn("score", F.round("score", 4))
+        .join(docs, "doc_id")
+    )
+    agg = hits.groupBy("source").agg(
+        F.round(F.sum("score"), 4).alias("score_total"),
+        F.round(F.max("score"), 4).alias("score_max"),
+    )
+    return docs.join(F.broadcast(agg), "source").select(
+        "doc_id", "score_total", "score_max"
+    )
 
 
 @register(
@@ -1798,6 +1858,61 @@ def embedding_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
     return SIM.cosine_topk(emb, qvec, k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 8),
+pz AS (
+  SELECT e.vec_id, c.cid,
+         unnest(e.embedding) AS x, unnest(c.ce) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+pd AS (
+  SELECT vec_id, cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM pz GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM pd
+  ) WHERE rn = 1
+),
+qz AS (SELECT c.cid, unnest(q.qe) AS x, unnest(c.ce) AS y FROM q CROSS JOIN cents c),
+qd AS (SELECT cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot FROM qz GROUP BY cid),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dot DESC, cid ASC) AS rn FROM qd
+  ) WHERE rn <= 2
+),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)),
+z AS (
+  SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+),
+s AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS ny
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+FROM s ORDER BY 2 DESC, vec_id ASC LIMIT 10
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (second scale path beside LSH): coarse-quantize every
+    vector to its argmax-dot sampled centroid (vec_ids 1-8), probe the
+    query's top-2 inverted lists, exact cosine rerank inside them."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    return SIM.ivf_topk(emb, qvec, k=10, centroid_ids=tuple(range(1, 9)), nprobe=2)
 
 
 def _ann_planes(dim: int = 64, n_planes: int = 4) -> list[list[float]]:

@@ -104,6 +104,75 @@ def embedding_near_pairs(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its argmax-dot
+    centroid (ties -> lowest centroid id).
+
+    Shape: explode the centroid list as a broadcast relation, dot per
+    (vector, centroid) pair JVM-side, then ONE map-side-combinable groupBy
+    with max_by — the standard IVF assignment job; at 100 TB this is a
+    linear scan + one shuffle keyed on vec_id, and the centroid table
+    (n_centroids x dim floats) broadcasts even at 2^16 centroids."""
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids], ["cid", "cvec"]
+    )
+    pair = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).crossJoin(F.broadcast(cdf))
+    dot = _dot(F.col("embedding"), F.col("cvec"))
+    return (
+        pair.withColumn("dot", dot)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("dot"), (-F.col("cid")).alias("nc"))).alias("cid"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    centroid_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN (the second scale path beside LSH): coarse-quantize to
+    sampled centroids, probe the query's top-`nprobe` inverted lists, exact
+    cosine rerank inside them.
+
+    Centroids here are SAMPLED data vectors (the ids in `centroid_ids`) —
+    deterministic and oracle-replayable; a k-means refinement would iterate
+    the same assignment job + a mean-aggregate, changing nothing about the
+    query-time plan.  Recall trade: neighbors quantized into unprobed lists
+    are missed; raise nprobe (cost grows ~nprobe/n_centroids of the scan)."""
+    rows = (
+        embeddings.where(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).cast("long"), F.col(vec_col))
+        .collect()
+    )
+    centroids = sorted((int(r[0]), list(r[1])) for r in rows)
+    assigned = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    # query-side probe order: dot desc, centroid id asc (same tie-break)
+    qdots = sorted(
+        (
+            (-sum(float(a) * float(b) for a, b in zip(v, query_vec)), c)
+            for c, v in centroids
+        ),
+    )
+    probes = [c for _, c in qdots[:nprobe]]
+    cand = assigned.where(F.col("cid").isin(probes))
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding")
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

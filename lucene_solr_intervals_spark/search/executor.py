@@ -513,6 +513,22 @@ class Searcher:
         if isinstance(q, Q.ComplexPhrase):
             return self._scored_raw(self._rewrite_complex_phrase(q))
 
+        if isinstance(q, Q.Boosting):
+            # BoostingQuery.java:60-68: context contributes NO score of its
+            # own; matching it multiplies the match score by context_boost
+            scored = self._scored_raw(q.match)
+            ctx = self.matching(q.context).withColumn("_in_ctx", F.lit(1))
+            return scored.join(ctx, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.col("score")
+                    * F.when(
+                        F.col("_in_ctx").isNotNull(), F.lit(float(q.context_boost))
+                    ).otherwise(F.lit(1.0))
+                    * F.lit(float(q.boost))
+                ).alias("score"),
+            )
+
         if isinstance(q, (Q.OrderedNear, Q.UnorderedNear, Q.NonOverlapping, Q.IntervalFiltered)):
             # IntervalFilterQuery: freq() == 1 (IntervalFilterQuery.java:375-377)
             return self._scored_positional(q, freq_mode="one")
@@ -584,6 +600,9 @@ class Searcher:
             return self._numeric_range_docs(q)
         if isinstance(q, Q.ConstantScore):
             return self.matching(q.inner)
+        if isinstance(q, Q.Boosting):
+            # the context only rescales scores; matching set == match's
+            return self.matching(q.match)
         if isinstance(q, Q.Boolean):
             out = None
             for c in q.must:

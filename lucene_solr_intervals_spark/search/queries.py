@@ -93,6 +93,20 @@ class ComplexPhrase(Query):
 
 
 @dataclass(frozen=True)
+class Boosting(Query):
+    """BoostingQuery (lucene/queries/src/java/org/apache/lucene/queries/
+    BoostingQuery.java:40): score `match` normally, but docs ALSO matching
+    `context` have their score multiplied by `context_boost` (use < 1 to
+    demote, e.g. down-rank docs containing boilerplate terms without
+    excluding them)."""
+
+    match: Query
+    context: Query
+    context_boost: float = 0.5
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadTerm(Query):
     """PayloadTermQuery (lucene/core/src/java/org/apache/lucene/search/
     payloads/PayloadTermQuery.java:55): a TermQuery whose score is combined
