@@ -1299,6 +1299,45 @@ def facet_range_histogram(spark, sf_dir):
 
 
 @register(
+    "facet_queries",
+    _PRELUDE
+    + f"""
+SELECT 'has_rare' AS facet,
+       CAST((SELECT count(DISTINCT doc_id) FROM tok WHERE term = '{T_RARE}') AS BIGINT) AS n
+UNION ALL
+SELECT 'vector_and_window',
+       CAST((SELECT count(*) FROM (
+          SELECT doc_id FROM tok WHERE term IN ('{T_A}', '{T_B}')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2)) AS BIGINT)
+UNION ALL
+SELECT 'prefix_ve',
+       CAST((SELECT count(DISTINCT doc_id) FROM tok WHERE term LIKE 've%') AS BIGINT)
+ORDER BY facet
+""",
+)
+def facet_queries(spark, sf_dir):
+    """Solr facet.query analog (SimpleFacets.getFacetQueryCounts): count
+    docs matching each of an arbitrary query LIST, all facets in one plan
+    (a union of count aggregates — one job, not one per facet)."""
+    s = searcher(spark, sf_dir)
+    facets = [
+        ("has_rare", Q.Term(T_RARE)),
+        ("vector_and_window", Q.Boolean(must=(Q.Term(T_A), Q.Term(T_B)))),
+        ("prefix_ve", Q.Prefix("ve")),
+    ]
+    parts = [
+        s.matching(q).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("facet"), "n"
+        )
+        for name, q in facets
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("facet")
+
+
+@register(
     "pivot_facet",
     _PRELUDE
     + f"""

@@ -1217,6 +1217,144 @@ class Searcher:
             )
         )
 
+    def highlight_passages(
+        self,
+        q: Q.Query,
+        k: int = 10,
+        n_passages: int = 2,
+        analyzer: str = "code",
+    ) -> DataFrame:
+        """PostingsHighlighter analog (lucene/highlighter/src/java/org/
+        apache/lucene/search/postingshighlight/PostingsHighlighter.java:103):
+        sentence-bounded passages (BreakIterator.getSentenceInstance role —
+        here a sentence regex), each scored in the PassageScorer shape
+        (PassageScorer.java:60): per UNIQUE matched term,
+        idf(term) * tf / (tf + k1*(1-b + b*len/avgLen)) summed — BM25
+        saturation with the passage's token length normalized by the doc's
+        average passage length.  Top `n_passages` per top-k doc.
+
+        Returns (doc_id, score, passage_rank, offset_begin, offset_end,
+        passage_score, snippet).
+        """
+        import math
+        import re as _re
+
+        if self.corpus is None:
+            raise ValueError("highlight requires a corpus DataFrame")
+        from ..analysis.tokenizer import OFFSET_ANALYZERS
+
+        expanded = self._expand_tree(q)
+        leaf_terms = sorted(set(Q.terms_of(expanded))) if expanded else []
+        dfs = {t: self._df_of(self._positional_field(q), t) for t in leaf_terms}
+        n = self.index.max_doc
+        idf = {
+            t: math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
+        }
+        top = self.search(q, k)
+        joined = top.join(
+            self.corpus.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col(self._text_col).alias("_text"),
+            ),
+            "doc_id",
+        )
+        tok_fn = OFFSET_ANALYZERS[analyzer]
+        query = expanded
+        npass = int(n_passages)
+        k1, b = self.k1, self.b
+        sent_re = _re.compile(r"[^.!?\n]+(?:[.!?]+|\n|$)")
+
+        pass_schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("offset_begin", T.IntegerType()),
+                    T.StructField("offset_end", T.IntegerType()),
+                    T.StructField("passage_score", T.DoubleType()),
+                    T.StructField("snippet", T.StringType()),
+                ]
+            )
+        )
+
+        @F.pandas_udf(pass_schema)
+        def _passages(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                terms, positions, starts, ends, _ = tok_fn(text)
+                pos: dict[str, list[int]] = {}
+                term_of_pos: dict[int, str] = {}
+                char_of_pos: dict[int, int] = {}
+                for t, p, s0, _e0 in zip(terms, positions, starts, ends):
+                    pos.setdefault(t, []).append(p)
+                    term_of_pos[p] = t
+                    char_of_pos[p] = s0
+                m = IK.match_intervals(query, pos) if query is not None else None
+                if not m:
+                    out.append([])
+                    continue
+                spans = [(mm.start(), mm.end()) for mm in sent_re.finditer(text)]
+                if not spans:
+                    spans = [(0, len(text))]
+                # token length per passage (for the length norm)
+                tok_count = [0] * len(spans)
+                si = 0
+                for s0 in starts:
+                    while si < len(spans) and s0 >= spans[si][1]:
+                        si += 1
+                    if si < len(spans):
+                        tok_count[si] += 1
+                avg_len = max(sum(tok_count) / len(spans), 1.0)
+                # matched-term tf per passage: every query interval endpoint
+                # position contributes its own term occurrence
+                tfs: list[dict[str, int]] = [dict() for _ in spans]
+                import bisect
+
+                span_starts = [s for s, _ in spans]
+                for bgn, end in m:
+                    for p in (bgn, end) if end != bgn else (bgn,):
+                        c = char_of_pos.get(p)
+                        t = term_of_pos.get(p)
+                        if c is None or t is None:
+                            continue
+                        si2 = bisect.bisect_right(span_starts, c) - 1
+                        d = tfs[max(si2, 0)]
+                        d[t] = d.get(t, 0) + 1
+                scored = []
+                for i, d in enumerate(tfs):
+                    if not d:
+                        continue
+                    norm = k1 * (1 - b + b * max(tok_count[i], 1) / avg_len)
+                    s = sum(
+                        idf.get(t, 0.0) * tf / (tf + norm) for t, tf in d.items()
+                    )
+                    scored.append((i, s))
+                scored.sort(key=lambda x: (-x[1], x[0]))
+                out.append(
+                    [
+                        {
+                            "offset_begin": spans[i][0],
+                            "offset_end": spans[i][1],
+                            "passage_score": float(s),
+                            "snippet": text[spans[i][0] : spans[i][1]],
+                        }
+                        for i, s in scored[:npass]
+                    ]
+                )
+            return pd.Series(out)
+
+        return (
+            joined.withColumn("ps", _passages(F.col("_text")))
+            .select("doc_id", "score", F.posexplode("ps").alias("i", "p"))
+            .select(
+                "doc_id",
+                "score",
+                (F.col("i") + 1).alias("passage_rank"),
+                F.col("p.offset_begin").alias("offset_begin"),
+                F.col("p.offset_end").alias("offset_end"),
+                F.col("p.passage_score").alias("passage_score"),
+                F.col("p.snippet").alias("snippet"),
+            )
+        )
+
     def intervals(self, q: Q.Query) -> DataFrame:
         """(doc_id, begin, end) of every surviving interval — the highlighter
         feed (HighlightingIntervalCollector analog)."""
