@@ -52,7 +52,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="concurrent tier merges (ConcurrentMergeScheduler analog)")
 
     q = sub.add_parser("query", help="BM25 top-k over the packed index")
-    q.add_argument("--index", required=True)
+    q.add_argument("--index", required=True,
+                   help="index dir, or comma-separated shard dirs "
+                        "(scatter-gather with distributed IDF)")
     q.add_argument("--terms", required=True, help="comma-separated")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
@@ -62,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--corpus", default=None)
     v.add_argument("--text-col", default="content")
+
+    d = sub.add_parser("delete", help="tombstone doc ids (liveDocs; reclaimed at merge)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", required=True, help="comma-separated global doc ids")
 
     args = ap.parse_args(argv)
 
@@ -110,9 +116,15 @@ def main(argv: list[str] | None = None) -> int:
                 new_seg += 1
         print(json.dumps({"merged_tiers": len(plans), "workers": args.workers}))
     elif args.cmd == "query":
-        from .search.wand import SegmentSearcher
+        dirs = args.index.split(",")
+        if len(dirs) > 1:
+            from .search.multi import MultiIndexSearcher
 
-        s = SegmentSearcher(spark, args.index)
+            s = MultiIndexSearcher(spark, dirs)
+        else:
+            from .search.wand import SegmentSearcher
+
+            s = SegmentSearcher(spark, dirs[0])
         rows = s.search(
             args.terms.split(","), k=args.k, mode=args.mode, conjunctive=args.conjunctive
         ).collect()
@@ -127,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(res))
         return 0 if res["ok"] else 1
+    elif args.cmd == "delete":
+        from .streaming.nrt import delete_by_doc_ids
+
+        manifest = delete_by_doc_ids(
+            args.index, [int(x) for x in args.doc_ids.split(",")]
+        )
+        print(json.dumps({"tombstones": len(manifest.get("tombstones", []))}))
     return 0
 
 

@@ -826,3 +826,32 @@ class SegmentSearcher:
             .applyInPandas(_run, TOPK_SCHEMA)
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def scan_with_weights(
+        self,
+        terms: list[str],
+        weights: dict,
+        cache,
+        k: int,
+        mode: str = "wand",
+        conjunctive: bool = False,
+    ) -> DataFrame:
+        """Per-segment top-k with CALLER-SUPPLIED weights and norm cache —
+        the shard-side half of distributed search: a coordinator computes
+        globally consistent stats (summed df, global avgdl) and each shard
+        scores with them (Solr distributed IDF / ExactStatsCache role).
+        Returns the un-merged per-segment candidates (coordinator merges)."""
+        tombstones = self.tombstones
+        codec = self.codec
+        postings = self.postings.where(F.col("term").isin(terms))
+
+        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+            return segment_topk_kernel(
+                pdf, npdf, weights, cache, k, mode, conjunctive, tombstones, codec
+            )
+
+        return (
+            postings.groupBy("seg")
+            .cogroup(self.norms.groupBy("seg"))
+            .applyInPandas(_run, TOPK_SCHEMA)
+        )
