@@ -182,3 +182,32 @@ def delete_by_doc_ids(index_dir: str, doc_ids: list[int]) -> dict:
     manifest["tombstones"] = sorted(tomb)
     _write_manifest(index_dir, manifest)
     return manifest
+
+
+def update_documents(
+    batch_df: DataFrame,
+    index_dir: str,
+    old_doc_ids: list[int],
+    new_id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> dict | None:
+    """IndexWriter.updateDocument analog (delete + add as one visible
+    change): the new versions land as a fresh segment, the superseded doc
+    ids become tombstones, and BOTH edits commit in one atomic manifest
+    replace — a reader re-reading the manifest sees either the old state or
+    (new segment + tombstones), never a half-update.
+
+    The new rows must carry fresh GLOBAL doc ids (ids are immutable and
+    contiguous per segment; an update is a new identity plus a tombstone on
+    the old one — exactly Lucene's delete-then-add docID behavior)."""
+    manifest = append_segment_batch(
+        batch_df, index_dir, id_col=new_id_col, text_col=text_col, analyzer=analyzer
+    )
+    if manifest is None:
+        return None
+    tomb = set(manifest.get("tombstones", []))
+    tomb.update(int(d) for d in old_doc_ids)
+    manifest["tombstones"] = sorted(tomb)
+    _write_manifest(index_dir, manifest)
+    return manifest

@@ -150,3 +150,30 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     )
     got = {r["user_id"]: r["n_sessions"] for r in final}
     assert got == expect
+
+
+def test_update_documents_atomic(spark, tmp_path):
+    """updateDocument analog: new segment + tombstones on the old ids land
+    in one manifest commit; search sees the new version only."""
+    from lucene_solr_intervals_spark.index.segment import build_segments, read_manifest
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+    from lucene_solr_intervals_spark.streaming.nrt import update_documents
+
+    index_dir = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(0, "old version marker_a"), (1, "other doc"), (2, "third doc")],
+        ["doc_id", "text"],
+    )
+    build_segments(corpus, index_dir, n_segments=1, id_col="doc_id",
+                   text_col="text", n_docs_hint=3)
+    new_rows = spark.createDataFrame(
+        [(3, "new version marker_b")], ["doc_id", "text"]
+    )
+    update_documents(new_rows, index_dir, old_doc_ids=[0])
+    m = read_manifest(index_dir)
+    assert 0 in m["tombstones"]
+    ss = SegmentSearcher(spark, index_dir)
+    got_a = [r["doc_id"] for r in ss.search(["marker_a"], k=5).collect()]
+    got_b = [r["doc_id"] for r in ss.search(["marker_b"], k=5).collect()]
+    assert got_a == []      # old version tombstoned
+    assert got_b == [3]     # new version visible
