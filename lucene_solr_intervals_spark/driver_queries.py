@@ -1170,10 +1170,13 @@ ORDER BY 2 DESC, sv.doc_id ASC LIMIT 10
 """,
 )
 def sloppy_phrase_topk(spark, sf_dir):
-    """Sloppy PhraseQuery: freq = sum(1/(matchDistance+1)) over surviving
-    minimal intervals (SloppyPhraseScorer semantics via the interval kernel;
-    BM25Similarity.sloppyFreq:70-72)."""
-    q = Q.Phrase((T_A, T_B), slop=4)
+    """Sloppy phrase, INTERVALS-module semantics (SloppyIntervalIterator):
+    freq = sum(1/(matchDistance+1)) over surviving minimal intervals —
+    the SQL-expressible variant this oracle replays.  The fork's classic
+    SloppyPhraseScorer walk (PhraseQuery.java:296, scorer="classic", the
+    Phrase default) is algorithmic and pytest-golden-verified instead
+    (tests/test_sloppy_phrase_golden.py transcribes TestSloppyPhraseQuery)."""
+    q = Q.Phrase((T_A, T_B), slop=4, scorer="intervals")
     return _topk(searcher(spark, sf_dir).scored(q))
 
 
@@ -1446,6 +1449,41 @@ def fielded_bool_topk(spark, sf_dir):
     idx = get_index_2field(spark, sf_dir)
     s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
     q = Q.Boolean(must=(Q.Term(T_C), Q.Term("src17", field="source")))
+    return _topk(s.scored(q))
+
+
+@register(
+    "multifield_parser_topk",
+    _PRELUDE
+    + f"""
+, stok AS (SELECT doc_id, lower(source) AS term FROM documents),
+sdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM stok GROUP BY term),
+all_hits AS (
+  SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term IN ('{T_A}', 'src17')
+  UNION ALL
+  SELECT s.doc_id,
+         ln(1 + (cs.n - sdf.df + 0.5)/(sdf.df + 0.5)) * 2.2 * 1.0
+           / (1.0 + 1.2*(0.25 + 0.75*1.0/1.0)) AS score
+  FROM stok s JOIN sdf USING (term) CROSS JOIN cs
+  WHERE s.term IN ('{T_A}', 'src17')
+)
+SELECT doc_id, round(sum(score), 4) AS score
+FROM all_hits GROUP BY doc_id
+ORDER BY 2 DESC, doc_id ASC LIMIT 10
+""",
+)
+def multifield_parser_topk(spark, sf_dir):
+    """MultiFieldQueryParser (MultiFieldQueryParser.java:35): unfielded
+    clauses of 'vector src17' expand to per-field SHOULD copies over
+    (text, source); each copy scores with ITS field's stats; OR semantics
+    sum every matching copy."""
+    from .search.parser import parse_multi_field
+
+    idx = get_index_2field(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = parse_multi_field(f"{T_A} src17", fields=("text", "source"))
     return _topk(s.scored(q))
 
 

@@ -195,7 +195,14 @@ def fast_shape(q) -> tuple | None:
     if isinstance(q, Q.Phrase):
         if q.slop == 0 and len(q.terms) >= 1:
             return ("phrase", tuple(q.terms))
-        if q.slop > 0 and len(q.terms) == 2 and q.terms[0] != q.terms[1]:
+        # sloppy2 implements the INTERVALS-module semantics; a classic-scorer
+        # phrase (SloppyPhraseScorer walk) must take its dedicated kernel
+        if (
+            q.slop > 0
+            and len(q.terms) == 2
+            and q.terms[0] != q.terms[1]
+            and getattr(q, "scorer", "classic") == "intervals"
+        ):
             return ("sloppy2", q.terms[0], q.terms[1], q.slop)
         return None
     if isinstance(q, Q.NGramPhrase):
@@ -214,9 +221,20 @@ def fast_shape(q) -> tuple | None:
 def interval_shape(q) -> tuple | None:
     """fast_shape extended with the shapes whose minimal-interval ENDPOINTS
     (not just existence/counts) are extractable vectorized — the offsets /
-    highlighting feed.  Adds ("term", t): every position is an interval."""
+    highlighting feed.  Adds ("term", t): every position is an interval.
+
+    The Phrase `scorer` field governs SCORING only; interval collection
+    (offsets, highlighting) is always the intervals module's semantics, so
+    a classic-scorer sloppy phrase still takes the sloppy2 endpoint path."""
     if isinstance(q, Q.Term):
         return ("term", q.term)
+    if (
+        isinstance(q, Q.Phrase)
+        and q.slop > 0
+        and len(q.terms) == 2
+        and q.terms[0] != q.terms[1]
+    ):
+        return ("sloppy2", q.terms[0], q.terms[1], q.slop)
     return fast_shape(q)
 
 

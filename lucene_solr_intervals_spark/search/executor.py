@@ -505,7 +505,10 @@ class Searcher:
             return self._scored_positional(q, freq_mode="count")
 
         if isinstance(q, Q.Phrase):
-            return self._scored_positional(q, freq_mode="sloppy")
+            # PhraseQuery.java:296: slop > 0 -> SloppyPhraseScorer (classic);
+            # the intervals-module semantics stay selectable via scorer=
+            mode = "classic_sloppy" if q.scorer == "classic" else "sloppy"
+            return self._scored_positional(q, freq_mode=mode)
 
         if isinstance(q, (Q.MultiPhrase, Q.NGramPhrase)):
             return self._scored_positional(q, freq_mode="count")
@@ -886,9 +889,27 @@ class Searcher:
         )
 
         query = q  # closure capture (dataclasses pickle fine)
-        shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side
+        shape = None if freq_mode == "classic_sloppy" else VK.fast_shape(q)
 
-        if shape is not None:
+        if freq_mode == "classic_sloppy":
+            # SloppyPhraseScorer walk per doc (search/sloppy.py)
+            from .sloppy import sloppy_phrase_freq
+
+            phrase_terms = tuple(q.terms)
+            phrase_slop = int(q.slop)
+
+            @F.pandas_udf(_INTERVAL_RESULT)
+            def _kernel(tp: pd.Series) -> pd.DataFrame:
+                ns, ivs, sfreqs = [], [], []
+                for entries in tp:
+                    pos = {e["term"]: list(e["positions"]) for e in entries}
+                    nm, fr = sloppy_phrase_freq(phrase_terms, pos, phrase_slop)
+                    ns.append(nm)
+                    ivs.append([])
+                    sfreqs.append(float(fr))
+                return pd.DataFrame({"n": ns, "intervals": ivs, "sloppy_freq": sfreqs})
+
+        elif shape is not None:
             # batch-vectorized path: the whole Arrow batch becomes flat
             # (doc*stride + pos) key arrays per term; one numpy program per
             # batch instead of an interpreted iterator tree per doc
@@ -989,7 +1010,7 @@ class Searcher:
             freq = F.lit(1.0)
         elif freq_mode == "count":
             freq = F.col("res.n").cast("double")
-        else:  # sloppy
+        else:  # sloppy / classic_sloppy
             freq = F.col("res.sloppy_freq")
 
         boost = getattr(q, "boost", 1.0)

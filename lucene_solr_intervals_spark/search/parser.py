@@ -197,6 +197,53 @@ def parse(s: str, default_operator: str = "OR") -> Q.Query:
     return QueryParser(default_operator).parse(s)
 
 
+# ------------------------------------------- multi-field query parser
+
+
+def parse_multi_field(
+    s: str,
+    fields: tuple[str, ...],
+    boosts: dict[str, float] | None = None,
+    default_operator: str = "OR",
+    analyzer=None,
+) -> Q.Query:
+    """MultiFieldQueryParser (queryparser/classic/MultiFieldQueryParser.java:35):
+    every clause WITHOUT an explicit field expands to a SHOULD disjunction of
+    per-field copies (getFieldQuery :135-160), optionally boosted per field;
+    clauses the user fielded explicitly stay as written."""
+    import dataclasses
+
+    q = QueryParser(default_operator, analyzer=analyzer).parse(s)
+    boosts = boosts or {}
+
+    def expand(node: Q.Query) -> Q.Query:
+        if isinstance(node, Q.Boolean):
+            return Q.Boolean(
+                must=tuple(expand(c) for c in node.must),
+                should=tuple(expand(c) for c in node.should),
+                must_not=tuple(expand(c) for c in node.must_not),
+                min_should_match=node.min_should_match,
+                boost=node.boost,
+            )
+        if isinstance(node, Q.DisjunctionMax):
+            return dataclasses.replace(
+                node, subs=tuple(expand(c) for c in node.subs)
+            )
+        if getattr(node, "field", "__nofield__") is None:
+            copies = tuple(
+                dataclasses.replace(
+                    node,
+                    field=f,
+                    boost=getattr(node, "boost", 1.0) * boosts.get(f, 1.0),
+                )
+                for f in fields
+            )
+            return copies[0] if len(copies) == 1 else Q.Boolean(should=copies)
+        return node
+
+    return expand(q)
+
+
 # ------------------------------------------------- complex phrase parser
 
 _CP_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")

@@ -61,10 +61,18 @@ class Boolean(Query):
 
 @dataclass(frozen=True)
 class Phrase(Query):
+    """PhraseQuery.  With slop > 0 the fork scores via SloppyPhraseScorer
+    (PhraseQuery.java:296) — `scorer="classic"`, the default, reproduces
+    that algorithm incl. LUCENE-3412 repeated-term handling
+    (search/sloppy.py); `scorer="intervals"` selects the intervals module's
+    SloppyIntervalIterator semantics instead (minimal-interval antichain —
+    SQL-expressible, used by the DuckDB-oracle parity query)."""
+
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
     field: str | None = None
+    scorer: str = "classic"
 
 
 @dataclass(frozen=True)

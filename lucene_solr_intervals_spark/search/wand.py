@@ -475,7 +475,14 @@ class SegmentSearcher:
             and getattr(q, "slop", 0) == 0
             else ("sloppy" if isinstance(q, Q.Phrase) else "one")
         )
-        shape = VK.fast_shape(q)  # vectorizable? decided once, driver-side
+        # classic-scorer sloppy phrase: SloppyPhraseScorer walk, never the
+        # interval iterators (PhraseQuery.java:296)
+        classic_phrase = (
+            isinstance(q, Q.Phrase)
+            and q.slop > 0
+            and getattr(q, "scorer", "classic") == "classic"
+        )
+        shape = None if classic_phrase else VK.fast_shape(q)
         codec = self.codec
 
         def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
@@ -533,6 +540,18 @@ class SegmentSearcher:
                     j = idx_of[t].get(d)
                     if j is not None:
                         pos[t] = flat[offs[j] : offs[j + 1]].tolist()
+                if classic_phrase:
+                    from ..search.sloppy import sloppy_phrase_freq
+
+                    nm, fr = sloppy_phrase_freq(tuple(q.terms), pos, q.slop)
+                    if nm == 0:
+                        continue
+                    freq = np.float32(fr)
+                    nb = norms[d - base]
+                    sc = np.float32(weight * freq / (freq + cache[nb]))
+                    out_ids.append(d)
+                    out_scores.append(sc)
+                    continue
                 it = IK.build_iter(q, pos)
                 if it is None:
                     continue

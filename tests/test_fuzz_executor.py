@@ -41,7 +41,8 @@ def _rand_query(depth: int = 0) -> Q.Query:
         slop = int(rng.randint(0, 4)) if rng.rand() < 0.5 else 0
         if slop and len(set(terms)) < len(terms):
             slop = 0  # sloppy repeated-term phrases: iterator-only subtlety
-        return Q.Phrase(terms, slop=slop)
+        # the fuzz oracle enumerates intervals -> pin intervals semantics
+        return Q.Phrase(terms, slop=slop, scorer="intervals")
     if r < 0.68:
         k = rng.randint(2, 4)
         return Q.OrderedNear(

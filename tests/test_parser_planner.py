@@ -172,3 +172,30 @@ def test_complex_phrase_execution(spark):
     # a slot with no dictionary match -> empty result, no error
     assert s.matching(parse_complex_phrase('"zzzz* john"')).count() == 0
     idx.unpersist()
+
+
+def test_multi_field_parser_expansion():
+    from lucene_solr_intervals_spark.search.parser import parse_multi_field
+
+    q = parse_multi_field("hello title:world", fields=("title", "body"))
+    # unfielded term expands to a per-field SHOULD; fielded term stays put
+    assert q == Q.Boolean(
+        should=(
+            Q.Boolean(should=(Q.Term("hello", field="title"),
+                              Q.Term("hello", field="body"))),
+            Q.Term("world", field="title"),
+        )
+    )
+    # per-field boosts multiply into each copy (MultiFieldQueryParser boosts map)
+    qb = parse_multi_field("x", fields=("a", "b"), boosts={"a": 3.0})
+    assert qb == Q.Boolean(
+        should=(Q.Term("x", boost=3.0, field="a"), Q.Term("x", field="b"))
+    )
+    # single field: no wrapper boolean
+    q1 = parse_multi_field("x", fields=("only",))
+    assert q1 == Q.Term("x", field="only")
+    # prefix/wildcard leaves expand too
+    qp = parse_multi_field("pre*", fields=("a", "b"))
+    assert qp == Q.Boolean(
+        should=(Q.Prefix("pre", field="a"), Q.Prefix("pre", field="b"))
+    )

@@ -81,7 +81,7 @@ def test_unordered_near_2_matches_iterator(slop):
 def test_sloppy_pairs_2_matches_iterator(slop):
     docs = _random_docs(300)
     stride = _stride(docs)
-    q = Q.Phrase(("a", "b"), slop=slop)
+    q = Q.Phrase(("a", "b"), slop=slop, scorer="intervals")
     exp_docs, exp_cnt, exp_sf = [], [], []
     for di, pos in enumerate(docs):
         it = IK.build_iter(q, pos)
@@ -160,8 +160,14 @@ def test_ordered_near_k_matches_iterator(k, slop):
 
 def test_fast_shape_dispatch():
     assert VK.fast_shape(Q.Phrase(("x", "y"))) == ("phrase", ("x", "y"))
-    assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2)) == ("sloppy2", "x", "y", 2)
-    assert VK.fast_shape(Q.Phrase(("x", "x"), slop=2)) is None  # repeated term
+    assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2, scorer="intervals")) == (
+        "sloppy2", "x", "y", 2,
+    )
+    # classic-scorer sloppy phrase takes the SloppyPhraseScorer kernel
+    assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2)) is None
+    assert VK.fast_shape(
+        Q.Phrase(("x", "x"), slop=2, scorer="intervals")
+    ) is None  # repeated term
     assert VK.fast_shape(Q.OrderedNear(3, (Q.Term("x"), Q.Term("y")))) == (
         "orderedk", ("x", "y"), 3,
     )
