@@ -1006,6 +1006,34 @@ def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None =
             out.append(";".join(msgs))
         return pd.Series(out)
 
+    @F.pandas_udf(T.StringType())
+    def _check_offsets(offsets: pd.Series, tfs: pd.Series) -> pd.Series:
+        """OFFSETS stream invariants (CheckIndex.checkPostings offset checks):
+        pair count == ttf, start <= end, starts non-decreasing per doc."""
+        from ..codecs.registry import get_codec
+        from ..codecs.varbyte import unpack_offsets_flat
+
+        codec = get_codec(codec_name)
+        out = []
+        for ob, tb in zip(offsets, tfs):
+            if not ob:
+                out.append("")
+                continue
+            msgs = []
+            tf = unpack_tfs(tb, codec)
+            fs, fe, doffs = unpack_offsets_flat(ob, tf, codec)
+            if fs.size != int(tf.sum()):
+                msgs.append(f"offsets count {fs.size} != ttf {int(tf.sum())}")
+            if bool(np.any(fe < fs)):
+                msgs.append("offset end < start")
+            for i in range(tf.size):
+                sl = fs[doffs[i] : doffs[i + 1]]
+                if sl.size > 1 and not bool(np.all(np.diff(sl) >= 0)):
+                    msgs.append("offset starts not sorted")
+                    break
+            out.append(";".join(msgs))
+        return pd.Series(out)
+
     errs = (
         postings.select(
             _check("doc_ids", "tfs", "positions", "df", "ttf").alias("err")
@@ -1015,6 +1043,15 @@ def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None =
         .collect()
     )
     problems = [r["err"] for r in errs]
+
+    if manifest.get("offsets"):
+        oerrs = (
+            postings.select(_check_offsets("offsets", "tfs").alias("err"))
+            .where(F.col("err") != "")
+            .limit(20)
+            .collect()
+        )
+        problems.extend(r["err"] for r in oerrs)
 
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(live))
     n_docs = docs.count()

@@ -780,6 +780,13 @@ class Searcher:
             score = self._lucene_score_udf(f)(F.col("tf"), F.col("norm_byte"), F.col("df"))
         else:
             score = self._score_col(self._idf_col(F.col("df")), F.col("tf"), F.col("doclen"), f)
+        if isinstance(q, Q.Fuzzy):
+            # FuzzyTermsEnum.java:228: per-term boost 1 - edits/termLength —
+            # closer expansions outrank farther ones
+            sim = F.lit(1.0) - F.levenshtein(
+                F.col("term"), F.lit(q.term)
+            ).cast("double") / F.lit(float(max(len(q.term), 1)))
+            score = score * F.greatest(sim, F.lit(0.0))
         return (
             hits.withColumn("score", score)
             .groupBy("doc_id")

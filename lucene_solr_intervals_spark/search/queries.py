@@ -199,9 +199,11 @@ class Fuzzy(Query):
     max_edits: int = 2
     boost: float = 1.0
     field: str | None = None
-    # FuzzyQuery defaults to TopTerms scoring-boolean with 50 expansions
-    # (FuzzyQuery.java:54, defaultMaxExpansions)
-    rewrite: str = "constant"
+    # FuzzyQuery's default rewrite IS TopTerms scoring-boolean with 50
+    # expansions (FuzzyQuery.java:54 defaultMaxExpansions, :129 rewrite);
+    # each expanded term carries boost = 1 - edits/len (FuzzyTermsEnum
+    # .java:228), so closer terms rank higher
+    rewrite: str = "scoring_boolean"
     max_expansions: int | None = 50
     # non-fuzzy prefix (FuzzyQuery.java prefixLength): the first N chars
     # must match exactly; edits apply to the suffix only.  Trimming an

@@ -129,3 +129,15 @@ def test_build_query_verify_plain32(spark, tmp_path):
     bm = {(r["query_term"], r["doc_id"], r["rank"])
           for r in s_p32.search_many(terms, k=5).collect()}
     assert am == bm
+
+
+def test_verify_checks_offsets_stream(spark, tmp_path):
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import build_segments, verify_index
+
+    corpus = generate_corpus(spark, 120)
+    d = str(tmp_path / "idx_off")
+    build_segments(corpus, d, n_segments=2, id_col="doc_id",
+                   text_col="content", n_docs_hint=120, keep_offsets=True)
+    v = verify_index(spark, d, corpus=corpus, text_col="content")
+    assert v["ok"], v["problems"]
