@@ -510,6 +510,11 @@ class Searcher:
             mode = "classic_sloppy" if q.scorer == "classic" else "sloppy"
             return self._scored_positional(q, freq_mode=mode)
 
+        if isinstance(q, Q.MultiPhrase) and q.slop > 0:
+            # MultiPhraseQuery.setSlop -> SloppyPhraseScorer over slot
+            # position unions (MultiPhraseQuery.java:216)
+            return self._scored_positional(q, freq_mode="classic_sloppy")
+
         if isinstance(q, (Q.MultiPhrase, Q.NGramPhrase)):
             return self._scored_positional(q, freq_mode="count")
 
@@ -899,10 +904,14 @@ class Searcher:
         shape = None if freq_mode == "classic_sloppy" else VK.fast_shape(q)
 
         if freq_mode == "classic_sloppy":
-            # SloppyPhraseScorer walk per doc (search/sloppy.py)
-            from .sloppy import sloppy_phrase_freq
+            # SloppyPhraseScorer walk per doc (search/sloppy.py); MultiPhrase
+            # slots become per-slot term sets (position unions kernel-side)
+            from .sloppy import sloppy_slots_freq
 
-            phrase_terms = tuple(q.terms)
+            if isinstance(q, Q.MultiPhrase):
+                phrase_slots = [frozenset(s) for s in q.slots]
+            else:
+                phrase_slots = [frozenset((t,)) for t in q.terms]
             phrase_slop = int(q.slop)
 
             @F.pandas_udf(_INTERVAL_RESULT)
@@ -910,7 +919,7 @@ class Searcher:
                 ns, ivs, sfreqs = [], [], []
                 for entries in tp:
                     pos = {e["term"]: list(e["positions"]) for e in entries}
-                    nm, fr = sloppy_phrase_freq(phrase_terms, pos, phrase_slop)
+                    nm, fr = sloppy_slots_freq(phrase_slots, pos, phrase_slop)
                     ns.append(nm)
                     ivs.append([])
                     sfreqs.append(float(fr))

@@ -77,9 +77,13 @@ class Phrase(Query):
 
 @dataclass(frozen=True)
 class MultiPhrase(Query):
-    """Phrase with term alternatives per slot (MultiPhraseQuery.java:63)."""
+    """Phrase with term alternatives per slot (MultiPhraseQuery.java:63).
+    slop > 0 scores through the SloppyPhraseScorer walk over per-slot
+    position unions (UnionDocsAndPositionsEnum, MultiPhraseQuery.java:216),
+    incl. the multi-term-repeat handling."""
 
     slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
     boost: float = 1.0
     field: str | None = None
 

@@ -56,38 +56,126 @@ def _lesser(a: _PP, b: _PP) -> _PP:
 def sloppy_phrase_freq(
     terms: tuple[str, ...], positions: dict[str, list[int]], slop: int
 ) -> tuple[int, float]:
-    """(num_matches, sloppy_freq) of the phrase in one document.
+    """(num_matches, sloppy_freq) of a single-term-slot phrase in one doc."""
+    return sloppy_slots_freq(
+        [frozenset((t,)) for t in terms], positions, slop
+    )
 
-    `terms[i]` is the phrase's i-th slot; `positions[t]` the doc positions
-    of term t (sorted).  freq contribution per match is 1/(distance+1)
+
+def sloppy_slots_freq(
+    slots: list[frozenset], positions: dict[str, list[int]], slop: int
+) -> tuple[int, float]:
+    """(num_matches, sloppy_freq) for a phrase whose slot i accepts any term
+    of `slots[i]` — PhraseQuery (singleton slots) AND MultiPhraseQuery
+    (multi-term slots score through the same SloppyPhraseScorer via
+    UnionDocsAndPositionsEnum, MultiPhraseQuery.java:216).  Repeat handling
+    covers both cases of the reference: plain repeats (advance j steps at
+    init) and multi-term repeats (union-find term groups + collide-resolve
+    init, SloppyPhraseScorer.java:305-334, :394-430).
+
+    freq contribution per match is 1/(distance+1)
     (BM25Similarity.computeSlopFactor, BM25Similarity.java:246)."""
-    if any(t not in positions or not positions[t] for t in terms):
-        return 0, 0.0
-    pps = [_PP(i, i, positions[t]) for i, t in enumerate(terms)]
+    slot_positions: list[list[int]] = []
+    for s in slots:
+        merged = sorted(
+            p for t in s for p in positions.get(t, [])
+        )
+        if not merged:
+            return 0, 0.0
+        slot_positions.append(merged)
+    pps = [_PP(i, i, ps) for i, ps in enumerate(slot_positions)]
 
-    # ----- init (initFirstTime / initComplex, single-term slots) -----
+    # ----- init (initFirstTime / initComplex) -----
     for pp in pps:
         pp.next_position()  # placeFirstPositions
-    # repetition groups = slots sharing a term (for single-term slots the
-    # same-first-tpPos criterion of gatherRptGroups reduces to term equality)
-    by_term: dict[str, list[_PP]] = {}
-    for pp, t in zip(pps, terms):
-        by_term.setdefault(t, []).append(pp)
+    # repeatingTerms: terms appearing in >= 2 slots
+    term_count: dict[str, int] = {}
+    for s in slots:
+        for t in s:
+            term_count[t] = term_count.get(t, 0) + 1
+    rpt_terms = {t for t, c in term_count.items() if c >= 2}
+    has_multi_term_rpts = any(
+        len(s) > 1 and (s & rpt_terms) for s in slots
+    )
     rpt_groups: list[list[_PP]] = []
-    for t, group in by_term.items():
-        if len(group) > 1:
-            group.sort(key=lambda p: p.offset)  # sortRptGroups
-            for j, pp in enumerate(group):
-                pp.rpt_group = len(rpt_groups)
-                pp.rpt_ind = j
-            rpt_groups.append(group)
+    if rpt_terms:
+        if not has_multi_term_rpts:
+            # simple: group slots by their (single) repeated term
+            by_term: dict[str, list[_PP]] = {}
+            for pp, s in zip(pps, slots):
+                (t,) = tuple(s) if len(s) == 1 else (next(iter(s)),)
+                if t in rpt_terms:
+                    by_term.setdefault(t, []).append(pp)
+            for t, group in by_term.items():
+                if len(group) > 1:
+                    group.sort(key=lambda p: p.offset)  # sortRptGroups
+                    for j, pp in enumerate(group):
+                        pp.rpt_group = len(rpt_groups)
+                        pp.rpt_ind = j
+                    rpt_groups.append(group)
+        else:
+            # connected regions on the slots/terms bipartite graph
+            # (unionTermGroups / termGroups, SloppyPhraseScorer.java:447-478)
+            parent = {t: t for t in rpt_terms}
+
+            def find(t):
+                while parent[t] != t:
+                    parent[t] = parent[parent[t]]
+                    t = parent[t]
+                return t
+
+            for s in slots:
+                shared = sorted(s & rpt_terms)
+                for a, b in zip(shared, shared[1:]):
+                    parent[find(a)] = find(b)
+            groups: dict[str, list[_PP]] = {}
+            for pp, s in zip(pps, slots):
+                roots = {find(t) for t in (s & rpt_terms)}
+                for r in sorted(roots):
+                    groups.setdefault(r, [])
+                    if pp not in groups[r]:
+                        groups[r].append(pp)
+            for r in sorted(groups):
+                rg = groups[r]
+                if len(rg) > 1:
+                    rg.sort(key=lambda p: p.offset)
+                    for j, pp in enumerate(rg):
+                        pp.rpt_group = len(rpt_groups)
+                        pp.rpt_ind = j
+                    rpt_groups.append(rg)
     has_rpts = bool(rpt_groups)
-    # advanceRepeatGroups (no multi-term): advance rg[j] j times
+
+    def _collide_init(pp, rg):
+        tp = pp.tp_pos()
+        for other in rg:
+            if other is not pp and other.tp_pos() == tp:
+                return other
+        return None
+
+    # advanceRepeatGroups (:305-334).  Collision resolution must propagate
+    # the MULTI-TERM pp, not the singleton — the contract pinned by
+    # TestMultiPhraseQuery.java:161 testMultiSloppyWithRepeats ("this will
+    # fail, when the scorer would propagate [a] rather than [a,b]"):
+    # advancing the singleton exhausts it even though a valid combination
+    # exists through the union pp's other term.
+    multi = {id(pp): len(slots[pp.ord]) > 1 for pp in pps}
     for rg in rpt_groups:
-        for j in range(1, len(rg)):
-            for _ in range(j):
-                if not rg[j].next_position():
-                    return 0, 0.0
+        if has_multi_term_rpts:
+            for i in range(len(rg)):
+                pp = rg[i]
+                while (other := _collide_init(pp, rg)) is not None:
+                    a, b = pp, other
+                    if multi[id(a)] != multi[id(b)]:
+                        pp2 = a if multi[id(a)] else b
+                    else:
+                        pp2 = _lesser(a, b)
+                    if not pp2.next_position():
+                        return 0, 0.0
+        else:
+            for j in range(1, len(rg)):
+                for _ in range(j):
+                    if not rg[j].next_position():
+                        return 0, 0.0
 
     # fillQueue: tiny n, a sorted list stands in for the heap
     queue = list(pps)

@@ -475,13 +475,19 @@ class SegmentSearcher:
             and getattr(q, "slop", 0) == 0
             else ("sloppy" if isinstance(q, Q.Phrase) else "one")
         )
-        # classic-scorer sloppy phrase: SloppyPhraseScorer walk, never the
-        # interval iterators (PhraseQuery.java:296)
-        classic_phrase = (
+        # classic-scorer sloppy phrase / sloppy multi-phrase:
+        # SloppyPhraseScorer walk, never the interval iterators
+        # (PhraseQuery.java:296, MultiPhraseQuery.java:269)
+        classic_slots = None
+        if (
             isinstance(q, Q.Phrase)
             and q.slop > 0
             and getattr(q, "scorer", "classic") == "classic"
-        )
+        ):
+            classic_slots = [frozenset((t,)) for t in q.terms]
+        elif isinstance(q, Q.MultiPhrase) and q.slop > 0:
+            classic_slots = [frozenset(s) for s in q.slots]
+        classic_phrase = classic_slots is not None
         shape = None if classic_phrase else VK.fast_shape(q)
         codec = self.codec
 
@@ -541,9 +547,9 @@ class SegmentSearcher:
                     if j is not None:
                         pos[t] = flat[offs[j] : offs[j + 1]].tolist()
                 if classic_phrase:
-                    from ..search.sloppy import sloppy_phrase_freq
+                    from ..search.sloppy import sloppy_slots_freq
 
-                    nm, fr = sloppy_phrase_freq(tuple(q.terms), pos, q.slop)
+                    nm, fr = sloppy_slots_freq(classic_slots, pos, q.slop)
                     if nm == 0:
                         continue
                     freq = np.float32(fr)
