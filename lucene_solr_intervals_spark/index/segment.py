@@ -657,6 +657,77 @@ def load_norms(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "norms"))
 
 
+# Above this many tombstones the doc-id list leaves the JSON manifest for a
+# parquet side table — a manifest (and every reader closure) must stay O(1)
+# in corpus size; deletes at 100 TB can reach billions of ids.
+TOMBSTONE_SPILL_THRESHOLD = 10_000
+
+
+def spill_tombstones(index_dir: str, manifest: dict, doc_ids: set[int]) -> None:
+    """Move the full tombstone set into index_dir/tombstones/ parquet
+    (seg, doc_id — seg from the manifest's doc_base ranges so readers prune
+    and aggregate per segment), leaving only metadata in the manifest.
+    Written with pyarrow (a pure-manifest operation needs no Spark job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ranges = sorted(
+        (s["doc_base"], s["doc_base"] + s["n_docs"], s["seg"])
+        for s in manifest["segments"]
+        if s.get("status") == "done"
+    )
+
+    def seg_of(d: int) -> int:
+        import bisect
+
+        i = bisect.bisect_right(ranges, (d, float("inf"), float("inf"))) - 1
+        if i >= 0 and ranges[i][0] <= d < ranges[i][1]:
+            return ranges[i][2]
+        return -1
+
+    ids = sorted(doc_ids)
+    segs = [seg_of(d) for d in ids]
+    table = pa.table({"seg": pa.array(segs, pa.int32()),
+                      "doc_id": pa.array(ids, pa.int64())})
+    dest = os.path.join(index_dir, "tombstones")
+    os.makedirs(dest, exist_ok=True)
+    tmp = os.path.join(dest, "_tomb.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(dest, "tombstones.parquet"))
+    manifest.pop("tombstones", None)
+    manifest["tombstones_spilled"] = True
+    manifest["n_tombstones"] = len(ids)
+
+
+def read_spilled_tombstones(index_dir: str, segs: list[int] | None = None) -> set[int]:
+    """Driver-side read of the spilled set, optionally pruned to segments
+    (merge-reclaim needs exactly the merged ranges' deletes — which merge
+    must materialize anyway to drop the rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "tombstones", "tombstones.parquet")
+    if not os.path.exists(path):
+        return set()
+    t = pq.read_table(path)
+    if segs is not None:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t["seg"], value_set=pa.array(segs)))
+    return set(t["doc_id"].to_pylist())
+
+
+def load_tombstones_per_seg(spark: SparkSession, index_dir: str, manifest: dict):
+    """(seg, tomb: array<long>) DataFrame when spilled, else None — joined
+    onto the norms relation so each segment's kernel receives ONLY its own
+    deletes through the existing seg-cogroup (never a driver-side closure
+    of the whole set)."""
+    if not manifest.get("tombstones_spilled"):
+        return None
+    df = spark.read.parquet(os.path.join(index_dir, "tombstones"))
+    return df.groupBy("seg").agg(F.collect_list("doc_id").alias("tomb"))
+
+
 def rebuild_norms(spark: SparkSession, index_dir: str) -> None:
     """Regenerate ALL per-segment norms blobs from the docs table — a full
     repair pass (normal operation writes norms per segment: build writes
@@ -808,9 +879,13 @@ def merge_segments(
     assert set(seg_ids) <= live, f"segments {set(seg_ids) - live} not live"
 
     # tombstones inside the merged ranges become physical now (liveDocs
-    # reclaim); those outside stay in the manifest
+    # reclaim); those outside stay in the manifest / spill table.  The
+    # spilled read is pruned to exactly the merged segments — the set merge
+    # must materialize anyway to drop the rows.
     old = [s for s in manifest["segments"] if s["seg"] in set(seg_ids)]
     tombs = set(manifest.get("tombstones", []))
+    if manifest.get("tombstones_spilled"):
+        tombs |= read_spilled_tombstones(index_dir, segs=sorted(seg_ids))
     reclaim = frozenset(
         d
         for d in tombs
@@ -904,6 +979,9 @@ def merge_segments(
         )
         if reclaim:
             manifest["tombstones"] = sorted(set(manifest.get("tombstones", [])) - reclaim)
+            if manifest.get("tombstones_spilled"):
+                remaining = read_spilled_tombstones(index_dir) - reclaim
+                spill_tombstones(index_dir, manifest, remaining)
         if "n_docs" in manifest:
             manifest["n_docs"] = sum(
                 s["n_docs"] for s in manifest["segments"] if s["status"] == "done"

@@ -108,6 +108,14 @@ class MultiIndexSearcher:
                 s.postings.where(F.col("term").isin(terms))
                 .select(F.explode(_ids(F.col("doc_ids"))).alias("doc_id"))
             )
+            if s.manifest.get("tombstones_spilled"):
+                # spilled deletes: distributed anti-join, never a driver set
+                import os
+
+                spilled = s.spark.read.parquet(
+                    os.path.join(s.index_dir, "tombstones")
+                ).select("doc_id")
+                df = df.join(spilled, "doc_id", "left_anti")
             if conjunctive:
                 total += (
                     df.groupBy("doc_id")

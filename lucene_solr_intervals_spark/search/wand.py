@@ -224,6 +224,14 @@ def segment_topk_kernel(
     base = int(norms_row["doc_base"].iloc[0])
     norms = np.frombuffer(norms_row["norm_bytes"].iloc[0], dtype=np.uint8)
 
+    # spilled tombstones ride the norms row as a per-SEGMENT slice (the
+    # manifest/closure path stays for small delete sets) — per-task memory
+    # is this segment's deletes, not the corpus's
+    if "tomb" in norms_row.columns:
+        tv = norms_row["tomb"].iloc[0]
+        if tv is not None and len(tv):
+            tombstones = frozenset(tombstones) | {int(x) for x in tv}
+
     tomb_arr = (
         np.fromiter(tombstones, dtype=np.int64) if tombstones else None
     )
@@ -394,14 +402,20 @@ class SegmentSearcher:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from ..index.segment import load_tombstones_per_seg
+
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         self.live = _live_segments(self.manifest)
         self.postings = load_postings(spark, index_dir).where(F.col("seg").isin(self.live))
-        self.norms = load_norms(spark, index_dir).where(
-            F.col("seg").isin(self.live)
-        ).persist()
+        norms = load_norms(spark, index_dir).where(F.col("seg").isin(self.live))
+        tomb_df = load_tombstones_per_seg(spark, index_dir, self.manifest)
+        if tomb_df is not None:
+            # spilled deletes join the norms relation: each segment's kernel
+            # receives its own slice via the existing seg-cogroup
+            norms = norms.join(tomb_df, "seg", "left")
+        self.norms = norms.persist()
         self.norms.count()
         self.tombstones = frozenset(self.manifest.get("tombstones", []))
         self.n_docs = self.manifest["n_docs"]
@@ -498,6 +512,11 @@ class SegmentSearcher:
                 )
             base = int(npdf["doc_base"].iloc[0])
             norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
+            tombs = tombstones
+            if "tomb" in npdf.columns:
+                tv = npdf["tomb"].iloc[0]
+                if tv is not None and len(tv):
+                    tombs = frozenset(tombs) | {int(x) for x in tv}
             per_term = {}
             for _, r in pdf.iterrows():
                 ids = unpack_doc_ids(r["doc_ids"], codec)
@@ -519,8 +538,8 @@ class SegmentSearcher:
                     for t, (ids, flat, offs) in per_term.items()
                 }
                 docs, cnt, sfreq = VK.run_shape(shape, term_keys, stride)
-                if tombstones and docs.size:
-                    keep = ~np.isin(docs, np.fromiter(tombstones, dtype=np.int64))
+                if tombs and docs.size:
+                    keep = ~np.isin(docs, np.fromiter(tombs, dtype=np.int64))
                     docs, cnt, sfreq = docs[keep], cnt[keep], sfreq[keep]
                 if freq_mode == "count":
                     freq = cnt.astype(np.float32)
@@ -539,7 +558,7 @@ class SegmentSearcher:
                 t: dict(zip(v[0].tolist(), range(v[0].size))) for t, v in per_term.items()
             }
             for d in all_ids.tolist():
-                if d in tombstones:
+                if d in tombs:
                     continue
                 pos = {}
                 for t, (ids, flat, offs) in per_term.items():
@@ -619,12 +638,17 @@ class SegmentSearcher:
             ]
         )
 
-        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
                 {c: [] for c in ["doc_id", "begin", "end", "offset_begin", "offset_end"]}
             ).astype("int64")
             if pdf.empty:
                 return empty
+            tombs = tombstones
+            if not npdf.empty and "tomb" in npdf.columns:
+                tv = npdf["tomb"].iloc[0]
+                if tv is not None and len(tv):
+                    tombs = frozenset(tombs) | {int(x) for x in tv}
             per_term = {}
             for _, r in pdf.iterrows():
                 ids = unpack_doc_ids(r["doc_ids"], codec)
@@ -655,9 +679,9 @@ class SegmentSearcher:
                 bkeys, ekeys = VK.run_shape_intervals(shape, term_keys, stride)
                 if bkeys.size == 0:
                     return empty
-                if tombstones:
+                if tombs:
                     keep = ~np.isin(
-                        bkeys // stride, np.fromiter(tombstones, dtype=np.int64)
+                        bkeys // stride, np.fromiter(tombs, dtype=np.int64)
                     )
                     bkeys, ekeys = bkeys[keep], ekeys[keep]
                     if bkeys.size == 0:
@@ -690,7 +714,7 @@ class SegmentSearcher:
             }
             rows = []
             for d in all_ids.tolist():
-                if d in tombstones:
+                if d in tombs:
                     continue
                 pos, omap = {}, {}
                 for t, (ids, flat, offs, fs, fe) in per_term.items():
@@ -715,7 +739,11 @@ class SegmentSearcher:
             )
 
         postings = self.postings.where(F.col("term").isin(leaf_terms))
-        return postings.groupBy("seg").applyInPandas(_run, schema)
+        return (
+            postings.groupBy("seg")
+            .cogroup(self.norms.groupBy("seg"))
+            .applyInPandas(_run, schema)
+        )
 
     def search_many(self, term_queries: list[str], k: int = 10, mode: str = "wand") -> DataFrame:
         """Batch top-k: score MANY single-term queries in ONE Spark job.
@@ -779,6 +807,11 @@ class SegmentSearcher:
             np.maximum.accumulate(seg_base, out=seg_base)
             ids_cat = csum - seg_base
             tfs_cat = codec.decode(b"".join(pdf["tfs"])).astype(np.float32)
+            tombs = tombstones
+            if "tomb" in npdf.columns:
+                tv = npdf["tomb"].iloc[0]
+                if tv is not None and len(tv):
+                    tombs = frozenset(tombs) | {int(x) for x in tv}
             # per-row weight from the in-plan global df (idf * (k1+1))
             w_rows = (
                 idf32(pdf["df_total"].to_numpy(dtype=np.int64), n_docs)
@@ -787,8 +820,8 @@ class SegmentSearcher:
             w_cat = np.repeat(w_rows, counts)
             nb = norms[ids_cat - base]
             sc_cat = (w_cat * tfs_cat / (tfs_cat + cache[nb])).astype(np.float32)
-            if tombstones:
-                dead = np.isin(ids_cat, np.fromiter(tombstones, dtype=np.int64))
+            if tombs:
+                dead = np.isin(ids_cat, np.fromiter(tombs, dtype=np.int64))
                 sc_cat[dead] = np.float32(-1.0)  # never reaches top-k
             out_t, out_d, out_s = [], [], []
             terms_col = pdf["term"].tolist()

@@ -173,13 +173,33 @@ def sessionize_stateful(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
-def delete_by_doc_ids(index_dir: str, doc_ids: list[int]) -> dict:
-    """Delete-by-term analog: tombstones in the manifest (liveDocs bitset);
-    applied as an anti-join by readers, reclaimed at merge."""
+def delete_by_doc_ids(
+    index_dir: str, doc_ids: list[int], spill_threshold: int | None = None
+) -> dict:
+    """Delete-by-term analog: tombstones (liveDocs bitset role) applied as
+    an anti-join by readers and reclaimed at merge.  Small sets live in the
+    manifest; past `spill_threshold` (default
+    segment.TOMBSTONE_SPILL_THRESHOLD) the full set moves to a parquet side
+    table so the manifest — and every reader's memory — stays O(1) in the
+    number of deletes (readers then receive per-segment slices through the
+    norms cogroup, never the whole set)."""
+    from ..index.segment import (
+        TOMBSTONE_SPILL_THRESHOLD,
+        read_spilled_tombstones,
+        spill_tombstones,
+    )
+
+    if spill_threshold is None:
+        spill_threshold = TOMBSTONE_SPILL_THRESHOLD
     manifest = read_manifest(index_dir)
     tomb = set(manifest.get("tombstones", []))
+    if manifest.get("tombstones_spilled"):
+        tomb |= read_spilled_tombstones(index_dir)
     tomb.update(int(d) for d in doc_ids)
-    manifest["tombstones"] = sorted(tomb)
+    if manifest.get("tombstones_spilled") or len(tomb) > spill_threshold:
+        spill_tombstones(index_dir, manifest, tomb)
+    else:
+        manifest["tombstones"] = sorted(tomb)
     _write_manifest(index_dir, manifest)
     return manifest
 
