@@ -1302,6 +1302,59 @@ def facet_range_histogram(spark, sf_dir):
 
 
 @register(
+    "terms_component",
+    _PRELUDE
+    + """
+SELECT term, CAST(df AS BIGINT) AS df FROM dfp
+WHERE term >= 'm'
+ORDER BY df DESC, term ASC LIMIT 15
+""",
+)
+def terms_component(spark, sf_dir):
+    """Solr TermsComponent (terms.fl/terms.lower): enumerate the term
+    dictionary from a lower bound ordered by df — a pruned scan of
+    term_stats, the BlockTree seek + next() walk."""
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.term_stats.where(
+            (F.col("field") == "text") & (F.col("term") >= "m")
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(15)
+    )
+
+
+@register(
+    "term_vector_doc",
+    _PRELUDE
+    + """
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM tok WHERE doc_id = 42
+GROUP BY term ORDER BY term
+""",
+)
+def term_vector_doc(spark, sf_dir):
+    """Term vector of one doc (IndexReader.getTermVector / Solr
+    TermVectorComponent): (term, tf, first position).  NOTE the plan shape:
+    over the term-sorted postings this is a full-scan filter on doc_id —
+    faithful to why Lucene stores term vectors as a SEPARATE doc-keyed
+    family; the exploded index IS that family here (cached, doc_id
+    filterable)."""
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.postings.where((F.col("field") == "text") & (F.col("doc_id") == 42))
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.element_at("positions", 1).cast("long").alias("first_pos"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
     "facet_queries",
     _PRELUDE
     + f"""
