@@ -120,3 +120,26 @@ def test_packed_path_matches_exploded(spark, tmp_path):
              for r in ss.search_intervals(q, k=20).collect()}
         assert a == b, (terms, slop)
     idx.unpersist()
+
+
+def _freq(doc, terms, slop):
+    from lucene_solr_intervals_spark.search.sloppy import sloppy_phrase_freq
+
+    pos = {}
+    for i, t in enumerate(DOCS[doc].split()):
+        pos.setdefault(t, []).append(i)
+    _, f = sloppy_phrase_freq(terms, pos, slop)
+    return f
+
+
+def test_freq_comparisons():
+    # the reference's checkPhraseQuery freq assertions: the _B docs carry a
+    # SECOND occurrence, so their sloppy freq strictly exceeds the single
+    # occurrence's (TestSloppyPhraseQuery.java:73-75, :87-91, :102-104,
+    # :114-116)
+    for slop in range(0, 4):
+        assert _freq("DOC_1_B", QUERY_1, slop) > _freq("DOC_1", QUERY_1, slop)
+        assert _freq("DOC_2_B", QUERY_2, slop) > _freq("DOC_2", QUERY_2, slop)
+        assert _freq("DOC_3_B", QUERY_1, slop) > _freq("DOC_3", QUERY_1, slop)
+    for slop in range(6, 9):
+        assert _freq("DOC_2_B", QUERY_1, slop) > _freq("DOC_2", QUERY_1, slop)
