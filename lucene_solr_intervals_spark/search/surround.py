@@ -121,7 +121,7 @@ class SurroundParser:
     def _or_query(self) -> Q.Query:
         q = self._and_query()
         clauses = None
-        while self._is_or(self._peek()) and not self._is_prefix_op(self._peek()):
+        while self._is_or(self._peek()):
             self._next()
             if clauses is None:
                 clauses = [q]
@@ -131,7 +131,7 @@ class SurroundParser:
     def _and_query(self) -> Q.Query:
         q = self._not_query()
         clauses = None
-        while self._is_and(self._peek()) and not self._is_prefix_op(self._peek()):
+        while self._is_and(self._peek()):
             self._next()
             if clauses is None:
                 clauses = [q]
@@ -153,7 +153,7 @@ class SurroundParser:
     def _n_query(self) -> Q.Query:
         q = self._w_query()
         # left-associative: each N token wraps the accumulated query
-        while self._is_n(self._peek()) and not self._is_prefix_op(self._peek()):
+        while self._is_n(self._peek()):
             d = _op_distance(self._next())
             rhs = self._w_query()
             q = Q.UnorderedNear(d - 1, (q, rhs))
@@ -161,7 +161,7 @@ class SurroundParser:
 
     def _w_query(self) -> Q.Query:
         q = self._primary()
-        while self._is_w(self._peek()) and not self._is_prefix_op(self._peek()):
+        while self._is_w(self._peek()):
             d = _op_distance(self._next())
             rhs = self._primary()
             q = Q.OrderedNear(d - 1, (q, rhs))

@@ -108,3 +108,51 @@ def test_surround_execution(spark):
     # prefix form with three operands
     assert ids(parse_surround("W(alpha, beta, gamma)")) == [0]
     idx.unpersist()
+
+
+def test_render_parse_roundtrip():
+    """Property: rendering a random distance/boolean tree to surround syntax
+    and re-parsing reproduces the tree (grammar round-trip)."""
+    import random
+
+    rng = random.Random(99)
+
+    def rand_tree(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.35:
+            t = "t" + str(rng.randint(0, 9))
+            return Q.Term(t), t
+        kids = [rand_tree(depth + 1) for _ in range(2)]
+        if r < 0.55:
+            d = rng.randint(1, 9)
+            # infix W binds tightest -> parenthesize non-leaf operands
+            parts = [
+                s if isinstance(q, Q.Term) else f"({s})" for q, s in kids
+            ]
+            return (
+                Q.OrderedNear(d - 1, tuple(q for q, _ in kids)),
+                f" {d}W ".join(parts),
+            )
+        if r < 0.7:
+            d = rng.randint(1, 9)
+            parts = [
+                s if isinstance(q, (Q.Term, Q.OrderedNear)) else f"({s})"
+                for q, s in kids
+            ]
+            return (
+                Q.UnorderedNear(d - 1, tuple(q for q, _ in kids)),
+                f" {d}N ".join(parts),
+            )
+        if r < 0.85:
+            return (
+                Q.Boolean(must=tuple(q for q, _ in kids)),
+                " AND ".join(f"({s})" for _, s in kids),
+            )
+        return (
+            Q.Boolean(should=tuple(q for q, _ in kids)),
+            " OR ".join(f"({s})" for _, s in kids),
+        )
+
+    for _ in range(200):
+        tree, text = rand_tree(0)
+        assert parse_surround(text) == tree, text
