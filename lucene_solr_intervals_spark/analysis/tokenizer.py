@@ -238,6 +238,165 @@ def tokenize_series(texts, analyzer: str = "code"):
     return pd.Series(terms_col), pd.Series(pos_col), pd.Series(len_col)
 
 
+# ------------------------------------------------------------------ batched
+# Vectorized whole-batch tokenizer: the DefaultIndexingChain invert loop
+# (DefaultIndexingChain.java:561-637) re-expressed as numpy array ops over
+# ONE byte buffer per Arrow batch — no per-document Python call in the
+# build hot path.  The token-character class of code_tokenize
+# ([A-Za-z0-9_]) is pure ASCII, so utf-8 byte runs of token characters are
+# exactly the str-domain regex tokens (every byte of a non-ASCII character
+# is >= 0x80, i.e. a separator byte), and byte length == char length.
+
+import numpy as _vnp  # noqa: E402
+
+_TOKEN_BYTE = _vnp.zeros(256, dtype=bool)
+for _r in (range(48, 58), range(65, 91), range(97, 123), (95,)):
+    _TOKEN_BYTE[list(_r)] = True
+_LOWER_MAP = _vnp.arange(256, dtype=_vnp.uint8)
+_LOWER_MAP[65:91] += 32
+
+# analyzers whose semantics the byte-domain fast path reproduces exactly
+_FLAT_FAST = {"code": None, "code_stop": ENGLISH_STOP_WORDS}
+
+
+def _flat_fallback(texts, fn, keep_offsets: bool):
+    """Generic per-doc loop producing the same flat-array shape.  `fn` is a
+    resolved scalar analyzer (resolve on the DRIVER — registry entries added
+    via register_analyzer are not present in executor workers)."""
+    terms_all: list[str] = []
+    doc_idx_parts, pos_parts, s_parts, e_parts = [], [], [], []
+    doclens = _vnp.zeros(len(texts), dtype=_vnp.int64)
+    for i, t in enumerate(texts):
+        out = fn(t)
+        if keep_offsets:
+            terms, positions, starts, ends, doclen = out
+            s_parts.append(_vnp.asarray(starts, dtype=_vnp.int64))
+            e_parts.append(_vnp.asarray(ends, dtype=_vnp.int64))
+        else:
+            terms, positions, doclen = out
+        terms_all.extend(terms)
+        pos_parts.append(_vnp.asarray(positions, dtype=_vnp.int64))
+        doc_idx_parts.append(_vnp.full(len(terms), i, dtype=_vnp.int64))
+        doclens[i] = doclen
+    cat = lambda parts: (  # noqa: E731
+        _vnp.concatenate(parts) if parts else _vnp.zeros(0, dtype=_vnp.int64)
+    )
+    flat = {
+        "doc_idx": cat(doc_idx_parts),
+        "terms": _vnp.asarray(terms_all, dtype=object),
+        "positions": cat(pos_parts),
+        "doclens": doclens,
+    }
+    if keep_offsets:
+        flat["starts"], flat["ends"] = cat(s_parts), cat(e_parts)
+    return flat
+
+
+def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
+    """Tokenize a whole batch of texts into FLAT arrays (one buffer pass).
+
+    Returns a dict:
+      doc_idx   int64[n_tok]  index into `texts` per emitted token (sorted)
+      terms     object[n_tok] emitted (lowercased, post-stop) terms
+      positions int64[n_tok]  pre-stop position (stop removal leaves holes)
+      doclens   int64[n_doc]  emitted-token count per text
+      starts/ends int64[n_tok] doc-relative CHAR offsets (keep_offsets only)
+
+    Fast path ("code"/"code_stop"): utf-8 encode each text (C), join into
+    one byte buffer, LUT-classify token bytes, diff-detect runs, blank
+    separators to spaces and recover every token with a single C-level
+    ``bytes.split()`` — zero per-token and zero per-doc Python in the loop
+    body.  Other analyzers fall back to the per-doc chain (identical
+    output shape).  Equivalence with the scalar analyzers is pinned by
+    tests/test_analyzers_core.py.
+    """
+    n_docs = len(texts)
+    if analyzer not in _FLAT_FAST:
+        fn = (OFFSET_ANALYZERS if keep_offsets else ANALYZERS)[analyzer]
+        return _flat_fallback(texts, fn, keep_offsets)
+    stopwords = _FLAT_FAST[analyzer]
+    empty = {
+        "doc_idx": _vnp.zeros(0, dtype=_vnp.int64),
+        "terms": _vnp.zeros(0, dtype=object),
+        "positions": _vnp.zeros(0, dtype=_vnp.int64),
+        "doclens": _vnp.zeros(n_docs, dtype=_vnp.int64),
+    }
+    if keep_offsets:
+        empty["starts"] = empty["ends"] = _vnp.zeros(0, dtype=_vnp.int64)
+    if n_docs == 0:
+        return empty
+    enc = [(t if isinstance(t, str) else "").encode("utf-8", "replace") for t in texts]
+    blens = _vnp.fromiter((len(b) for b in enc), dtype=_vnp.int64, count=n_docs)
+    # doc i occupies buf[doc_off[i] : doc_off[i] + blens[i]]; 1-byte separator
+    doc_off = _vnp.zeros(n_docs, dtype=_vnp.int64)
+    _vnp.cumsum(blens[:-1] + 1, out=doc_off[1:])
+    buf = b"\n".join(enc)
+    if not buf:
+        return empty
+    arr = _vnp.frombuffer(buf, dtype=_vnp.uint8)
+    mask = _TOKEN_BYTE[arr]
+    m8 = mask.view(_vnp.int8)
+    d = m8[1:].astype(_vnp.int8) - m8[:-1]
+    starts = _vnp.flatnonzero(d == 1) + 1
+    ends = _vnp.flatnonzero(d == -1) + 1
+    if mask[0]:
+        starts = _vnp.concatenate(([0], starts))
+    if mask[-1]:
+        ends = _vnp.concatenate((ends, [arr.size]))
+    if starts.size == 0:
+        return empty
+    out = _LOWER_MAP[arr]
+    out[~mask] = 32
+    # maxTokenLength cap (StandardAnalyzer.java:39): oversized tokens are
+    # dropped WITHOUT a position increment — blank them before split
+    keep = (ends - starts) <= MAX_TOKEN_LENGTH
+    if not keep.all():
+        for s, e in zip(starts[~keep], ends[~keep]):
+            out[s:e] = 32
+        starts, ends = starts[keep], ends[keep]
+        if starts.size == 0:
+            return empty
+    terms = _vnp.asarray(out.tobytes().decode("ascii").split(), dtype=object)
+    doc_idx = _vnp.searchsorted(doc_off, starts, side="right") - 1
+    first_tok = _vnp.searchsorted(doc_idx, _vnp.arange(n_docs))
+    positions = _vnp.arange(doc_idx.size, dtype=_vnp.int64) - first_tok[doc_idx]
+    if keep_offsets:
+        # byte -> char offsets: subtract utf-8 continuation bytes seen so far
+        cont = ((arr & 0xC0) == 0x80).astype(_vnp.int64)
+        ncont = _vnp.zeros(arr.size + 1, dtype=_vnp.int64)
+        _vnp.cumsum(cont, out=ncont[1:])
+        doc_char_off = doc_off - ncont[doc_off]
+        s_char = starts - ncont[starts] - doc_char_off[doc_idx]
+        e_char = ends - ncont[ends] - doc_char_off[doc_idx]
+    if stopwords is not None:
+        import pandas as _pd
+
+        drop = _pd.Index(terms).isin(list(stopwords))
+        emit = ~drop
+        terms, doc_idx, positions = terms[emit], doc_idx[emit], positions[emit]
+        if keep_offsets:
+            s_char, e_char = s_char[emit], e_char[emit]
+    flat = {
+        "doc_idx": doc_idx,
+        "terms": terms,
+        "positions": positions,
+        "doclens": _vnp.bincount(doc_idx, minlength=n_docs).astype(_vnp.int64),
+    }
+    if keep_offsets:
+        flat["starts"], flat["ends"] = s_char, e_char
+    return flat
+
+
+def flat_tokenizer(analyzer: str = "code", keep_offsets: bool = False):
+    """Resolve a batched flat tokenizer callable ON THE DRIVER so analyzers
+    added via register_analyzer() travel inside the task closure (executor
+    workers never see driver-side registry mutations)."""
+    if analyzer in _FLAT_FAST:
+        return lambda texts: tokenize_flat(texts, analyzer, keep_offsets)
+    fn = (OFFSET_ANALYZERS if keep_offsets else ANALYZERS)[analyzer]
+    return lambda texts: _flat_fallback(texts, fn, keep_offsets)
+
+
 def en_stem_tokenize(text: str) -> tuple[list[str], list[int], int]:
     """EnglishAnalyzer-style chain (lucene/analysis/common/.../en/
     EnglishAnalyzer.java): tokenize -> lowercase -> stop (position holes)

@@ -67,31 +67,47 @@ def tokenize_expr(analyzer: str = "code", with_offsets: bool = False):
     ends], doclen, norm_byte).  `with_offsets` adds the character-offset
     streams (Weight.PostingFeatures.OFFSETS)."""
 
+    from ..analysis.tokenizer import flat_tokenizer
+
+    ftok = flat_tokenizer(analyzer, keep_offsets=with_offsets)
+
+    def _split_cols(flat, n_docs):
+        """Flat occurrence arrays -> per-doc list columns (np.split views —
+        no per-token Python; Arrow serializes ndarray cells directly)."""
+        import numpy as np
+
+        if n_docs == 0:
+            cols = {"terms": [], "positions": []}
+            if "starts" in flat:
+                cols["starts"] = cols["ends"] = []
+            return cols
+        bounds = np.searchsorted(flat["doc_idx"], np.arange(1, n_docs))
+        cols = {
+            "terms": np.split(flat["terms"], bounds),
+            "positions": np.split(flat["positions"].astype(np.int32), bounds),
+        }
+        if "starts" in flat:
+            cols["starts"] = np.split(flat["starts"].astype(np.int32), bounds)
+            cols["ends"] = np.split(flat["ends"].astype(np.int32), bounds)
+        return cols
+
     if with_offsets:
-        from ..analysis.tokenizer import OFFSET_ANALYZERS
 
         @F.pandas_udf(TOKENIZED_OFFSETS_SCHEMA)
         def _tok_off(texts: pd.Series) -> pd.DataFrame:
             import numpy as np
 
-            fn = OFFSET_ANALYZERS[analyzer]
-            terms_col, pos_col, s_col, e_col, len_col = [], [], [], [], []
-            for t in texts:
-                terms, positions, starts, ends, doclen = fn(t)
-                terms_col.append(terms)
-                pos_col.append(positions)
-                s_col.append(starts)
-                e_col.append(ends)
-                len_col.append(doclen)
-            lens = np.maximum(np.array(len_col, dtype=np.int64), 1)
+            flat = ftok(texts.tolist())
+            cols = _split_cols(flat, len(texts))
+            doclens = flat["doclens"]
             return pd.DataFrame(
                 {
-                    "terms": terms_col,
-                    "positions": pos_col,
-                    "starts": s_col,
-                    "ends": e_col,
-                    "doclen": len_col,
-                    "norm_byte": encode_norm(lens).astype(np.int32),
+                    "terms": cols["terms"],
+                    "positions": cols["positions"],
+                    "starts": cols["starts"],
+                    "ends": cols["ends"],
+                    "doclen": doclens.astype(np.int32),
+                    "norm_byte": encode_norm(np.maximum(doclens, 1)).astype(np.int32),
                 }
             )
 
@@ -101,23 +117,17 @@ def tokenize_expr(analyzer: str = "code", with_offsets: bool = False):
     def _tok(texts: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        fn = ANALYZERS[analyzer]
-        terms_col, pos_col, len_col = [], [], []
-        for t in texts:
-            terms, positions, doclen = fn(t)
-            terms_col.append(terms)
-            pos_col.append(positions)
-            len_col.append(doclen)
-        lens = np.maximum(np.array(len_col, dtype=np.int64), 1)
-        norm_bytes = encode_norm(lens).astype(np.int32)
+        flat = ftok(texts.tolist())
+        cols = _split_cols(flat, len(texts))
+        doclens = flat["doclens"]
         # doclen==0 docs keep norm byte of doclen 1 (Lucene never indexes an
         # empty field value; guard keeps sqrt finite)
         return pd.DataFrame(
             {
-                "terms": terms_col,
-                "positions": pos_col,
-                "doclen": len_col,
-                "norm_byte": norm_bytes,
+                "terms": cols["terms"],
+                "positions": cols["positions"],
+                "doclen": doclens.astype(np.int32),
+                "norm_byte": encode_norm(np.maximum(doclens, 1)).astype(np.int32),
             }
         )
 

@@ -135,8 +135,33 @@ def _invert_segment(pdf: pd.DataFrame, codec=None) -> pd.DataFrame:
         ends_flat = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in pdf["ends"]]
         )
+    else:
+        starts_flat = ends_flat = None
     doc_rep = np.repeat(doc_ids_col, lens)
     nb_rep = np.repeat(pdf["norm_byte"].to_numpy(dtype=np.int64), lens)
+    return _invert_occurrences(
+        seg, terms_flat, pos_flat, doc_rep, nb_rep, starts_flat, ends_flat, codec
+    )
+
+
+def _invert_occurrences(
+    seg: int,
+    terms_flat: np.ndarray,
+    pos_flat: np.ndarray,
+    doc_rep: np.ndarray,
+    nb_rep: np.ndarray,
+    starts_flat: np.ndarray | None = None,
+    ends_flat: np.ndarray | None = None,
+    codec=None,
+) -> pd.DataFrame:
+    """Invert a FLAT occurrence stream (doc-major, position order) into one
+    segment's packed postings.  `doc_rep`/`nb_rep` repeat doc_id/norm_byte
+    per occurrence; the stream must be sorted by (doc_id, position)."""
+    if codec is None:
+        from ..codecs.registry import VARBYTE as codec  # noqa: N813
+    if terms_flat.size == 0:
+        return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    with_offsets = starts_flat is not None
 
     codes, uniques = pd.factorize(pd.Series(terms_flat), sort=True)
     order = np.argsort(codes, kind="stable")  # stable keeps (doc, pos) order
@@ -342,10 +367,45 @@ def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
     }
 
 
+def _tokenize_flat_pdf(
+    g: pd.DataFrame, ftok
+) -> tuple[pd.DataFrame, dict]:
+    """Tokenize one segment's (seg, doc_id, _text) rows via the batched
+    flat tokenizer (analysis.tokenizer.tokenize_flat — ONE buffer pass, no
+    per-doc Python in the fast path).  Returns (docmeta, flat):
+    docmeta = per-doc frame sorted by doc_id (seg, doc_id, doclen,
+    norm_byte, sha256); flat = occurrence arrays keyed by doc row index."""
+    import hashlib
+
+    g = g.sort_values("doc_id")
+    texts = g["_text"].tolist()
+    flat = ftok(texts)
+    doclens = flat["doclens"]
+    docmeta = pd.DataFrame(
+        {
+            "seg": g["seg"].to_numpy(),
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "doclen": doclens,
+            "norm_byte": encode_norm(np.maximum(doclens, 1)).astype(np.int64),
+            "sha256": [
+                hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
+            ],
+        }
+    )
+    return docmeta, flat
+
+
 def _fused_build_fn(analyzer: str, keep_offsets: bool = False, codec: str = "varbyte"):
     """mapInPandas kernel: tokenize + invert + pack every segment in the
     partition (repartitionByRange(seg) guarantees a segment never spans
-    partitions), emitting postings rows plus one docs sidecar row per seg."""
+    partitions), emitting postings rows plus one docs sidecar row per seg.
+    The tokenize step is the batched flat path — occurrences go straight
+    from the shared byte buffer into _invert_occurrences without building
+    per-doc Python lists."""
+
+    from ..analysis.tokenizer import flat_tokenizer
+
+    ftok = flat_tokenizer(analyzer, keep_offsets=keep_offsets)
 
     def fn(batches):
         from ..codecs.registry import get_codec
@@ -356,9 +416,21 @@ def _fused_build_fn(analyzer: str, keep_offsets: bool = False, codec: str = "var
             return
         pdf = pd.concat(parts, ignore_index=True)
         for seg, g in pdf.groupby("seg", sort=True):
-            tok = _tokenize_pdf(g, analyzer, keep_offsets)
-            out = _invert_segment(tok, codec=cdc)
-            side = pd.DataFrame([_docs_sidecar_row(int(seg), tok.sort_values("doc_id"))])
+            docmeta, flat = _tokenize_flat_pdf(g, ftok)
+            di = flat["doc_idx"]
+            doc_ids = docmeta["doc_id"].to_numpy(dtype=np.int64)
+            nbs = docmeta["norm_byte"].to_numpy(dtype=np.int64)
+            out = _invert_occurrences(
+                int(seg),
+                flat["terms"],
+                flat["positions"],
+                doc_ids[di],
+                nbs[di],
+                flat.get("starts"),
+                flat.get("ends"),
+                codec=cdc,
+            )
+            side = pd.DataFrame([_docs_sidecar_row(int(seg), docmeta)])
             yield pd.concat([out, side], ignore_index=True)
 
     return fn

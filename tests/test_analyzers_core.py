@@ -64,3 +64,76 @@ def test_keyword_index_roundtrip(spark):
     got = sorted(r["doc_id"] for r in s.matching(Q.Term("US-WEST-2")).collect())
     assert got == [0]
     idx.unpersist()
+
+
+# ------------------------------------------------------- flat batch tokenizer
+
+
+def test_tokenize_flat_matches_scalar_analyzers():
+    """The byte-domain batched tokenizer (build hot path) must reproduce the
+    scalar analyzers exactly: terms, pre-stop positions (holes), doclens,
+    char offsets, and the maxTokenLength no-position-drop."""
+    import random
+    import string
+
+    import numpy as np
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ENGLISH_STOP_WORDS,
+        code_tokenize,
+        code_tokenize_offsets,
+        tokenize_flat,
+    )
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "_ .,;!?\n\t()é漢🙂-\x00"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    texts += ["", None, "the and of it", "x" * 300 + " kept", "é漢🙂 wörld_1 ok"]
+
+    cases = [
+        ("code", lambda t: code_tokenize(t), lambda t: code_tokenize_offsets(t)),
+        (
+            "code_stop",
+            lambda t: code_tokenize(t, ENGLISH_STOP_WORDS),
+            lambda t: code_tokenize_offsets(t, ENGLISH_STOP_WORDS),
+        ),
+    ]
+    for analyzer, scalar, scalar_off in cases:
+        flat = tokenize_flat(texts, analyzer)
+        off = np.searchsorted(flat["doc_idx"], np.arange(len(texts) + 1))
+        for i, t in enumerate(texts):
+            terms, positions, doclen = scalar(t)
+            sl = slice(off[i], off[i + 1])
+            assert flat["terms"][sl].tolist() == terms
+            assert flat["positions"][sl].tolist() == positions
+            assert flat["doclens"][i] == doclen
+        flat = tokenize_flat(texts, analyzer, keep_offsets=True)
+        off = np.searchsorted(flat["doc_idx"], np.arange(len(texts) + 1))
+        for i, t in enumerate(texts):
+            terms, positions, starts, ends, doclen = scalar_off(t)
+            sl = slice(off[i], off[i + 1])
+            assert flat["terms"][sl].tolist() == terms
+            assert flat["positions"][sl].tolist() == positions
+            assert flat["starts"][sl].tolist() == starts
+            assert flat["ends"][sl].tolist() == ends
+
+
+def test_tokenize_flat_fallback_and_empty():
+    import numpy as np
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import tokenize_flat
+
+    flat = tokenize_flat(["Hello World", "the fox"], "ws")
+    assert flat["terms"].tolist() == ["Hello", "World", "the", "fox"]
+    assert flat["doclens"].tolist() == [2, 2]
+    assert flat["doc_idx"].tolist() == [0, 0, 1, 1]
+
+    flat = tokenize_flat([], "code")
+    assert flat["terms"].size == 0 and flat["doclens"].size == 0
+    flat = tokenize_flat(["", "...", None], "code")
+    assert flat["terms"].size == 0
+    assert flat["doclens"].tolist() == [0, 0, 0]
+    assert flat["positions"].dtype == np.int64
