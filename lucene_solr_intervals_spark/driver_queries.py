@@ -960,6 +960,28 @@ def suggest_infix(spark, sf_dir):
 
 
 @register(
+    "suggest_infix_pruned",
+    _PRELUDE
+    + """
+SELECT term AS suggestion, CAST(df AS BIGINT) AS weight
+FROM dfp WHERE term LIKE '%or%'
+ORDER BY df DESC, term ASC LIMIT 10
+""",
+)
+def suggest_infix_pruned(spark, sf_dir):
+    """Infix suggest via the AUXILIARY suffix index (the
+    AnalyzingInfixSuggester build-an-index-not-a-scan path): same results
+    as suggest_infix, but the lookup is a startswith RANGE predicate over
+    build_infix_index's exploded-suffix relation — pruned, not a
+    full-dictionary contains scan."""
+    from .search.suggest import build_infix_index, suggest_infix as _si
+
+    idx = get_index(spark, sf_dir)
+    aux = build_infix_index(idx)
+    return _si(idx, "or", k=10, aux=aux)
+
+
+@register(
     "query_parser_topk",
     _PRELUDE
     + _hits_cte([T_A, T_B, T_RARE])

@@ -1152,20 +1152,33 @@ class Searcher:
         """Highlighter.getBestFragments analog (lucene/highlighter/src/java/
         org/apache/lucene/search/highlight/Highlighter.java getBestFragments
         + SimpleFragmenter): split each top-k doc into fixed-size character
-        fragments, score each fragment by how many surviving query intervals
-        start inside it (the QueryScorer role, with the fork's minimal
-        intervals standing in for term weights), and return the top
-        `n_fragments` NON-OVERLAPPING fragments per doc ordered by fragment
-        score desc then position asc.
+        fragments, score each fragment the QueryScorer way
+        (QueryScorer.java:147-171 getTokenScore: a fragment's score is the
+        sum of term WEIGHTS — idf here — over the UNIQUE query terms whose
+        interval-matched occurrences fall inside it; positions outside a
+        surviving interval contribute nothing, the positionSensitive
+        checkPosition gate), and return the top `n_fragments`
+        NON-OVERLAPPING fragments per doc ordered by fragment score desc
+        then position asc.  A fragment holding one rare term therefore
+        outranks one holding many occurrences of a common term.
 
         Returns (doc_id, score, frag_rank, offset_begin, offset_end,
-        n_matches, snippet).
+        n_matches, frag_score, snippet).
         """
+        import math
+
         if self.corpus is None:
             raise ValueError("highlight requires a corpus DataFrame")
         from ..analysis.tokenizer import OFFSET_ANALYZERS
 
         expanded = self._expand_tree(q)
+        leaf_terms = sorted(set(Q.terms_of(expanded))) if expanded else []
+        dfs = {t: self._df_of(self._positional_field(q), t) for t in leaf_terms}
+        n_total = self.index.max_doc
+        idf = {
+            t: math.log(1.0 + (n_total - d + 0.5) / (d + 0.5))
+            for t, d in dfs.items()
+        }
         top = self.search(q, k)
         joined = top.join(
             self.corpus.select(
@@ -1185,6 +1198,7 @@ class Searcher:
                     T.StructField("offset_begin", T.IntegerType()),
                     T.StructField("offset_end", T.IntegerType()),
                     T.StructField("n_matches", T.IntegerType()),
+                    T.StructField("frag_score", T.DoubleType()),
                     T.StructField("snippet", T.StringType()),
                 ]
             )
@@ -1197,9 +1211,11 @@ class Searcher:
                 terms, positions, starts, ends, _ = tok_fn(text)
                 pos: dict[str, list[int]] = {}
                 cs: dict[int, int] = {}
+                term_of_pos: dict[int, str] = {}
                 for t, p, s0, _e0 in zip(terms, positions, starts, ends):
                     pos.setdefault(t, []).append(p)
                     cs[p] = s0
+                    term_of_pos[p] = t
                 m = IK.match_intervals(query, pos) if query is not None else None
                 if not m:
                     out.append([])
@@ -1222,21 +1238,37 @@ class Searcher:
                     bounds.append((lo, max(hi, lo)))
                 frag_of_pos = dict(zip(positions, frag_of_tok))
                 counts: dict[int, int] = {}
-                for b, _e in m:
+                # QueryScorer.getTokenScore: weight counted ONCE per unique
+                # term per fragment; only interval-matched positions count
+                # (the positionSensitive checkPosition gate)
+                uniq: dict[int, set] = {}
+                for b, e in m:
                     fi = frag_of_pos.get(b, 0)
                     counts[fi] = counts.get(fi, 0) + 1
-                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:nfr]
+                    for p in range(b, e + 1):
+                        t = term_of_pos.get(p)
+                        if t in idf:
+                            uniq.setdefault(frag_of_pos.get(p, fi), set()).add(t)
+                scores = {
+                    fi: sum(idf[t] for t in ts) for fi, ts in uniq.items()
+                }
+                best = sorted(
+                    counts.items(),
+                    key=lambda kv: (-scores.get(kv[0], 0.0), kv[0]),
+                )[:nfr]
                 frags = [
                     {
                         "offset_begin": bounds[fi][0],
                         "offset_end": bounds[fi][1],
                         "n_matches": n,
+                        "frag_score": round(scores.get(fi, 0.0), 6),
                         "snippet": text[bounds[fi][0] : bounds[fi][1]],
                     }
                     for fi, n in best
                 ]
-                # rank by score desc, position asc (getBestFragments order)
-                frags.sort(key=lambda f: (-f["n_matches"], f["offset_begin"]))
+                # rank by fragment score desc, position asc (getBestFragments
+                # FragmentQueue order)
+                frags.sort(key=lambda f: (-f["frag_score"], f["offset_begin"]))
                 out.append(frags)
             return pd.Series(out)
 
@@ -1250,6 +1282,7 @@ class Searcher:
                 F.col("f.offset_begin").alias("offset_begin"),
                 F.col("f.offset_end").alias("offset_end"),
                 F.col("f.n_matches").alias("n_matches"),
+                F.col("f.frag_score").alias("frag_score"),
                 F.col("f.snippet").alias("snippet"),
             )
         )

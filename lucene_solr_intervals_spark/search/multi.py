@@ -78,51 +78,10 @@ class MultiIndexSearcher:
 
     def count(self, terms: list[str], conjunctive: bool = False) -> int:
         """Distributed TotalHitCount: sum of shard counts (doc ids are
-        globally disjoint across shards by construction).  Postings are
-        packed, so each shard decodes its pruned rows' doc-id blobs
-        kernel-side and counts distinct/all-terms docs."""
-        from pyspark.sql import types as T
-
-        from ..codecs.varbyte import unpack_doc_ids
-
-        n_terms = len(set(terms))
-        total = 0
-        for s in self.shards:
-            codec = s.codec
-            tomb = s.tombstones
-
-            @F.pandas_udf(T.ArrayType(T.LongType()))
-            def _ids(bufs: pd.Series) -> pd.Series:
-                return pd.Series(
-                    [
-                        [
-                            int(d)
-                            for d in unpack_doc_ids(b, codec)
-                            if d not in tomb
-                        ]
-                        for b in bufs
-                    ]
-                )
-
-            df = (
-                s.postings.where(F.col("term").isin(terms))
-                .select(F.explode(_ids(F.col("doc_ids"))).alias("doc_id"))
-            )
-            if s.manifest.get("tombstones_spilled"):
-                # spilled deletes: distributed anti-join, never a driver set
-                import os
-
-                spilled = s.spark.read.parquet(
-                    os.path.join(s.index_dir, "tombstones")
-                ).select("doc_id")
-                df = df.join(spilled, "doc_id", "left_anti")
-            if conjunctive:
-                total += (
-                    df.groupBy("doc_id")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .where(F.col("n") >= n_terms)
-                    .count()
-                )
-            else:
-                total += df.distinct().count()
-        return total
+        globally disjoint across shards by construction, and within a
+        shard across segments) — each shard counts kernel-side per segment
+        via SegmentSearcher.count (numpy unique over decoded ids inside
+        the norms cogroup; spilled tombstones arrive as per-segment
+        slices), so no posting ever leaves its segment kernel and no
+        corpus-sized explode/distinct shuffle exists in the plan."""
+        return sum(s.count(terms, conjunctive=conjunctive) for s in self.shards)

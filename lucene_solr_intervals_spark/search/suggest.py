@@ -44,12 +44,59 @@ def suggest_prefix(
     )
 
 
+def build_infix_index(index, field: str | None = None) -> DataFrame:
+    """Auxiliary infix index (the AnalyzingInfixSuggester.java:109 build
+    step — it indexes the suggestion text so lookups are INDEX reads, not
+    scans).  Here: explode every suffix of every term into a (sub, term,
+    weight) relation, sorted by `sub`.  An infix hit is then
+    `sub startswith pattern` — a RANGE predicate, so a parquet-persisted
+    aux table is min/max-pruned to the matching row groups instead of
+    running `contains` over the whole dictionary (at billions of terms the
+    contains scan reads everything; the suffix relation is ~avg_len× the
+    dictionary but each lookup touches only the matching range)."""
+    f = field or getattr(index, "default_field", "text")
+    ts = index.term_stats.where(F.col("field") == f)
+    return (
+        ts.select(
+            "term",
+            F.col("df").cast("long").alias("weight"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term)),"
+                    " i -> substring(term, i, length(term)))"
+                )
+            ).alias("sub"),
+        )
+        .sortWithinPartitions("sub")
+    )
+
+
 def suggest_infix(
-    index, pattern: str, k: int = 10, field: str | None = None
+    index,
+    pattern: str,
+    k: int = 10,
+    field: str | None = None,
+    aux: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (suggestion, weight) where `pattern` occurs anywhere in the
-    term (AnalyzingInfixSuggester.java:109 lookup semantics)."""
+    term (AnalyzingInfixSuggester.java:109 lookup semantics).
+
+    With `aux` (from build_infix_index, typically persisted/parquet-backed):
+    the lookup is a pushdown-able startswith range over the suffix relation
+    — the scale path.  Without it: a documented v1 `contains` filter over
+    the dictionary (correct, but un-pruned)."""
     f = field or getattr(index, "default_field", "text")
+    if aux is not None:
+        hits = (
+            aux.where(F.col("sub").startswith(pattern))
+            .groupBy("term")
+            .agg(F.max("weight").alias("weight"))  # dedupe repeat infixes
+        )
+        return (
+            hits.select(F.col("term").alias("suggestion"), "weight")
+            .orderBy(F.desc("weight"), F.asc("suggestion"))
+            .limit(k)
+        )
     ts = index.term_stats.where(F.col("field") == f)
     return (
         ts.where(F.col("term").contains(pattern))
@@ -77,32 +124,28 @@ def build_freetext_model(
       ord=2  bigrams    ctx=prev token  cnt = occurrences of (ctx, token)
 
     One tokenize pass + two groupBys; the model is a DataFrame, so a 100 TB
-    corpus's model build is the same shuffle shape as word count."""
-    from ..analysis.tokenizer import ANALYZERS
+    corpus's model build is the same shuffle shape as word count.  The
+    (ctx, token) pairs are derived from the tokenizer's terms ARRAY with
+    pure column expressions — zip each token with its predecessor via a
+    shifted slice — so the only Python boundary is the (batched, flat)
+    tokenizer UDF itself; no mapInPandas, no per-row gram loop."""
+    from ..index.builder import tokenize_expr
 
-    fn = ANALYZERS[analyzer]
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("ctx", T.StringType()),
-            T.StructField("token", T.StringType()),
-        ]
+    tok = tokenize_expr(analyzer)
+    pairs = (
+        docs_df.select(tok(F.col(text_col)).alias("t"))
+        .select(F.col("t.terms").alias("terms"))
+        .where(F.size("terms") > 0)
+        .withColumn(
+            "ctxs",
+            F.concat(
+                F.array(F.lit("")),
+                F.expr("slice(terms, 1, greatest(size(terms) - 1, 0))"),
+            ),
+        )
+        .select(F.explode(F.arrays_zip("ctxs", "terms")).alias("z"))
+        .select(F.col("z.ctxs").alias("ctx"), F.col("z.terms").alias("token"))
     )
-
-    def _grams(batches):
-        for pdf in batches:
-            ctxs, toks = [], []
-            for text in pdf[text_col]:
-                terms, _, _ = fn(text)
-                for i, t in enumerate(terms):
-                    ctxs.append("" if i == 0 else terms[i - 1])
-                    toks.append(t)
-            yield pd.DataFrame({"ctx": ctxs, "token": toks})
-
-    pairs = docs_df.select(text_col).mapInPandas(_grams, schema)
     uni = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit(1).alias("ord"), F.lit("").alias("ctx"), "token", "cnt"
     )

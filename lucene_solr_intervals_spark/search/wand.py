@@ -885,6 +885,49 @@ class SegmentSearcher:
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def count(self, terms: list[str], conjunctive: bool = False) -> int:
+        """TotalHitCountCollector over the packed index: per-segment numpy
+        counting inside the same norms cogroup the scoring kernels use.
+        Doc ids are globally disjoint across segments (contiguous ranges by
+        construction), so the total is the SUM of per-segment counts — no
+        explode, no corpus-wide distinct shuffle.  The only Python loop is
+        one decode call per (term, segment) row."""
+        from pyspark.sql import types as T
+
+        tombstones = self.tombstones
+        codec = self.codec
+        n_required = len(set(terms))
+        postings = self.postings.where(F.col("term").isin(terms))
+        schema = T.StructType([T.StructField("n", T.LongType())])
+
+        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+            tombs = tombstones
+            if not npdf.empty and "tomb" in npdf.columns:
+                tv = npdf["tomb"].iloc[0]
+                if tv is not None and len(tv):
+                    tombs = frozenset(tombs) | {int(x) for x in tv}
+            ids = np.concatenate(
+                [unpack_doc_ids(b, codec) for b in pdf["doc_ids"]]
+            )
+            if conjunctive:
+                u, c = np.unique(ids, return_counts=True)
+                u = u[c >= n_required]
+            else:
+                u = np.unique(ids)
+            if tombs:
+                u = u[~np.isin(u, np.fromiter(tombs, dtype=np.int64))]
+            return pd.DataFrame({"n": [int(u.size)]})
+
+        per_seg = (
+            postings.groupBy("seg")
+            .cogroup(self.norms.groupBy("seg"))
+            .applyInPandas(_run, schema)
+        )
+        total = per_seg.agg(F.sum("n").alias("n")).collect()[0]["n"]
+        return int(total or 0)
+
     def scan_with_weights(
         self,
         terms: list[str],

@@ -56,3 +56,40 @@ def test_passage_offsets_align(searcher):
     for r in rows:
         if r["doc_id"] == 0:
             assert text0[r["offset_begin"] : r["offset_end"]] == r["snippet"]
+
+
+def test_queryscorer_rare_term_fragment_outranks_frequent(spark):
+    """QueryScorer-grade fragment ranking (QueryScorer.java:147-171): the
+    fragment score is the summed idf of UNIQUE matched terms, so a fragment
+    holding one RARE term must outrank an earlier fragment holding many
+    occurrences of a COMMON term."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    # "common" in every doc (low idf); "rareword" only in doc 0 (high idf)
+    target = (
+        "common stuff common again common yet more common here "  # frag 1
+        + "plain filler text goes on and on for a while longer "  # gap
+        + "rareword appears once in this later fragment only "    # frag 2+
+    )
+    rows = [(0, target)] + [(i, f"common filler number {i}") for i in range(1, 8)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(idx, corpus=corpus, mode="sql")
+    frags = [
+        r
+        for r in s.highlight_fragments(
+            Q.Boolean(should=(Q.Term("common"), Q.Term("rareword"))),
+            k=3,
+            n_fragments=3,
+            fragment_size=55,
+        ).collect()
+        if r["doc_id"] == 0
+    ]
+    by_rank = sorted(frags, key=lambda r: r["frag_rank"])
+    assert "rareword" in by_rank[0]["snippet"]
+    # the common-term fragment has MORE matches yet ranks below
+    common_frag = next(r for r in by_rank if "rareword" not in r["snippet"])
+    assert common_frag["n_matches"] > by_rank[0]["n_matches"]
+    assert common_frag["frag_score"] < by_rank[0]["frag_score"]
+    idx.unpersist()
