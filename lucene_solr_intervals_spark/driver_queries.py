@@ -2272,6 +2272,34 @@ def events_sessionize(spark, sf_dir):
     return g.groupBy("user_id").agg(F.sum("new_session").cast("long").alias("n_sessions"))
 
 
+# ==================================================== SIMPLE QUERY PARSER ===
+
+
+@register(
+    "simple_query_parser_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_B, T_C])
+    + f"""
+SELECT doc_id, round(sum(score), 4) AS score FROM hits
+GROUP BY doc_id
+HAVING sum(CASE WHEN term = '{T_C}' THEN 1 ELSE 0 END) >= 1
+   AND sum(CASE WHEN term IN ('{T_A}', '{T_B}') THEN 1 ELSE 0 END) >= 1
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def simple_query_parser_topk(spark, sf_dir):
+    """SimpleQueryParser end-to-end (SimpleQueryParser.java:96): the
+    degrade-gracefully dialect 'vector|window merge' with default operator
+    MUST parses to MUST(SHOULD(vector, window), merge) — garbage-tolerant
+    parse, then the normal nested-Boolean scoring path."""
+    from .search.simpleparser import SimpleQueryParser
+
+    p = SimpleQueryParser(default_operator="MUST")
+    q = p.parse(f"{T_A}|{T_B} {T_C}")
+    s = searcher(spark, sf_dir)
+    return _topk(s.scored(q), k=10)
+
+
 # ======================================================= TAXONOMY FACETS ===
 
 
