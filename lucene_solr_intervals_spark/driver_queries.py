@@ -2272,6 +2272,61 @@ def events_sessionize(spark, sf_dir):
     return g.groupBy("user_id").agg(F.sum("new_session").cast("long").alias("n_sessions"))
 
 
+# ========================================================= SHARDED COUNT ===
+
+_SHARD_CACHE: dict[str, list[str]] = {}
+
+
+def _get_shards(spark, sf_dir: str) -> list[str]:
+    """Two packed index shards over a doc_id split of `documents` (built
+    once per sf_dir; doc ids are globally disjoint across shards, the
+    MultiIndexSearcher invariant)."""
+    if sf_dir not in _SHARD_CACHE:
+        import tempfile
+
+        from .index.segment import build_segments
+
+        docs = get_docs(spark, sf_dir).select("doc_id", "text")
+        base = tempfile.mkdtemp(prefix="lsi_shards_")
+        dirs = [f"{base}/shard0", f"{base}/shard1"]
+        build_segments(
+            docs.where(F.col("doc_id") % 2 == 0), dirs[0], n_segments=4,
+            id_col="doc_id", analyzer="code",
+        )
+        build_segments(
+            docs.where(F.col("doc_id") % 2 == 1), dirs[1], n_segments=4,
+            id_col="doc_id", analyzer="code",
+        )
+        _SHARD_CACHE[sf_dir] = dirs
+    return _SHARD_CACHE[sf_dir]
+
+
+@register(
+    "sharded_count",
+    _PRELUDE
+    + f"""
+SELECT
+  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tok
+    WHERE term IN ('{T_A}', '{T_B}')) AS n_or,
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+     SELECT doc_id FROM tok WHERE term IN ('{T_A}', '{T_B}')
+     GROUP BY doc_id HAVING count(DISTINCT term) = 2)) AS n_and
+""",
+)
+def sharded_count(spark, sf_dir):
+    """Distributed TotalHitCount over two packed shards
+    (MultiIndexSearcher.count -> SegmentSearcher.count): per-segment numpy
+    counting inside the norms cogroup, shard sums added — no explode, no
+    corpus-wide distinct (the scatter-gather count of Solr's
+    QueryComponent over HttpShardHandler)."""
+    from .search.multi import MultiIndexSearcher
+
+    multi = MultiIndexSearcher(spark, _get_shards(spark, sf_dir))
+    n_or = multi.count([T_A, T_B])
+    n_and = multi.count([T_A, T_B], conjunctive=True)
+    return spark.createDataFrame([(n_or, n_and)], "n_or long, n_and long")
+
+
 # ==================================================== SIMPLE QUERY PARSER ===
 
 

@@ -614,9 +614,16 @@ def build_segments(
         "partitionOverwriteMode", overwrite_mode
     ).partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
-    # derive docs + norms from the sidecar rows (tiny: one row per segment)
-    sidecar = spark.read.parquet(os.path.join(index_dir, "postings")).where(
-        F.col("term") == DOCS_MARKER
+    # derive docs + norms from the sidecar rows (one row per segment).
+    # persist the sidecar so its three consumers (docs write, norms write,
+    # manifest stats) share ONE postings scan instead of re-reading the
+    # whole postings table per job — this is driver-serial time that
+    # doesn't shrink with cores, so it goes straight into build-phase
+    # scaling efficiency
+    sidecar = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .where(F.col("term") == DOCS_MARKER)
+        .persist()
     )
     docs_df = sidecar.mapInPandas(
         lambda it: (_docs_from_sidecar(p) for p in it), DOCS_SCHEMA
@@ -627,12 +634,14 @@ def build_segments(
 
     norms = sidecar.mapInPandas(
         lambda it: (_norms_from_sidecar(p) for p in it), NORMS_SCHEMA
-    )
+    ).persist()
     final_norms = os.path.join(index_dir, "norms")
     # partitioned by seg so merges/NRT can commit one partition at a time
     norms.write.mode("overwrite").partitionBy("seg").parquet(final_norms)
 
-    # manifest: per-segment doc stats from the sidecar aggregates
+    # manifest: per-segment doc stats from the sidecar aggregates;
+    # doc_base comes from the already-computed (cached) norms relation —
+    # no read-back of the just-written parquet
     seg_stats = sidecar.select(
         "seg",
         F.col("df").alias("n_docs"),
@@ -640,8 +649,10 @@ def build_segments(
     ).collect()
     base_by_seg = {
         int(r["seg"]): int(r["doc_base"])
-        for r in spark.read.parquet(final_norms).select("seg", "doc_base").collect()
+        for r in norms.select("seg", "doc_base").collect()
     }
+    sidecar.unpersist()
+    norms.unpersist()
     wall = time.time() - t0
     segments = [
         {

@@ -120,3 +120,127 @@ def with_geohash(
         )
 
     return df.withColumn(out_col, _gh(F.col(lat_col), F.col(lon_col)))
+
+
+# ------------------------------------------------- recursive prefix tree ---
+# RecursivePrefixTreeStrategy (lucene/spatial/src/java/org/apache/lucene/
+# spatial/prefix/RecursivePrefixTreeStrategy.java:43): a query shape is
+# covered by grid cells of VARYING depth — coarse cells where the shape
+# fully contains them (one short term matches everything beneath it), fine
+# cells along the boundary (matched approximately, then verified).  Here
+# the grid is the geohash tree (32-way, GeohashPrefixTree role); the cover
+# is computed driver-side (pure geometry, no data touched) and applied as
+# prefix predicates over the point's geohash column.
+
+
+def geohash_bounds(cell: str) -> tuple[float, float, float, float]:
+    """(min_lat, max_lat, min_lon, max_lon) of a geohash cell."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for ch in cell:
+        idx = _BASE32.index(ch)
+        for bit in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if idx & bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if idx & bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def cover_bbox(
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float,
+    max_precision: int = 6, max_cells: int = 256,
+) -> tuple[list[str], list[str]]:
+    """Cover a bbox with geohash cells of varying depth (the recursive
+    descent of RecursivePrefixTreeStrategy's AbstractVisitingPrefixTreeFilter).
+
+    Returns (within, boundary): `within` cells lie FULLY inside the shape
+    (every point under them matches — no verification needed), `boundary`
+    cells intersect the edge at max_precision (candidates needing the
+    exact predicate).  Descends only into intersecting cells; stops
+    splitting when the cell budget is reached (coarser cells become
+    boundary cells, trading verification work for term count — the
+    prefixGridScanLevel knob)."""
+    within: list[str] = []
+    boundary: list[str] = []
+
+    def contains(b) -> bool:
+        return (
+            b[0] >= min_lat and b[1] <= max_lat
+            and b[2] >= min_lon and b[3] <= max_lon
+        )
+
+    def intersects(b) -> bool:
+        return not (
+            b[1] < min_lat or b[0] > max_lat or b[3] < min_lon or b[2] > max_lon
+        )
+
+    frontier = [""]
+    while frontier:
+        nxt: list[str] = []
+        for parent in frontier:
+            for ch in _BASE32:
+                cell = parent + ch
+                b = geohash_bounds(cell)
+                if not intersects(b):
+                    continue
+                if contains(b):
+                    within.append(cell)
+                elif len(cell) >= max_precision:
+                    boundary.append(cell)
+                else:
+                    nxt.append(cell)
+        if len(within) + len(boundary) + len(nxt) > max_cells:
+            boundary.extend(nxt)  # budget hit: keep coarse, verify more
+            break
+        frontier = nxt
+    return within, boundary
+
+
+def shape_intersects(
+    df: DataFrame,
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float,
+    geohash_col: str = "geohash",
+    lat_col: str = "lat", lon_col: str = "lon",
+    max_precision: int = 6, max_cells: int = 256,
+) -> DataFrame:
+    """INTERSECTS query via the prefix tree: points under a `within` cell
+    match by prefix alone; points under a `boundary` cell pass through the
+    exact predicate (the strategy's approximate-match-then-verify).  The
+    cell cover is an OR of startswith predicates — a bounded set of range
+    scans over a geohash-sorted layout, never a full-table exact pass."""
+    from collections import defaultdict
+
+    within, boundary = cover_bbox(
+        min_lat, max_lat, min_lon, max_lon, max_precision, max_cells
+    )
+    gh = F.col(geohash_col)
+    exact = (
+        (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+        & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+    )
+    # group cells by depth: one substring(gh, 1, depth) IN (cells) predicate
+    # per depth (a handful of hash-set probes, not a per-cell OR chain —
+    # a left-deep Column tree of hundreds of startswith overflows Catalyst)
+    by_len: dict[int, list[str]] = defaultdict(list)
+    for c in within:
+        by_len[len(c)].append(c)
+    cond = F.lit(False)
+    for length, cells in sorted(by_len.items()):
+        cond = cond | F.substring(gh, 1, length).isin(cells)
+    bby_len: dict[int, list[str]] = defaultdict(list)
+    for c in boundary:
+        bby_len[len(c)].append(c)
+    for length, cells in sorted(bby_len.items()):
+        cond = cond | (F.substring(gh, 1, length).isin(cells) & exact)
+    return df.where(cond)

@@ -1192,6 +1192,11 @@ class Searcher:
         fsz = int(fragment_size)
         nfr = int(n_fragments)
 
+        # FastVectorHighlighter-style multi-color tags (vectorhighlight/
+        # BaseFragmentsBuilder.java COLORED_PRE_TAGS): each query leaf term
+        # gets its own tag index, cycling through the palette
+        tag_of_term = {t: i % 10 for i, t in enumerate(leaf_terms)}
+
         frag_schema = T.ArrayType(
             T.StructType(
                 [
@@ -1200,6 +1205,7 @@ class Searcher:
                     T.StructField("n_matches", T.IntegerType()),
                     T.StructField("frag_score", T.DoubleType()),
                     T.StructField("snippet", T.StringType()),
+                    T.StructField("snippet_tagged", T.StringType()),
                 ]
             )
         )
@@ -1211,10 +1217,12 @@ class Searcher:
                 terms, positions, starts, ends, _ = tok_fn(text)
                 pos: dict[str, list[int]] = {}
                 cs: dict[int, int] = {}
+                ce: dict[int, int] = {}
                 term_of_pos: dict[int, str] = {}
-                for t, p, s0, _e0 in zip(terms, positions, starts, ends):
+                for t, p, s0, e0 in zip(terms, positions, starts, ends):
                     pos.setdefault(t, []).append(p)
                     cs[p] = s0
+                    ce[p] = e0
                     term_of_pos[p] = t
                 m = IK.match_intervals(query, pos) if query is not None else None
                 if not m:
@@ -1256,6 +1264,31 @@ class Searcher:
                     counts.items(),
                     key=lambda kv: (-scores.get(kv[0], 0.0), kv[0]),
                 )[:nfr]
+                # matched char spans per fragment for the tagged snippet
+                # (BaseFragmentsBuilder.makeFragment: wrap each matched
+                # occurrence in its term's colored tag)
+                spans_of_frag: dict[int, list[tuple[int, int, int]]] = {}
+                for b, e in m:
+                    for p in range(b, e + 1):
+                        t = term_of_pos.get(p)
+                        if t in tag_of_term and p in cs:
+                            spans_of_frag.setdefault(frag_of_pos.get(p, 0), []).append(
+                                (cs[p], ce[p], tag_of_term[t])
+                            )
+
+                def _tagged(fi: int) -> str:
+                    lo, hi = bounds[fi]
+                    parts = []
+                    cur = lo
+                    for s0, e0, ti in sorted(set(spans_of_frag.get(fi, []))):
+                        if s0 < cur:
+                            continue
+                        parts.append(text[cur:s0])
+                        parts.append(f'<b class="hl{ti}">{text[s0:e0]}</b>')
+                        cur = e0
+                    parts.append(text[cur:hi])
+                    return "".join(parts)
+
                 frags = [
                     {
                         "offset_begin": bounds[fi][0],
@@ -1263,6 +1296,7 @@ class Searcher:
                         "n_matches": n,
                         "frag_score": round(scores.get(fi, 0.0), 6),
                         "snippet": text[bounds[fi][0] : bounds[fi][1]],
+                        "snippet_tagged": _tagged(fi),
                     }
                     for fi, n in best
                 ]
@@ -1284,6 +1318,7 @@ class Searcher:
                 F.col("f.n_matches").alias("n_matches"),
                 F.col("f.frag_score").alias("frag_score"),
                 F.col("f.snippet").alias("snippet"),
+                F.col("f.snippet_tagged").alias("snippet_tagged"),
             )
         )
 

@@ -197,6 +197,113 @@ def parse(s: str, default_operator: str = "OR") -> Q.Query:
     return QueryParser(default_operator).parse(s)
 
 
+# ------------------------------------------- precedence (flexible) parser
+
+
+class PrecedenceQueryParser(QueryParser):
+    """flexible/precedence/PrecedenceQueryParser.java:61 (the flexible
+    framework's precedence dialect): classic syntax, but with REAL boolean
+    precedence — NOT binds tightest, then AND, then OR — instead of the
+    classic parser's flat clause-list quirks.  Pinned to the reference's
+    TestPrecedenceQueryParser expectations (:217-253):
+
+        a AND b OR c AND d      ->  (+a +b) (+c +d)
+        ((a OR b) AND NOT c) OR d -> (+(a b) -c) d
+        c OR (a AND b)          ->  c (+a +b)
+
+    `&&` / `||` are accepted as AND / OR (:223,227).  The default operator
+    applies at its own precedence level (implicit adjacency groups like an
+    explicit default operator would)."""
+
+    def parse(self, s: str) -> Q.Query:
+        self.toks = tokenize_query(s)
+        self.i = 0
+        sign, q = self._parse_or()
+        if q is None:
+            raise ValueError(f"empty query: {s!r}")
+        if sign == "-":
+            return Q.Boolean(must_not=(q,))
+        return q
+
+    # parens inside _parse_clause recurse through the precedence grammar
+    def _parse_bool(self):
+        sign, q = self._parse_or()
+        if sign == "-" and q is not None:
+            return Q.Boolean(must_not=(q,))
+        return q
+
+    def _op(self, t):
+        return {"&&": "AND", "||": "OR"}.get(t, t)
+
+    def _parse_or(self):
+        units = [self._parse_and()]
+        while True:
+            t = self._op(self._peek())
+            if t == "OR":
+                self._next()
+                units.append(self._parse_and())
+            elif (
+                self.default_operator == "OR"
+                and t is not None
+                and t not in (")", "AND", "OR")
+            ):
+                units.append(self._parse_and())
+            else:
+                break
+        return self._merge(units, "should")
+
+    def _parse_and(self):
+        units = [self._parse_unary()]
+        while True:
+            t = self._op(self._peek())
+            if t == "AND":
+                self._next()
+                units.append(self._parse_unary())
+            elif (
+                self.default_operator == "AND"
+                and t is not None
+                and t not in (")", "AND", "OR")
+            ):
+                units.append(self._parse_unary())
+            else:
+                break
+        return self._merge(units, "must")
+
+    def _parse_unary(self):
+        t = self._op(self._peek())
+        sign = None
+        if t in ("+", "-", "NOT"):
+            self._next()
+            sign = "+" if t == "+" else "-"
+            t = self._op(self._peek())
+        if t is None or t == ")":
+            return (sign, None)
+        clause = self._parse_clause()
+        return (sign, clause)
+
+    @staticmethod
+    def _merge(units, plain_slot: str):
+        units = [(s, q) for s, q in units if q is not None]
+        if not units:
+            return (None, None)
+        if len(units) == 1:
+            return units[0]
+        must, should, must_not = [], [], []
+        for s, q in units:
+            if s == "-":
+                must_not.append(q)
+            elif s == "+" or plain_slot == "must":
+                must.append(q)
+            else:
+                should.append(q)
+        return (
+            None,
+            Q.Boolean(
+                must=tuple(must), should=tuple(should), must_not=tuple(must_not)
+            ),
+        )
+
+
 # ------------------------------------------- multi-field query parser
 
 

@@ -30,6 +30,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # v2 commit: tasks rename their own output files on commit instead
+        # of a single-threaded driver rename pass — the driver-serial part
+        # of every parquet write, which is what caps build-phase scaling
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -199,3 +199,64 @@ def test_multi_field_parser_expansion():
     assert qp == Q.Boolean(
         should=(Q.Prefix("pre", field="a"), Q.Prefix("pre", field="b"))
     )
+
+
+# ---------------------------------------------- precedence (flexible) parser
+
+
+def test_precedence_parser_reference_shapes():
+    """TestPrecedenceQueryParser.java:217-253 expectations."""
+    from lucene_solr_intervals_spark.search.parser import PrecedenceQueryParser
+
+    p = PrecedenceQueryParser()
+
+    def t(x):
+        return Q.Term(x)
+
+    assert p.parse("a AND b") == Q.Boolean(must=(t("a"), t("b")))
+    assert p.parse("(a AND b)") == Q.Boolean(must=(t("a"), t("b")))
+    assert p.parse("a && b") == Q.Boolean(must=(t("a"), t("b")))
+    assert p.parse("a OR b") == Q.Boolean(should=(t("a"), t("b")))
+    assert p.parse("a || b") == Q.Boolean(should=(t("a"), t("b")))
+    # AND binds tighter than OR
+    assert p.parse("c OR (a AND b)") == Q.Boolean(
+        should=(t("c"), Q.Boolean(must=(t("a"), t("b"))))
+    )
+    assert p.parse("a AND b OR c AND d") == Q.Boolean(
+        should=(
+            Q.Boolean(must=(t("a"), t("b"))),
+            Q.Boolean(must=(t("c"), t("d"))),
+        )
+    )
+    assert p.parse("a AND NOT b") == Q.Boolean(must=(t("a"),), must_not=(t("b"),))
+    assert p.parse("((a OR b) AND NOT c) OR d") == Q.Boolean(
+        should=(
+            Q.Boolean(must=(Q.Boolean(should=(t("a"), t("b"))),), must_not=(t("c"),)),
+            t("d"),
+        )
+    )
+    assert p.parse("+term2 -term3 term") == Q.Boolean(
+        must=(t("term2"),), should=(t("term"),), must_not=(t("term3"),)
+    )
+    assert p.parse("(foo OR bar) AND (baz OR boo)") == Q.Boolean(
+        must=(
+            Q.Boolean(should=(t("foo"), t("bar"))),
+            Q.Boolean(should=(t("baz"), t("boo"))),
+        )
+    )
+    assert p.parse('term AND "phrase phrase"') == Q.Boolean(
+        must=(t("term"), Q.Phrase(("phrase", "phrase")))
+    )
+    assert p.parse("foo:term AND field:anotherterm") == Q.Boolean(
+        must=(Q.Term("term", field="foo"), Q.Term("anotherterm", field="field"))
+    )
+
+
+def test_precedence_parser_default_and():
+    from lucene_solr_intervals_spark.search.parser import PrecedenceQueryParser
+
+    p = PrecedenceQueryParser(default_operator="AND")
+    assert p.parse("a b") == Q.Boolean(must=(Q.Term("a"), Q.Term("b")))
+    assert p.parse("a b OR c") == Q.Boolean(
+        should=(Q.Boolean(must=(Q.Term("a"), Q.Term("b"))), Q.Term("c"))
+    )

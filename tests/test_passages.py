@@ -93,3 +93,32 @@ def test_queryscorer_rare_term_fragment_outranks_frequent(spark):
     assert common_frag["n_matches"] > by_rank[0]["n_matches"]
     assert common_frag["frag_score"] < by_rank[0]["frag_score"]
     idx.unpersist()
+
+
+def test_multicolor_tagged_snippets(spark):
+    """FVH-style colored tags (vectorhighlight/BaseFragmentsBuilder
+    COLORED_PRE_TAGS role): each query leaf term gets its own tag class and
+    every interval-matched occurrence is wrapped."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma"), (1, "gamma delta")], ["doc_id", "text"]
+    )
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(idx, corpus=corpus, mode="sql")
+    rows = s.highlight_fragments(
+        Q.Boolean(should=(Q.Term("alpha"), Q.Term("beta"))), k=2,
+        n_fragments=1, fragment_size=200,
+    ).collect()
+    r0 = next(r for r in rows if r["doc_id"] == 0)
+    tagged = r0["snippet_tagged"]
+    # both occurrences of alpha wrapped, beta wrapped with a DIFFERENT class
+    assert tagged.count(">alpha</b>") == 2
+    assert tagged.count(">beta</b>") == 1
+    import re
+    classes = set(re.findall(r'<b class="(hl\d+)">', tagged))
+    assert len(classes) == 2
+    # untagged text preserved verbatim
+    assert re.sub(r"</?b[^>]*>", "", tagged) == r0["snippet"]
+    idx.unpersist()

@@ -47,3 +47,40 @@ def test_with_geohash_spark_matches_reference(spark):
     assert got == {i: geohash_py(la, lo, 6) for i, la, lo in rows}
     # prefix-tree property: truncation = coarser cell containing the point
     assert got[0].startswith(geohash_py(57.64911, 10.40744, 3))
+
+
+def test_prefix_tree_shape_intersects(spark):
+    """RecursivePrefixTreeStrategy analog: the varying-depth cell cover +
+    boundary verification must select EXACTLY the brute-force bbox result."""
+    import random
+
+    from lucene_solr_intervals_spark.ops.spatial import (
+        bbox_filter,
+        cover_bbox,
+        geohash_bounds,
+        shape_intersects,
+        with_geohash,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.uniform(35.0, 45.0), rng.uniform(-80.0, -70.0))
+        for i in range(400)
+    ]
+    df = with_geohash(
+        spark.createDataFrame(rows, ["id", "lat", "lon"]), precision=6
+    )
+    box = (39.0, 42.5, -77.0, -72.5)
+    got = sorted(r["id"] for r in shape_intersects(df, *box).collect())
+    want = sorted(r["id"] for r in bbox_filter(df, *box).collect())
+    assert got == want and got  # non-vacuous
+
+    # within cells are fully contained; boundary cells genuinely straddle
+    w, b = cover_bbox(*box, max_precision=5)
+    for c in w:
+        lo1, hi1, lo2, hi2 = geohash_bounds(c)
+        assert lo1 >= box[0] and hi1 <= box[1] and lo2 >= box[2] and hi2 <= box[3]
+    assert b, "expected boundary cells at this precision"
+    # varying depth: a large shape covers with cells of more than one length
+    w2, b2 = cover_bbox(10.0, 50.0, -120.0, -60.0, max_precision=4)
+    assert len({len(c) for c in w2 + b2}) > 1
