@@ -2414,6 +2414,29 @@ def taxonomy_drill_sideways(spark, sf_dir):
     )
 
 
+@register(
+    "taxonomy_sum_associations",
+    _PRELUDE
+    + f"""
+SELECT d.lang AS child, CAST(sum(d.n_chars) AS BIGINT) AS total
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_A}') h
+JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY total DESC, child ASC
+""",
+)
+def taxonomy_sum_associations(spark, sf_dir):
+    """Association facets (IntAssociationFacetField /
+    TaxonomyFacetSumIntAssociations): per-category SUM of a per-doc value
+    (n_chars) over the hit set — one groupBy, same shape as counting."""
+    from .search.taxonomy import FacetsConfig, sum_associations
+
+    s = searcher(spark, sf_dir)
+    hits = s.matching(Q.Term(T_A))
+    docs = get_docs(spark, sf_dir)
+    cfg = FacetsConfig({"language": ["lang"]})
+    return sum_associations(hits, docs, cfg, "language", value_col="n_chars")
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;
@@ -2432,6 +2455,7 @@ _CHECK_PRIORITY = [
     # new round-4 registrations
     "taxonomy_facet_drilldown",
     "taxonomy_drill_sideways",
+    "taxonomy_sum_associations",
     "simple_query_parser_topk",
     "suggest_infix_pruned",
     "sharded_count",

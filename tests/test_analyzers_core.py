@@ -137,3 +137,38 @@ def test_tokenize_flat_fallback_and_empty():
     assert flat["terms"].size == 0
     assert flat["doclens"].tolist() == [0, 0, 0]
     assert flat["positions"].dtype == np.int64
+
+
+def test_tokenize_flat_property_random_unicode():
+    """Property: for ANY text batch, the flat tokenizer equals the scalar
+    analyzer (hypothesis drives weird unicode/control/emoji inputs)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ENGLISH_STOP_WORDS,
+        code_tokenize,
+        tokenize_flat,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=80)),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        for analyzer, stop in (("code", None), ("code_stop", ENGLISH_STOP_WORDS)):
+            flat = tokenize_flat(texts, analyzer)
+            off = np.searchsorted(flat["doc_idx"], np.arange(len(texts) + 1))
+            for i, t in enumerate(texts):
+                terms, positions, doclen = code_tokenize(t, stop)
+                sl = slice(off[i], off[i + 1])
+                assert flat["terms"][sl].tolist() == terms, (analyzer, repr(t))
+                assert flat["positions"][sl].tolist() == positions
+                assert flat["doclens"][i] == doclen
+
+    check()

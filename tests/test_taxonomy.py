@@ -97,3 +97,39 @@ def test_drill_sideways_uses_other_dims_only(spark, docs):
     # origin sideways: source counts with lang=py applied (NOT source=gh)
     assert got[("origin", "gh")] == 2
     assert got[("origin", "so")] == 1
+
+
+def test_sum_associations(spark, docs, cfg):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_intervals_spark.search.taxonomy import sum_associations
+
+    weighted = docs.withColumn(
+        "views", (F.col("doc_id") + 1) * 10
+    )
+    hits = _hits(spark, [0, 1, 2, 3, 4, 5, 6])
+    got = [
+        (r["child"], r["total"])
+        for r in sum_associations(
+            hits, weighted, cfg, "origin", value_col="views", path=("gh",)
+        ).collect()
+    ]
+    # gh docs: 0(10) 1(20) py=30; 2(30) rs=30; 5(60) go=60 -> total desc, label asc
+    assert got == [("go", 60), ("py", 30), ("rs", 30)]
+
+
+def test_sampled_top_children_scales_counts(spark, docs, cfg):
+    from lucene_solr_intervals_spark.search.taxonomy import sampled_top_children
+
+    # fraction 1.0 must equal exact counting (deterministic degenerate case)
+    hits = _hits(spark, [0, 1, 2, 3, 4, 5, 6])
+    got = {
+        r["child"]: r["n_est"]
+        for r in sampled_top_children(
+            hits, docs, cfg, "origin", fraction=1.0
+        ).collect()
+    }
+    assert got == {"gh": 4, "so": 3}
+    # a real sample returns a subset with scaled counts, never negatives
+    est = sampled_top_children(hits, docs, cfg, "origin", fraction=0.5).collect()
+    assert all(r["n_est"] >= 0 for r in est)
