@@ -727,6 +727,37 @@ def lm_dirichlet_topk(spark, sf_dir):
 
 
 @register(
+    "sweet_spot_topk",
+    _PRELUDE
+    + _SIM_STATS
+    + f"""
+SELECT tfp.doc_id,
+       round(
+         sqrt(tfp.tf)
+         * pow(1 + ln(cs.n / (dft.df + 1.0)), 2)
+         * (1 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 60) - 40) + 1)),
+         4) AS score
+FROM tfp JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+WHERE tfp.term = '{T_A}'
+ORDER BY 2 DESC, tfp.doc_id ASC LIMIT 10
+""",
+)
+def sweet_spot_topk(spark, sf_dir):
+    """SweetSpotSimilarity (lucene/misc SweetSpotSimilarity.java:41):
+    plateau length norm over the [20, 60]-token sweet spot (flat 1.0
+    inside, 1/sqrt decay outside, :137-156) x classic idf^2 x sqrt tf."""
+    from .scoring.similarities import SweetSpot
+
+    s = Searcher(
+        get_index(spark, sf_dir),
+        corpus=get_docs(spark, sf_dir),
+        mode="sql",
+        similarity=SweetSpot(ln_min=20, ln_max=60),
+    )
+    return _topk(s.scored(Q.Term(T_A)))
+
+
+@register(
     "dfr_inl2_topk",
     _PRELUDE
     + _SIM_STATS
@@ -2456,6 +2487,7 @@ _CHECK_PRIORITY = [
     "taxonomy_facet_drilldown",
     "taxonomy_drill_sideways",
     "taxonomy_sum_associations",
+    "sweet_spot_topk",
     "simple_query_parser_topk",
     "suggest_infix_pruned",
     "sharded_count",

@@ -129,11 +129,51 @@ class LMJelinekMercer(SimilarityBase):
         )
 
 
+@dataclass(frozen=True)
+class SweetSpot(SimilarityBase):
+    """SweetSpotSimilarity (lucene/misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java:41): DefaultSimilarity with a PLATEAU length
+    norm (:137-156 — flat 1.0 across the [ln_min, ln_max] "sweet spot" of
+    document lengths, degrading as 1/sqrt outside it) and baselineTf
+    (:167-186 — tf <= tf_min scores a flat tf_base, else
+    sqrt(tf + base^2 - min)).  Per-term score in the sql-precision
+    convention: baselineTf(tf) * idf^2 * lengthNorm(dl), classic idf
+    = 1 + ln(N/(df+1)).  Defaults degrade to DefaultSimilarity
+    (min=max=1, steepness=0.5 -> 1/sqrt(dl); base=min=0 -> sqrt(tf))."""
+
+    name: str = "sweet_spot"
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+
+    def score_col(self, tf, df, ttf, doclen, *, n_docs, avgdl, sum_ttf):
+        idf = F.lit(1.0) + F.log(F.lit(float(n_docs)) / (df + F.lit(1.0)))
+        base, mn = float(self.tf_base), float(self.tf_min)
+        tf_col = F.when(tf <= F.lit(mn), F.lit(base)).otherwise(
+            F.sqrt(tf + F.lit(base * base - mn))
+        )
+        tf_col = F.when(tf == F.lit(0.0), F.lit(0.0)).otherwise(tf_col)
+        l, h, s = float(self.ln_min), float(self.ln_max), float(self.steepness)
+        norm = F.lit(1.0) / F.sqrt(
+            F.lit(s)
+            * (
+                F.abs(doclen - F.lit(l))
+                + F.abs(doclen - F.lit(h))
+                - F.lit(h - l)
+            )
+            + F.lit(1.0)
+        )
+        return tf_col * idf * idf * norm
+
+
 SIMILARITIES = {
     "dfr_inl2": DFRInL2,
     "ib_ll": IBLL,
     "lm_dirichlet": LMDirichlet,
     "lm_jelinek_mercer": LMJelinekMercer,
+    "sweet_spot": SweetSpot,
 }
 
 

@@ -201,3 +201,51 @@ def test_similarity_plan_is_jvm_side(spark, tiny_index):
     assert "FlatMapGroupsInPandas" not in plan  # no grouped-pandas kernel
     for m in re.finditer(r"ArrowEvalPython \[([a-zA-Z0-9_]+)\(", plan):
         assert m.group(1) == "_tok", f"unexpected Python eval: {m.group(1)}"
+
+
+def test_sweet_spot_plateau_and_degenerate():
+    """SweetSpotSimilarity.computeLengthNorm (:137-156): flat 1.0 inside
+    [min,max], 1/sqrt decay outside; defaults degrade to DefaultSimilarity
+    (1/sqrt(dl), sqrt(tf))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_intervals_spark.scoring.similarities import SweetSpot
+
+    # pure-python twin of the reference formula
+    def ln_ref(x, l, h, s=0.5):
+        return 1.0 / math.sqrt(s * (abs(x - l) + abs(x - h) - (h - l)) + 1.0)
+
+    assert ln_ref(30, 20, 60) == 1.0          # inside the sweet spot
+    assert ln_ref(20, 20, 60) == 1.0          # boundary
+    assert ln_ref(10, 20, 60) < 1.0           # below
+    assert ln_ref(100, 20, 60) < ln_ref(70, 20, 60)  # decays with distance
+    # defaults degrade to 1/sqrt(x)
+    assert abs(ln_ref(9, 1, 1) - 1 / 3.0) < 1e-9
+
+
+def test_sweet_spot_ranks_sweet_docs_first(spark):
+    """A doc whose length sits in the sweet spot must outrank a same-tf doc
+    outside it; under classic 1/sqrt norms the SHORTER doc would win."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.scoring.similarities import SweetSpot
+    from lucene_solr_intervals_spark.search import queries as Q
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    filler = " ".join(f"w{i}" for i in range(28))       # 29-token doc (sweet)
+    corpus = spark.createDataFrame(
+        [
+            (0, "hit " + filler),          # dl=29, inside [20, 60]
+            (1, "hit tiny"),               # dl=2, outside (classic favorite)
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_index(corpus, analyzer="code")
+    s = Searcher(
+        idx, corpus=corpus, mode="sql", similarity=SweetSpot(ln_min=20, ln_max=60)
+    )
+    rows = s.scored(Q.Term("hit")).orderBy("doc_id").collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert scores[0] > scores[1]
+    idx.unpersist()
