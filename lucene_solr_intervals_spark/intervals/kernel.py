@@ -693,6 +693,11 @@ def build_iter(q, positions: dict[str, list[int]]):
             if not alts:
                 return None
             slot_iters.append(alts[0] if len(alts) == 1 else DisjIter(alts))
+        if len(slot_iters) == 1:
+            # one-position MultiPhrase rewrites to a pure disjunction of its
+            # slot terms (MultiPhraseQuery.java:301-308 "optimize one-term
+            # case") — no block constraint to enforce
+            return _replay_nonempty(slot_iters[0])
         return _replay_nonempty(BlockIter(slot_iters))
 
     if isinstance(q, Q.OrderedNear):
