@@ -544,6 +544,17 @@ class Searcher:
         raise ValueError(f"cannot score query type {type(q).__name__}")
 
     def _scored_boolean(self, q: Q.Boolean) -> DataFrame:
+        if q.min_should_match > len(q.should):
+            # more required optional matches than optional clauses exist:
+            # unsatisfiable — matches NOTHING (TestBooleanMinShouldMatch
+            # testMinHigherThenNumOptional / testNoOptionalButMin)
+            return (
+                self.index.docs.where(F.lit(False))
+                .select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(0.0).alias("score"),
+                )
+            )
         parts = []
         for c in q.must:
             parts.append(
@@ -612,6 +623,11 @@ class Searcher:
             # the context only rescales scores; matching set == match's
             return self.matching(q.match)
         if isinstance(q, Q.Boolean):
+            if q.min_should_match > len(q.should):
+                # unsatisfiable minNrShouldMatch -> empty (see _scored_boolean)
+                return self.index.docs.where(F.lit(False)).select(
+                    F.col("doc_id").cast("long").alias("doc_id")
+                )
             out = None
             for c in q.must:
                 m = self.matching(c)
