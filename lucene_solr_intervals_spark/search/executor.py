@@ -73,16 +73,31 @@ _INTERVAL_RESULT = T.StructType(
 
 
 def _lucene_wildcard_to_rlike(pattern: str) -> str:
+    """WildcardQuery.toAutomaton (WildcardQuery.java:43-77): * = any string,
+    ? = any single char, backslash escapes the NEXT char to a literal
+    (WILDCARD_ESCAPE); a trailing backslash is leniently a literal
+    backslash (TestWildcard.testEscapes)."""
     import re as _re
 
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 < len(pattern):
+                out.append(_re.escape(pattern[i + 1]))
+                i += 2
+            else:
+                out.append(_re.escape("\\"))
+                i += 1
+            continue
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
         else:
             out.append(_re.escape(ch))
+        i += 1
     return "^" + "".join(out) + "$"
 
 
