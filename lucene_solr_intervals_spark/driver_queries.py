@@ -2358,6 +2358,45 @@ def sharded_count(spark, sf_dir):
     return spark.createDataFrame([(n_or, n_and)], "n_or long, n_and long")
 
 
+# ======================================================= QUERY ELEVATION ===
+
+
+@register(
+    "query_elevation_topk",
+    _PRELUDE
+    + _hits_cte([T_A])
+    + """
+, base AS (SELECT doc_id, round(score, 4) AS score FROM hits),
+  elev(doc_id, p) AS (VALUES (7, 0), (3, 1)),
+  forced AS (
+    SELECT e.doc_id, 0.0 AS score FROM elev e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM base)
+  ),
+  merged AS (SELECT * FROM base UNION ALL SELECT * FROM forced)
+SELECT m.doc_id, m.score, (e.p IS NOT NULL) AS elevated
+FROM merged m LEFT JOIN elev e USING (doc_id)
+WHERE m.doc_id <> 11
+ORDER BY coalesce(e.p, 2147483647), m.score DESC, m.doc_id ASC
+LIMIT 10
+""",
+)
+def query_elevation_topk(spark, sf_dir):
+    """QueryElevationComponent (solr/.../QueryElevationComponent.java:100):
+    editorial overrides — docs 7 then 3 pinned above the organic hits in
+    config order (forceElevation injects them at score 0 if the query
+    didn't match them), doc 11 excluded, organic order untouched."""
+    from .search.elevation import ElevationConfig, elevate
+
+    s = searcher(spark, sf_dir)
+    cfg = ElevationConfig()
+    cfg.add(T_A, elevate=[7, 3], exclude=[11])
+    ev, ex = cfg.lookup(T_A)
+    scored = s.scored(Q.Term(T_A)).withColumn("score", F.round("score", 4))
+    return elevate(
+        scored, ev, ex, k=10, force=True, corpus=get_docs(spark, sf_dir)
+    )
+
+
 # ==================================================== SIMPLE QUERY PARSER ===
 
 
@@ -2488,6 +2527,7 @@ _CHECK_PRIORITY = [
     "taxonomy_drill_sideways",
     "taxonomy_sum_associations",
     "sweet_spot_topk",
+    "query_elevation_topk",
     "simple_query_parser_topk",
     "suggest_infix_pruned",
     "sharded_count",
