@@ -1128,6 +1128,91 @@ def plan_merges(manifest: dict, segs_per_tier: int = 10) -> list[list[int]]:
 # ------------------------------------------------------------------ verify
 
 
+def _postings_check_udf(codec_name: str):
+    """Per-row postings invariants (shared by verify_index / repair_index)."""
+
+    @F.pandas_udf(T.StringType())
+    def _check(doc_ids: pd.Series, tfs: pd.Series, positions: pd.Series,
+               dfv: pd.Series, ttfv: pd.Series) -> pd.Series:
+        from ..codecs.registry import get_codec
+
+        codec = get_codec(codec_name)
+        out = []
+        for db, tb, pb, dfx, ttfx in zip(doc_ids, tfs, positions, dfv, ttfv):
+            try:
+                ids = unpack_doc_ids(db, codec)
+                tf = unpack_tfs(tb, codec)
+                msgs = []
+                if ids.size != dfx:
+                    msgs.append(f"df {dfx} != {ids.size}")
+                if int(tf.sum()) != ttfx:
+                    msgs.append(f"ttf {ttfx} != {int(tf.sum())}")
+                if ids.size > 1 and not bool(np.all(np.diff(ids) > 0)):
+                    msgs.append("doc_ids not strictly increasing")
+                pos = unpack_positions(pb, tf)
+                if sum(len(p) for p in pos) != int(tf.sum()):
+                    msgs.append("positions count != ttf")
+                if any(
+                    (len(p) > 1 and not bool(np.all(np.diff(p) >= 0))) for p in pos
+                ):
+                    msgs.append("positions not sorted")
+            except Exception as e:  # undecodable blob = broken row
+                msgs = [f"decode error: {type(e).__name__}"]
+            out.append(";".join(msgs))
+        return pd.Series(out)
+
+    return _check
+
+
+def repair_index(spark: SparkSession, index_dir: str) -> dict:
+    """CheckIndex -fix analog (CheckIndex.java:62 exorciseIndex / the -fix
+    flag): drop every segment that fails its checks, LOSING that segment's
+    documents, so the rest of the index opens and searches cleanly.
+
+    Each live segment is checked INDEPENDENTLY (its own partition
+    directory scan — an unreadable/corrupt parquet file marks only that
+    segment broken, never the whole index), then all broken segments flip
+    to status="dropped" in ONE atomic manifest replace; readers' live-set
+    filter skips them from then on.  Returns
+    {dropped: [...], remaining: n, lost_docs: n}."""
+    manifest = read_manifest(index_dir)
+    codec_name = manifest.get("codec", "varbyte")
+    check = _postings_check_udf(codec_name)
+    bad: list[int] = []
+    for s in manifest["segments"]:
+        if s.get("status") != "done":
+            continue
+        seg = int(s["seg"])
+        try:
+            part = spark.read.parquet(
+                os.path.join(index_dir, "postings", f"seg={seg}")
+            )
+            n_bad = (
+                part.where(F.col("term") != DOCS_MARKER)
+                .select(check("doc_ids", "tfs", "positions", "df", "ttf").alias("e"))
+                .where(F.col("e") != "")
+                .count()
+            )
+            if n_bad:
+                bad.append(seg)
+        except Exception:
+            bad.append(seg)
+    if bad:
+        lost = 0
+        for s in manifest["segments"]:
+            if int(s["seg"]) in bad and s.get("status") == "done":
+                s["status"] = "dropped"
+                lost += int(s["n_docs"])
+        keep = [s for s in manifest["segments"] if s.get("status") == "done"]
+        manifest["n_docs"] = int(sum(s["n_docs"] for s in keep))
+        manifest["sum_doclen"] = int(sum(s["sum_doclen"] for s in keep))
+        _write_manifest(index_dir, manifest)
+    else:
+        lost = 0
+    remaining = len([s for s in manifest["segments"] if s.get("status") == "done"])
+    return {"dropped": sorted(bad), "remaining": remaining, "lost_docs": lost}
+
+
 def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id") -> dict:
     """CheckIndex analog (CheckIndex.java:62): structural invariants.
@@ -1141,31 +1226,7 @@ def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None =
     live = [s["seg"] for s in manifest["segments"] if s.get("status") == "done"]
     postings = load_postings(spark, index_dir).where(F.col("seg").isin(live))
     codec_name = manifest.get("codec", "varbyte")
-
-    @F.pandas_udf(T.StringType())
-    def _check(doc_ids: pd.Series, tfs: pd.Series, positions: pd.Series,
-               dfv: pd.Series, ttfv: pd.Series) -> pd.Series:
-        from ..codecs.registry import get_codec
-
-        codec = get_codec(codec_name)
-        out = []
-        for db, tb, pb, dfx, ttfx in zip(doc_ids, tfs, positions, dfv, ttfv):
-            ids = unpack_doc_ids(db, codec)
-            tf = unpack_tfs(tb, codec)
-            msgs = []
-            if ids.size != dfx:
-                msgs.append(f"df {dfx} != {ids.size}")
-            if int(tf.sum()) != ttfx:
-                msgs.append(f"ttf {ttfx} != {int(tf.sum())}")
-            if ids.size > 1 and not bool(np.all(np.diff(ids) > 0)):
-                msgs.append("doc_ids not strictly increasing")
-            pos = unpack_positions(pb, tf)
-            if sum(len(p) for p in pos) != int(tf.sum()):
-                msgs.append("positions count != ttf")
-            if any((len(p) > 1 and not bool(np.all(np.diff(p) >= 0))) for p in pos):
-                msgs.append("positions not sorted")
-            out.append(";".join(msgs))
-        return pd.Series(out)
+    _check = _postings_check_udf(codec_name)
 
     @F.pandas_udf(T.StringType())
     def _check_offsets(offsets: pd.Series, tfs: pd.Series) -> pd.Series:

@@ -90,3 +90,42 @@ def test_replica_is_point_in_time_after_primary_update(spark, corpus, tmp_path_f
         assert d not in after_primary
     # the replica still serves the OLD commit point, scores included
     assert after_replica == before
+
+
+def test_repair_drops_corrupt_segment(spark, corpus, tmp_path_factory):
+    """CheckIndex -fix analog: corrupt one segment's parquet on disk;
+    repair_index drops exactly that segment (losing its docs), the
+    manifest commits atomically, and the survivor index searches fine."""
+    import glob
+    import os
+
+    from lucene_solr_intervals_spark.index.segment import repair_index
+
+    d = str(tmp_path_factory.mktemp("repair")) + "/idx"
+    build_segments(corpus, d, n_segments=5, id_col="doc_id", analyzer="code")
+    before = read_manifest(d)
+    # clobber every parquet file of segment 2
+    victims = glob.glob(os.path.join(d, "postings", "seg=2", "*.parquet"))
+    assert victims
+    for v in victims:
+        with open(v, "wb") as f:
+            f.write(b"not a parquet file")
+
+    res = repair_index(spark, d)
+    assert res["dropped"] == [2]
+    after = read_manifest(d)
+    seg2 = next(s for s in after["segments"] if s["seg"] == 2)
+    assert seg2["status"] == "dropped"
+    lost = next(s["n_docs"] for s in before["segments"] if s["seg"] == 2)
+    assert after["n_docs"] == before["n_docs"] - lost
+    assert res["lost_docs"] == lost
+
+    # the repaired index opens and answers
+    ss = SegmentSearcher(spark, d)
+    hits = ss.search(["needle"], k=50).collect()
+    assert hits
+    assert verify_index(spark, d)["ok"]
+    # a clean index repairs to a no-op
+    d2 = str(tmp_path_factory.mktemp("repair2")) + "/idx"
+    build_segments(corpus, d2, n_segments=3, id_col="doc_id", analyzer="code")
+    assert repair_index(spark, d2) == {"dropped": [], "remaining": 3, "lost_docs": 0}
