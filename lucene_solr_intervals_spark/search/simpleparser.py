@@ -71,7 +71,10 @@ class _State:
 
 
 class SimpleQueryParser:
-    """field-less variant: one default field, weights handled upstream."""
+    """One default field, or a `weights` map {field: boost} — the reference
+    constructor's Map<String, Float> form (:129-137): every produced leaf
+    becomes a SHOULD disjunction of per-field copies, each carrying its
+    field's weight (newDefaultQuery :513-524 and siblings)."""
 
     def __init__(
         self,
@@ -79,6 +82,7 @@ class SimpleQueryParser:
         default_operator: str = "SHOULD",
         flags: int = ALL_OPERATORS,
         field: str | None = None,
+        weights: dict[str, float] | None = None,
     ):
         # analyzer: text -> list[str] terms (the createBooleanQuery chain)
         if analyzer is None:
@@ -89,6 +93,19 @@ class SimpleQueryParser:
         self.default_operator = default_operator
         self.flags = flags
         self.field = field
+        self.weights = weights
+
+    def _fields(self):
+        if self.weights:
+            return sorted(self.weights.items())
+        return [(self.field, 1.0)]
+
+    def _per_field(self, make):
+        """simplify(BooleanQuery of per-field SHOULD copies) (:513-524)."""
+        parts = [q for f, w in self._fields() if (q := make(f, w)) is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else Q.Boolean(should=tuple(parts))
 
     # ---------------------------------------------------------- factories
 
@@ -96,32 +113,44 @@ class SimpleQueryParser:
         terms = self.analyzer(text)
         if not terms:
             return None
-        if len(terms) == 1:
-            return Q.Term(terms[0], field=self.field)
-        cl = tuple(Q.Term(t, field=self.field) for t in terms)
-        if self.default_operator == "MUST":
-            return Q.Boolean(must=cl)
-        return Q.Boolean(should=cl)
+
+        def make(f, w):
+            if len(terms) == 1:
+                return Q.Term(terms[0], field=f, boost=w)
+            cl = tuple(Q.Term(t, field=f) for t in terms)
+            if self.default_operator == "MUST":
+                return Q.Boolean(must=cl, boost=w)
+            return Q.Boolean(should=cl, boost=w)
+
+        return self._per_field(make)
 
     def _phrase_query(self, text: str, slop: int):
         terms = self.analyzer(text)
         if not terms:
             return None
-        if len(terms) == 1:
-            return Q.Term(terms[0], field=self.field)
-        return Q.Phrase(tuple(terms), slop=slop, field=self.field)
+
+        def make(f, w):
+            if len(terms) == 1:
+                return Q.Term(terms[0], field=f, boost=w)
+            return Q.Phrase(tuple(terms), slop=slop, field=f, boost=w)
+
+        return self._per_field(make)
 
     def _prefix_query(self, text: str):
         terms = self.analyzer(text)
         if not terms:
             return None
-        return Q.Prefix(terms[-1], field=self.field)
+        return self._per_field(
+            lambda f, w: Q.Prefix(terms[-1], field=f, boost=w)
+        )
 
     def _fuzzy_query(self, text: str, max_edits: int):
         terms = self.analyzer(text)
         if not terms:
             return None
-        return Q.Fuzzy(terms[-1], max_edits=max_edits, field=self.field)
+        return self._per_field(
+            lambda f, w: Q.Fuzzy(terms[-1], max_edits=max_edits, field=f, boost=w)
+        )
 
     # -------------------------------------------------------------- parse
 

@@ -186,3 +186,31 @@ def test_disabled_operators():
 def test_default_or_operator():
     p = SimpleQueryParser(analyzer=lambda t: t.lower().split())
     assert p.parse("foo bar") == SHOULD(T("foo"), T("bar"))
+
+
+def test_weighted_multi_field():
+    """The Map<String, Float> constructor (:129-137): each leaf expands to
+    a SHOULD of per-field copies carrying the field weight (testWeightedTerm
+    / testWeightedOR shapes)."""
+    p = SimpleQueryParser(
+        analyzer=lambda t: t.lower().split(),
+        weights={"field0": 5.0, "field1": 10.0},
+    )
+    assert p.parse("foo") == SHOULD(
+        Q.Term("foo", field="field0", boost=5.0),
+        Q.Term("foo", field="field1", boost=10.0),
+    )
+    assert p.parse("foo|bar") == SHOULD(
+        SHOULD(
+            Q.Term("foo", field="field0", boost=5.0),
+            Q.Term("foo", field="field1", boost=10.0),
+        ),
+        SHOULD(
+            Q.Term("bar", field="field0", boost=5.0),
+            Q.Term("bar", field="field1", boost=10.0),
+        ),
+    )
+    assert p.parse('"foo bar"') == SHOULD(
+        Q.Phrase(("foo", "bar"), field="field0", boost=5.0),
+        Q.Phrase(("foo", "bar"), field="field1", boost=10.0),
+    )
