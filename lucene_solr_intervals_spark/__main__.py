@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", required=True, help="comma-separated global doc ids")
 
+    r = sub.add_parser(
+        "repair", help="CheckIndex -fix: drop segments that fail checks (loses their docs)"
+    )
+    r.add_argument("--index", required=True)
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -146,6 +151,10 @@ def main(argv: list[str] | None = None) -> int:
             args.index, [int(x) for x in args.doc_ids.split(",")]
         )
         print(json.dumps({"tombstones": len(manifest.get("tombstones", []))}))
+    elif args.cmd == "repair":
+        from .index.segment import repair_index
+
+        print(json.dumps(repair_index(spark, args.index)))
     return 0
 
 
