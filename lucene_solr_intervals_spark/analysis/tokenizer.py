@@ -311,6 +311,9 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
     tests/test_analyzers_core.py.
     """
     n_docs = len(texts)
+    if analyzer in _SYN_CHAINS:
+        base, syn_map, stop = _SYN_CHAINS[analyzer]
+        return _synonym_flat(texts, base, syn_map, stop, keep_offsets)
     if analyzer not in _FLAT_FAST:
         fn = (OFFSET_ANALYZERS if keep_offsets else ANALYZERS)[analyzer]
         return _flat_fallback(texts, fn, keep_offsets)
@@ -387,10 +390,83 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
     return flat
 
 
+# ---------------------------------------------------------------- synonyms
+# Synonym analyzer chains: tokenize -> lowercase -> SynonymFilter -> stop.
+# The synonym pass runs BEFORE stop filtering (SynonymFilter.java:44-46) on
+# the consecutive-position stream; stop removal afterwards leaves the usual
+# holes; doclen becomes the discountOverlaps norm length (count of distinct
+# positions — BM25Similarity.java:55-57,138-141).
+_SYN_CHAINS: dict[str, tuple[str, object, frozenset[str] | None]] = {}
+
+
+def register_synonym_analyzer(
+    name: str,
+    syn_map,
+    base: str = "code",
+    stopwords: frozenset[str] | None = None,
+) -> None:
+    """Register an analyzer chain with a SynonymFilter stage.
+
+    `base` names a NO-STOP tokenizer ("code", "ws", "simple", ...) — the
+    synonym filter needs consecutive input positions, so stopwords are
+    applied after it via `stopwords` (StopFilter placement per the
+    SynonymFilter javadoc).  Registered chains ride the batched flat path
+    (including the byte-domain fast base) — no per-doc Python."""
+    if base in _SYN_CHAINS:
+        raise ValueError("chaining synonym analyzers is not supported")
+    _SYN_CHAINS[name] = (base, syn_map, stopwords)
+
+    def _scalar(text: str, _n=name):
+        flat = _synonym_flat(
+            [text] if text is not None else [""], *_SYN_CHAINS[_n], False
+        )
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    def _scalar_off(text: str, _n=name):
+        flat = _synonym_flat(
+            [text] if text is not None else [""], *_SYN_CHAINS[_n], True
+        )
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            flat["starts"].tolist(),
+            flat["ends"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar, _scalar_off)
+
+
+def _synonym_flat(texts, base: str, syn_map, stopwords, keep_offsets: bool):
+    """tokenize(base, no stop) -> synonym_flat_pass -> stop holes -> doclens."""
+    from .synonyms import discounted_lengths, synonym_flat_pass
+
+    n_docs = len(texts)
+    flat = tokenize_flat(texts, base, keep_offsets)
+    flat.pop("doclens", None)
+    flat = synonym_flat_pass(flat, syn_map)
+    if stopwords:
+        import pandas as _pd
+
+        emit = ~_pd.Index(flat["terms"]).isin(list(stopwords))
+        for k in ("doc_idx", "terms", "positions", "starts", "ends"):
+            if k in flat:
+                flat[k] = flat[k][emit]
+    flat["doclens"] = discounted_lengths(flat["doc_idx"], flat["positions"], n_docs)
+    return flat
+
+
 def flat_tokenizer(analyzer: str = "code", keep_offsets: bool = False):
     """Resolve a batched flat tokenizer callable ON THE DRIVER so analyzers
     added via register_analyzer() travel inside the task closure (executor
     workers never see driver-side registry mutations)."""
+    if analyzer in _SYN_CHAINS:
+        base, syn_map, stop = _SYN_CHAINS[analyzer]
+        return lambda texts: _synonym_flat(texts, base, syn_map, stop, keep_offsets)
     if analyzer in _FLAT_FAST:
         return lambda texts: tokenize_flat(texts, analyzer, keep_offsets)
     fn = (OFFSET_ANALYZERS if keep_offsets else ANALYZERS)[analyzer]

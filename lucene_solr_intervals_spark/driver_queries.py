@@ -2507,6 +2507,93 @@ def taxonomy_sum_associations(spark, sf_dir):
     return sum_associations(hits, docs, cfg, "language", value_col="n_chars")
 
 
+# ------------------------------------------------------------ synonyms
+
+
+def get_index_syn(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Index built with a SynonymFilter chain (SynonymFilter.java):
+    `vector => vettore` (keepOrig) and the multi-word `vector window =>
+    viewport` (greedy: the bigram wins over the single-word rule at shared
+    starts).  Overlap tokens carry posInc=0; doclen is the
+    discountOverlaps norm length."""
+    key = f"{sf_dir}#syn"
+    if key not in _INDEX_CACHE:
+        from .analysis.synonyms import SynonymMap
+        from .analysis.tokenizer import ANALYZERS, register_synonym_analyzer
+
+        if "code_syn_demo" not in ANALYZERS:
+            syn = SynonymMap()
+            syn.add("vector", "vettore", True)
+            syn.add("vector window", "viewport", True)
+            register_synonym_analyzer("code_syn_demo", syn, base="code")
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            analyzer="code_syn_demo",
+        )
+    return _INDEX_CACHE[key]
+
+
+_SYN_PRELUDE = """
+WITH tok0 AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+           generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS idx
+    FROM documents
+  ) raw
+  WHERE term <> ''
+),
+big AS (
+  SELECT a.doc_id, a.pos FROM tok0 a JOIN tok0 b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'vector' AND b.term = 'window'
+),
+tok AS (
+  SELECT doc_id, term, pos FROM tok0
+  UNION ALL SELECT doc_id, 'viewport' AS term, pos FROM big
+  UNION ALL SELECT t.doc_id, 'vettore' AS term, t.pos FROM tok0 t
+    WHERE t.term = 'vector'
+      AND NOT EXISTS (SELECT 1 FROM big
+                      WHERE big.doc_id = t.doc_id AND big.pos = t.pos)
+),
+dl AS (SELECT doc_id, CAST(count(DISTINCT pos) AS DOUBLE) AS dl
+       FROM tok GROUP BY doc_id),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+),
+tfp AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY doc_id, term),
+dfp AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfp GROUP BY term)
+"""
+
+
+@register(
+    "synonym_expand_topk",
+    _SYN_PRELUDE
+    + f"""
+, hits AS (SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term IN ('vettore', 'viewport'))
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def synonym_expand_topk(spark, sf_dir):
+    """SynonymFilter end-to-end: index-time injection of `vettore`
+    (posInc=0 over every standalone `vector`) and `viewport` (over the
+    greedy `vector window` bigram), BM25 over the injected terms with
+    discountOverlaps norms (dl = distinct positions; avgdl counts every
+    emitted token — BM25Similarity.java:55-57,82-89)."""
+    idx = get_index_syn(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term("vettore"), Q.Term("viewport")))
+    return _topk(s.scored(q))
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;
@@ -2515,44 +2602,51 @@ def taxonomy_sum_associations(spark, sf_dir):
 # recent CORRECTNESS_r*.json: never-verified first, then stale-green
 # (verified only in an older round), then a rotating tail of current-green.
 _CHECK_PRIORITY = [
-    # never driver-green as of round 3
-    "facet_queries",
-    "multifield_parser_topk",
-    "simhash_near_pairs",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "embedding_near_pairs",
-    # new round-4 registrations
-    "taxonomy_facet_drilldown",
-    "taxonomy_drill_sideways",
-    "taxonomy_sum_associations",
-    "sweet_spot_topk",
-    "query_elevation_topk",
-    "simple_query_parser_topk",
-    "suggest_infix_pruned",
-    "sharded_count",
-    # green only in round 1
-    "multimodal_features",
-    "events_hourly_window",
-    "events_sessionize",
-    "embedding_cosine_topk",
-    # green only in round 2 (rotated out of the r3 window)
-    "pivot_facet",
-    "stats_over_hits",
-    "block_join_parents",
-    "fielded_bool_topk",
-    "fielded_intervals_leaves",
-    "spell_suggest",
-    "percolate_queries",
-    "nb_classify_lang",
-    "geo_distance_docs",
-    "dedup_exact",
-    "doc_fingerprint",
-    "token_stats",
-    "quality_score",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "simhash_signatures",
+    # round 5: the 34 queries whose latest green row is CORRECTNESS_r03
+    # (everything in CORRECTNESS_r04 is one-round fresh and rotates out).
+    "interval_range_filter",
+    "min_freq_filter",
+    "prefix_docs",
+    "wildcard_docs",
+    "term_range_docs",
+    "fuzzy_docs",
+    "prefix_scoring_topk",
+    "numeric_range_docs",
+    "dismax_topk",
+    "classic_bool_topk",
+    "lm_dirichlet_topk",
+    "dfr_inl2_topk",
+    "search_after_page2",
+    "match_all_count",
+    "total_hits",
+    "facet_by_source",
+    "group_top2_per_source",
+    "expand_topn",
+    "suggest_prefix",
+    "freetext_suggest",
+    "suggest_infix",
+    "query_parser_topk",
+    "rescore_topk",
+    "query_time_join",
+    "query_time_join_scored",
+    "multiphrase_docs",
+    "common_terms_topk",
+    "sloppy_phrase_topk",
+    "ngram_jaccard_pairs",
+    "more_like_this",
+    "sort_by_field_topk",
+    "facet_range_histogram",
+    "terms_component",
+    "term_vector_doc",
+    # new round-5 registrations (never driver-checked yet) — appended as
+    # they land so they share the window with the stale set above.
+    "synonym_expand_topk",
+    "shingle_phrase_topk",
+    "folded_match_docs",
+    "block_join_children",
+    "analyzing_parser_docs",
+    "suggest_stored_pruned",
+    "multimodal_decoded_meta",
 ]
 
 

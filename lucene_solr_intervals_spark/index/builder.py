@@ -316,17 +316,20 @@ def build_index(
         docs = docs.persist()
         term_stats = term_stats.persist()
 
-    rows = (
-        docs.groupBy("field")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("doclen"), F.lit(0)).alias("s"),
-        )
-        .collect()
-    )
+    rows = docs.groupBy("field").agg(F.count(F.lit(1)).alias("n")).collect()
     # every field row-set covers every doc (tokenizer emits doclen 0 rows)
     max_doc = max((int(r["n"]) for r in rows), default=0)
-    sum_by_field = {r["field"]: int(r["s"]) for r in rows}
+    # sumTotalTermFreq per field from the postings (BM25Similarity.java:82-89
+    # avgFieldLength): counts EVERY emitted token, including posInc=0 synonym
+    # overlaps — whereas docs.doclen is the overlap-DISCOUNTED norm length
+    # (identical when the analyzer injects no overlaps).
+    stat_rows = (
+        term_stats.groupBy("field")
+        .agg(F.coalesce(F.sum("ttf"), F.lit(0)).alias("s"))
+        .collect()
+    )
+    sum_by_field = {r["field"]: 0 for r in rows}
+    sum_by_field.update({r["field"]: int(r["s"]) for r in stat_rows})
     avgdl_by_field = {
         f: (s / max_doc if max_doc else 1.0) for f, s in sum_by_field.items()
     }
