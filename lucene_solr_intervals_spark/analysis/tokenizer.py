@@ -252,11 +252,59 @@ import numpy as _vnp  # noqa: E402
 _TOKEN_BYTE = _vnp.zeros(256, dtype=bool)
 for _r in (range(48, 58), range(65, 91), range(97, 123), (95,)):
     _TOKEN_BYTE[list(_r)] = True
+# LetterTokenizer class ([A-Za-z] — core/LetterTokenizer.java:36).  Pure
+# ASCII like the scalar regex [^A-Za-z]+: every byte of a non-ASCII char is
+# >= 0x80 and therefore a separator in BOTH domains, so byte runs == the
+# str-domain regex tokens for the letter chains too.
+_LETTER_BYTE = _vnp.zeros(256, dtype=bool)
+for _r in (range(65, 91), range(97, 123)):
+    _LETTER_BYTE[list(_r)] = True
 _LOWER_MAP = _vnp.arange(256, dtype=_vnp.uint8)
 _LOWER_MAP[65:91] += 32
+_IDENT_MAP = _vnp.arange(256, dtype=_vnp.uint8)
 
-# analyzers whose semantics the byte-domain fast path reproduces exactly
-_FLAT_FAST = {"code": None, "code_stop": ENGLISH_STOP_WORDS}
+# char-domain whitespace LUT — exactly the codepoints `re` counts as \s in
+# str mode (scalar ws_tokenize splits on \s+), so the char-domain fast path
+# and the scalar tokenizer agree on every unicode whitespace character.
+_WS_CODEPOINTS = (
+    list(range(0x09, 0x0E)) + list(range(0x1C, 0x21)) + [0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+_WS_LUT = _vnp.zeros(0x3001, dtype=bool)
+_WS_LUT[_WS_CODEPOINTS] = True
+
+
+def _stem_dictionary(terms):
+    """PorterStemFilter as a DICTIONARY pass: stem each distinct term once
+    (vocabulary-bounded Python) and scatter back — never per token.
+    pd.factorize is hash-based (no O(n log n) string sort)."""
+    from .porter import porter_stem
+
+    if terms.size == 0:
+        return terms
+    import pandas as _pd
+
+    inv, uniq = _pd.factorize(terms)
+    stemmed = _vnp.asarray([porter_stem(t) for t in uniq.tolist()], dtype=object)
+    return stemmed[inv]
+
+
+# Analyzers the batched fast path reproduces exactly — every built-in chain.
+# Spec: (domain, token-class LUT, lowercase, stopwords, term-dict post-pass).
+# "byte": LUT over utf-8 bytes (token classes are pure ASCII, so byte runs
+# == char runs); "char": LUT over codepoints (ws needs unicode whitespace);
+# "keyword": whole value as one token.
+_FLAT_FAST = {
+    "code": ("byte", _TOKEN_BYTE, True, None, None),
+    "code_stop": ("byte", _TOKEN_BYTE, True, ENGLISH_STOP_WORDS, None),
+    "simple": ("byte", _LETTER_BYTE, True, None, None),
+    "stop": ("byte", _LETTER_BYTE, True, ENGLISH_STOP_WORDS, None),
+    "fr": ("byte", _LETTER_BYTE, True, FRENCH_STOP_WORDS, None),
+    "de": ("byte", _LETTER_BYTE, True, GERMAN_STOP_WORDS, None),
+    "en_stem": ("byte", _TOKEN_BYTE, True, ENGLISH_STOP_WORDS, _stem_dictionary),
+    "ws": ("char", _WS_LUT, False, None, None),
+    "keyword": ("keyword", None, False, None, None),
+}
 
 
 def _flat_fallback(texts, fn, keep_offsets: bool):
@@ -317,7 +365,9 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
     if analyzer not in _FLAT_FAST:
         fn = (OFFSET_ANALYZERS if keep_offsets else ANALYZERS)[analyzer]
         return _flat_fallback(texts, fn, keep_offsets)
-    stopwords = _FLAT_FAST[analyzer]
+    domain, lut, lowercase, stopwords, post = _FLAT_FAST[analyzer]
+    if analyzer == "ws" and keep_offsets:
+        lowercase = True  # ws_tokenize_offsets' historic default
     empty = {
         "doc_idx": _vnp.zeros(0, dtype=_vnp.int64),
         "terms": _vnp.zeros(0, dtype=object),
@@ -328,16 +378,54 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
         empty["starts"] = empty["ends"] = _vnp.zeros(0, dtype=_vnp.int64)
     if n_docs == 0:
         return empty
-    enc = [(t if isinstance(t, str) else "").encode("utf-8", "replace") for t in texts]
-    blens = _vnp.fromiter((len(b) for b in enc), dtype=_vnp.int64, count=n_docs)
-    # doc i occupies buf[doc_off[i] : doc_off[i] + blens[i]]; 1-byte separator
-    doc_off = _vnp.zeros(n_docs, dtype=_vnp.int64)
-    _vnp.cumsum(blens[:-1] + 1, out=doc_off[1:])
-    buf = b"\n".join(enc)
-    if not buf:
-        return empty
-    arr = _vnp.frombuffer(buf, dtype=_vnp.uint8)
-    mask = _TOKEN_BYTE[arr]
+
+    if domain == "keyword":
+        # KeywordAnalyzer: whole value = one token, verbatim, no cap
+        vals = _vnp.asarray(
+            [t if isinstance(t, str) else "" for t in texts], dtype=object
+        )
+        nz = _vnp.fromiter((len(v) > 0 for v in vals), dtype=bool, count=n_docs)
+        doc_idx = _vnp.flatnonzero(nz)
+        flat = {
+            "doc_idx": doc_idx,
+            "terms": vals[doc_idx],
+            "positions": _vnp.zeros(doc_idx.size, dtype=_vnp.int64),
+            "doclens": nz.astype(_vnp.int64),
+        }
+        if keep_offsets:
+            flat["starts"] = _vnp.zeros(doc_idx.size, dtype=_vnp.int64)
+            flat["ends"] = _vnp.fromiter(
+                (len(v) for v in vals[doc_idx]), dtype=_vnp.int64, count=doc_idx.size
+            )
+        return flat
+
+    if domain == "byte":
+        enc = [
+            (t if isinstance(t, str) else "").encode("utf-8", "replace") for t in texts
+        ]
+        blens = _vnp.fromiter((len(b) for b in enc), dtype=_vnp.int64, count=n_docs)
+        # doc i occupies buf[doc_off[i] : doc_off[i] + blens[i]]; 1-byte sep
+        doc_off = _vnp.zeros(n_docs, dtype=_vnp.int64)
+        _vnp.cumsum(blens[:-1] + 1, out=doc_off[1:])
+        buf = b"\n".join(enc)
+        if not buf:
+            return empty
+        arr = _vnp.frombuffer(buf, dtype=_vnp.uint8)
+        mask = lut[arr]
+    else:  # char domain (ws): unicode whitespace needs codepoint classes
+        strs = [t if isinstance(t, str) else "" for t in texts]
+        clens = _vnp.fromiter((len(s) for s in strs), dtype=_vnp.int64, count=n_docs)
+        doc_off = _vnp.zeros(n_docs, dtype=_vnp.int64)
+        _vnp.cumsum(clens[:-1] + 1, out=doc_off[1:])
+        joined = "\n".join(strs)
+        if not joined:
+            return empty
+        arr = _vnp.frombuffer(joined.encode("utf-32-le"), dtype=_vnp.uint32)
+        sep = _vnp.zeros(arr.size, dtype=bool)
+        small = arr < lut.size
+        sep[small] = lut[arr[small]]
+        mask = ~sep
+
     m8 = mask.view(_vnp.int8)
     d = m8[1:].astype(_vnp.int8) - m8[:-1]
     starts = _vnp.flatnonzero(d == 1) + 1
@@ -348,8 +436,12 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
         ends = _vnp.concatenate((ends, [arr.size]))
     if starts.size == 0:
         return empty
-    out = _LOWER_MAP[arr]
-    out[~mask] = 32
+    if domain == "byte":
+        out = (_LOWER_MAP if lowercase else _IDENT_MAP)[arr]
+        out[~mask] = 32
+    else:
+        out = arr.copy()
+        out[~mask] = 32
     # maxTokenLength cap (StandardAnalyzer.java:39): oversized tokens are
     # dropped WITHOUT a position increment — blank them before split
     keep = (ends - starts) <= MAX_TOKEN_LENGTH
@@ -359,18 +451,39 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
         starts, ends = starts[keep], ends[keep]
         if starts.size == 0:
             return empty
-    terms = _vnp.asarray(out.tobytes().decode("ascii").split(), dtype=object)
+    if domain == "byte":
+        terms = _vnp.asarray(out.tobytes().decode("ascii").split(), dtype=object)
+    else:
+        terms = _vnp.asarray(
+            out.tobytes().decode("utf-32-le").split(), dtype=object
+        )
+        if terms.size != starts.size:
+            # a codepoint str.split() treats as whitespace but the \s LUT
+            # does not (or vice versa) — bail to the exact scalar path
+            fn = (OFFSET_ANALYZERS if keep_offsets else ANALYZERS)[analyzer]
+            return _flat_fallback(texts, fn, keep_offsets)
     doc_idx = _vnp.searchsorted(doc_off, starts, side="right") - 1
     first_tok = _vnp.searchsorted(doc_idx, _vnp.arange(n_docs))
     positions = _vnp.arange(doc_idx.size, dtype=_vnp.int64) - first_tok[doc_idx]
     if keep_offsets:
-        # byte -> char offsets: subtract utf-8 continuation bytes seen so far
-        cont = ((arr & 0xC0) == 0x80).astype(_vnp.int64)
-        ncont = _vnp.zeros(arr.size + 1, dtype=_vnp.int64)
-        _vnp.cumsum(cont, out=ncont[1:])
-        doc_char_off = doc_off - ncont[doc_off]
-        s_char = starts - ncont[starts] - doc_char_off[doc_idx]
-        e_char = ends - ncont[ends] - doc_char_off[doc_idx]
+        if domain == "byte":
+            # byte -> char offsets: subtract utf-8 continuation bytes so far
+            cont = ((arr & 0xC0) == 0x80).astype(_vnp.int64)
+            ncont = _vnp.zeros(arr.size + 1, dtype=_vnp.int64)
+            _vnp.cumsum(cont, out=ncont[1:])
+            doc_char_off = doc_off - ncont[doc_off]
+            s_char = starts - ncont[starts] - doc_char_off[doc_idx]
+            e_char = ends - ncont[ends] - doc_char_off[doc_idx]
+        else:  # char domain offsets are already char-relative
+            s_char = starts - doc_off[doc_idx]
+            e_char = ends - doc_off[doc_idx]
+    if domain == "char" and lowercase:
+        # per-token C-level lower (str.lower can change char counts for a
+        # handful of codepoints, so it must run AFTER offsets are fixed —
+        # same order as the scalar chain)
+        import pandas as _pd
+
+        terms = _pd.Index(terms).str.lower().to_numpy(dtype=object)
     if stopwords is not None:
         import pandas as _pd
 
@@ -379,6 +492,9 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
         terms, doc_idx, positions = terms[emit], doc_idx[emit], positions[emit]
         if keep_offsets:
             s_char, e_char = s_char[emit], e_char[emit]
+    if post is not None:
+        # dictionary-level post pass (e.g. Porter: stem distinct terms once)
+        terms = post(terms)
     flat = {
         "doc_idx": doc_idx,
         "terms": terms,

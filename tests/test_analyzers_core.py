@@ -172,3 +172,96 @@ def test_tokenize_flat_property_random_unicode():
                 assert flat["doclens"][i] == doclen
 
     check()
+
+
+def test_tokenize_flat_matches_scalar_all_builtin_chains():
+    """Round-5: EVERY built-in chain rides the batched fast path — the
+    letter chains (byte LUT), ws (char-domain unicode whitespace LUT),
+    en_stem (dictionary-level Porter), keyword (whole-value)."""
+    import random
+    import string
+
+    import numpy as np
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        _FLAT_FAST,
+        _flat_fallback,
+        tokenize_flat,
+    )
+
+    rng = random.Random(11)
+    alphabet = (
+        string.ascii_letters + string.digits + "_ .,;!?\n\t()é漢🙂-\x00"
+        "  　 \x85"  # unicode whitespace for ws parity
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(200)
+    ]
+    texts += [
+        "", None, "the and of it", "x" * 300 + " kept",
+        "é漢🙂 wörld_1 ok", "running jumps easily", "le même chat", "der hund",
+        "A B　C", "  lead trail  ",
+    ]
+    for analyzer in ("simple", "stop", "fr", "de", "ws", "en_stem", "keyword"):
+        assert analyzer in _FLAT_FAST
+        flat = tokenize_flat(texts, analyzer)
+        ref = _flat_fallback(texts, ANALYZERS[analyzer], False)
+        assert flat["terms"].tolist() == ref["terms"].tolist(), analyzer
+        assert flat["positions"].tolist() == ref["positions"].tolist(), analyzer
+        assert flat["doc_idx"].tolist() == ref["doc_idx"].tolist(), analyzer
+        assert flat["doclens"].tolist() == ref["doclens"].tolist(), analyzer
+
+
+def test_tokenize_flat_ws_offsets_match_scalar():
+    import numpy as np
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        tokenize_flat,
+        ws_tokenize_offsets,
+    )
+
+    texts = ["Hello  World", "é漢🙂 wörld", "A B　C", "", "one"]
+    flat = tokenize_flat(texts, "ws", keep_offsets=True)
+    off = np.searchsorted(flat["doc_idx"], np.arange(len(texts) + 1))
+    for i, t in enumerate(texts):
+        terms, positions, starts, ends, doclen = ws_tokenize_offsets(t)
+        sl = slice(off[i], off[i + 1])
+        assert flat["terms"][sl].tolist() == terms
+        assert flat["positions"][sl].tolist() == positions
+        assert flat["starts"][sl].tolist() == starts
+        assert flat["ends"][sl].tolist() == ends
+
+
+def test_tokenize_flat_property_ws_and_letters():
+    """Hypothesis property: flat == scalar for ws / stop / en_stem over
+    arbitrary unicode (exercises the char-domain whitespace LUT and the
+    split()-mismatch bail-out)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        _flat_fallback,
+        tokenize_flat,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=60)),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    def check(texts):
+        for analyzer in ("ws", "stop", "en_stem"):
+            flat = tokenize_flat(texts, analyzer)
+            ref = _flat_fallback(texts, ANALYZERS[analyzer], False)
+            assert flat["terms"].tolist() == ref["terms"].tolist(), analyzer
+            assert flat["positions"].tolist() == ref["positions"].tolist()
+            assert flat["doclens"].tolist() == ref["doclens"].tolist()
+
+    check()
