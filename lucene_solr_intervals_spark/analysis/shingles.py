@@ -1,0 +1,167 @@
+"""ShingleFilter analog: token n-grams over the flat occurrence arrays.
+
+Re-derives /root/reference/lucene/analysis/common/src/java/org/apache/
+lucene/analysis/shingle/ShingleFilter.java onto dense per-document slot
+arrays:
+
+* Every input position is a slot; a stopword hole contributes a FILLER
+  token ("_", ShingleFilter.java:52-55) to shingles crossing it but emits
+  no unigram.
+* At each slot, the unigram (if outputUnigrams and the slot is real) is
+  emitted first, then shingles of size minShingleSize..maxShingleSize
+  starting at that slot, all at the SAME position (posInc 0 after the
+  first — ShingleFilterTest BI_GRAM_POSITION_INCREMENTS).
+* A shingle is emitted iff its window lies inside the document's slot
+  count (trailing holes included) and contains >= 1 real token —
+  "_ sentence" is emitted, "_ _" is not (BI_GRAM_TOKENS_WITH_HOLES,
+  testTwoTrailingHoles/TriShingle).
+* Positions do NOT collapse: a hole slot that emits no shingle stays an
+  empty position (the posInc-2 gap survives).
+* Offsets: a filler inherits a zero-width offset at the next real token's
+  start (or the document's final offset for trailing holes); a shingle
+  spans first-token start .. last-token end (testTrailingHole1/2).
+
+The whole pass is numpy over the dense stream — the only Python-level
+loop is over the (max_size - min_size + 1) shingle sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_FILLER = "_"
+DEFAULT_SEPARATOR = " "
+
+
+def shingle_flat_pass(
+    flat: dict,
+    stopwords: frozenset[str] | None = None,
+    min_size: int = 2,
+    max_size: int = 2,
+    output_unigrams: bool = True,
+    separator: str = DEFAULT_SEPARATOR,
+    filler: str = DEFAULT_FILLER,
+    output_unigrams_if_no_shingles: bool = False,
+    doc_final_offsets: np.ndarray | None = None,
+) -> dict:
+    """Input: DENSE pre-stop flat arrays (positions consecutive per doc —
+    every slot present).  `stopwords` marks hole slots.  Output: flat
+    arrays of unigrams + shingles with slot positions (no collapse).
+    `doclens` in the result is the discountOverlaps norm length (distinct
+    occupied positions)."""
+    if min_size < 2 or max_size < min_size:
+        raise ValueError("shingle sizes need 2 <= min_size <= max_size")
+    terms = np.asarray(flat["terms"], dtype=object)
+    doc_idx = np.asarray(flat["doc_idx"], dtype=np.int64)
+    slots = np.asarray(flat["positions"], dtype=np.int64)
+    has_off = "starts" in flat
+    n = terms.size
+    n_docs = int(flat["doclens"].size) if "doclens" in flat else (
+        int(doc_idx.max()) + 1 if n else 0
+    )
+    empty = {
+        "doc_idx": np.zeros(0, dtype=np.int64),
+        "terms": np.zeros(0, dtype=object),
+        "positions": np.zeros(0, dtype=np.int64),
+        "doclens": np.zeros(n_docs, dtype=np.int64),
+    }
+    if has_off:
+        empty["starts"] = empty["ends"] = np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return empty
+
+    if stopwords:
+        import pandas as pd
+
+        real = ~pd.Index(terms).isin(list(stopwords)).astype(bool)
+    else:
+        real = np.ones(n, dtype=bool)
+    dense_terms = terms.copy()
+    dense_terms[~real] = filler
+
+    # per-doc boundaries in the dense stream
+    doc_end = np.searchsorted(doc_idx, np.arange(n_docs), side="right")
+
+    if has_off:
+        starts = np.asarray(flat["starts"], dtype=np.int64).copy()
+        ends = np.asarray(flat["ends"], dtype=np.int64).copy()
+        # filler offsets: zero-width at the next real token's start, or the
+        # doc's final offset for trailing holes (testTrailingHole1)
+        if not real.all():
+            final = (
+                doc_final_offsets
+                if doc_final_offsets is not None
+                else np.zeros(n_docs, dtype=np.int64)
+            )
+            # loop bounded by the number of HOLES, not tokens
+            for h in np.flatnonzero(~real):
+                d = doc_idx[h]
+                seg = np.flatnonzero(real[h : doc_end[d]])
+                v = int(starts[h + seg[0]]) if seg.size else int(final[d])
+                starts[h] = v
+                ends[h] = v
+
+    creal = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(real, out=creal[1:])
+
+    any_shingle = False
+    pieces = []  # (order_key, doc, slot, term, start, end) as arrays
+    for k in range(min_size, max_size + 1):
+        if n < k:
+            break
+        # window [i, i+k) valid if it stays inside the doc of i
+        i = np.arange(n - k + 1)
+        ok = doc_idx[i] == doc_idx[i + k - 1]
+        ok &= (creal[i + k] - creal[i]) > 0  # >= 1 real token
+        i = i[ok]
+        if i.size == 0:
+            continue
+        any_shingle = True
+        gram = dense_terms[i]
+        for j in range(1, k):
+            gram = gram + (separator + dense_terms[i + j])
+        piece = {
+            "ord": np.full(i.size, k, dtype=np.int64),
+            "doc": doc_idx[i],
+            "slot": slots[i],
+            "term": gram,
+        }
+        if has_off:
+            piece["start"] = starts[i]
+            piece["end"] = ends[i + k - 1]
+        pieces.append(piece)
+
+    emit_unigrams = output_unigrams or (
+        output_unigrams_if_no_shingles and not any_shingle
+    )
+    if emit_unigrams:
+        u = np.flatnonzero(real)
+        piece = {
+            "ord": np.zeros(u.size, dtype=np.int64),
+            "doc": doc_idx[u],
+            "slot": slots[u],
+            "term": terms[u],
+        }
+        if has_off:
+            piece["start"] = starts[u]
+            piece["end"] = ends[u]
+        pieces.insert(0, piece)
+
+    if not pieces:
+        return empty
+    cat = lambda key: np.concatenate([p[key] for p in pieces])  # noqa: E731
+    comb_doc, comb_slot = cat("doc"), cat("slot")
+    comb_term, comb_ord = cat("term"), cat("ord")
+    order = np.lexsort((comb_ord, comb_slot, comb_doc))
+    out = {
+        "doc_idx": comb_doc[order],
+        "terms": comb_term[order],
+        "positions": comb_slot[order],
+    }
+    if has_off:
+        out["starts"] = cat("start")[order]
+        out["ends"] = cat("end")[order]
+    from .synonyms import discounted_lengths
+
+    out["doclens"] = discounted_lengths(out["doc_idx"], out["positions"], n_docs)
+    return out

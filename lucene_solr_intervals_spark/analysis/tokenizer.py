@@ -359,6 +359,12 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
     tests/test_analyzers_core.py.
     """
     n_docs = len(texts)
+    if analyzer in _FOLD_CHAINS:
+        base, stop = _FOLD_CHAINS[analyzer]
+        return _fold_flat(texts, base, stop, keep_offsets)
+    if analyzer in _SHINGLE_CHAINS:
+        base, stop, params = _SHINGLE_CHAINS[analyzer]
+        return _shingle_flat(texts, base, stop, params, keep_offsets)
     if analyzer in _SYN_CHAINS:
         base, syn_map, stop = _SYN_CHAINS[analyzer]
         return _synonym_flat(texts, base, syn_map, stop, keep_offsets)
@@ -576,10 +582,126 @@ def _synonym_flat(texts, base: str, syn_map, stopwords, keep_offsets: bool):
     return flat
 
 
+# ---------------------------------------------------------------- shingles
+# ShingleFilter chains: tokenize -> lowercase -> shingles (stop holes become
+# "_" filler slots inside shingles — ShingleFilter.java:52-55).
+_SHINGLE_CHAINS: dict[str, tuple[str, frozenset[str] | None, dict]] = {}
+
+
+def register_shingle_analyzer(
+    name: str,
+    base: str = "code",
+    stopwords: frozenset[str] | None = None,
+    **params,
+) -> None:
+    """Register a ShingleFilter chain (token n-grams — the phrase-speed
+    companion of NGramPhraseQuery).  `params` forwards min_size / max_size /
+    output_unigrams / separator / filler / output_unigrams_if_no_shingles to
+    analysis.shingles.shingle_flat_pass."""
+    if base in _SYN_CHAINS or base in _SHINGLE_CHAINS:
+        raise ValueError("shingle base must be a plain tokenizer chain")
+    _SHINGLE_CHAINS[name] = (base, stopwords, params)
+
+    def _scalar(text: str, _n=name):
+        flat = _shingle_flat([text] if text is not None else [""], *_SHINGLE_CHAINS[_n], False)
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    def _scalar_off(text: str, _n=name):
+        flat = _shingle_flat([text] if text is not None else [""], *_SHINGLE_CHAINS[_n], True)
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            flat["starts"].tolist(),
+            flat["ends"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar, _scalar_off)
+
+
+def _shingle_flat(texts, base: str, stopwords, params: dict, keep_offsets: bool):
+    from .shingles import shingle_flat_pass
+
+    flat = tokenize_flat(texts, base, keep_offsets)
+    final_offs = None
+    if keep_offsets:
+        final_offs = _vnp.fromiter(
+            (len(t) if isinstance(t, str) else 0 for t in texts),
+            dtype=_vnp.int64,
+            count=len(texts),
+        )
+    return shingle_flat_pass(
+        flat, stopwords=stopwords, doc_final_offsets=final_offs, **params
+    )
+
+
+# ----------------------------------------------------------------- folding
+# ASCIIFoldingFilter chains: fold Latin accents to ASCII as a CHAR FILTER
+# ahead of the base tokenizer (analysis/folding.py), stop set folded at
+# registration so "même" still stops after becoming "meme".
+_FOLD_CHAINS: dict[str, tuple[str, frozenset[str] | None]] = {}
+
+
+def register_folding_analyzer(
+    name: str,
+    base: str = "simple",
+    stopwords: frozenset[str] | None = None,
+) -> None:
+    """Register base-tokenizer chain with ASCII folding (ASCIIFolding
+    Filter.java:60).  `base` is a no-stop tokenizer; `stopwords` are folded
+    and applied post-tokenize."""
+    from .folding import fold_ascii
+
+    if base in _FOLD_CHAINS or base in _SYN_CHAINS or base in _SHINGLE_CHAINS:
+        raise ValueError("folding base must be a plain tokenizer chain")
+    folded_stop = (
+        frozenset(fold_ascii(w) for w in stopwords) if stopwords else None
+    )
+    _FOLD_CHAINS[name] = (base, folded_stop)
+
+    def _scalar(text: str, _n=name):
+        flat = _fold_flat([text] if text is not None else [""], *_FOLD_CHAINS[_n], False)
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar)
+
+
+def _fold_flat(texts, base: str, stopwords, keep_offsets: bool):
+    from .folding import fold_ascii
+
+    folded = [fold_ascii(t) if isinstance(t, str) else t for t in texts]
+    flat = tokenize_flat(folded, base, keep_offsets)
+    if stopwords:
+        import pandas as _pd
+
+        emit = ~_pd.Index(flat["terms"]).isin(list(stopwords))
+        for k in ("doc_idx", "terms", "positions", "starts", "ends"):
+            if k in flat:
+                flat[k] = flat[k][emit]
+        flat["doclens"] = _vnp.bincount(
+            flat["doc_idx"], minlength=len(texts)
+        ).astype(_vnp.int64)
+    return flat
+
+
 def flat_tokenizer(analyzer: str = "code", keep_offsets: bool = False):
     """Resolve a batched flat tokenizer callable ON THE DRIVER so analyzers
     added via register_analyzer() travel inside the task closure (executor
     workers never see driver-side registry mutations)."""
+    if analyzer in _FOLD_CHAINS:
+        base, stop = _FOLD_CHAINS[analyzer]
+        return lambda texts: _fold_flat(texts, base, stop, keep_offsets)
+    if analyzer in _SHINGLE_CHAINS:
+        base, stop, params = _SHINGLE_CHAINS[analyzer]
+        return lambda texts: _shingle_flat(texts, base, stop, params, keep_offsets)
     if analyzer in _SYN_CHAINS:
         base, syn_map, stop = _SYN_CHAINS[analyzer]
         return lambda texts: _synonym_flat(texts, base, syn_map, stop, keep_offsets)
@@ -601,3 +723,8 @@ def en_stem_tokenize(text: str) -> tuple[list[str], list[int], int]:
 
 
 ANALYZERS["en_stem"] = en_stem_tokenize
+
+# Folded variants of the language chains (ASCIIFoldingFilter placement):
+# accent-insensitive matching — "café" indexes as "cafe", "même" still stops.
+register_folding_analyzer("fr_fold", base="simple", stopwords=FRENCH_STOP_WORDS)
+register_folding_analyzer("de_fold", base="simple", stopwords=GERMAN_STOP_WORDS)

@@ -2594,6 +2594,122 @@ def synonym_expand_topk(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------------------ shingles
+
+
+def get_index_shingle(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Index over a bigram-shingled field (ShingleFilter.java:45):
+    unigrams + space-joined bigrams, shingles stacked at the first token's
+    position (posInc=0 after the unigram)."""
+    key = f"{sf_dir}#shingle"
+    if key not in _INDEX_CACHE:
+        from .analysis.tokenizer import ANALYZERS, register_shingle_analyzer
+
+        if "code_shingle_demo" not in ANALYZERS:
+            register_shingle_analyzer("code_shingle_demo", base="code")
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            analyzer="code_shingle_demo",
+        )
+    return _INDEX_CACHE[key]
+
+
+_SHINGLE_PRELUDE = """
+WITH tok0 AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+           generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS idx
+    FROM documents
+  ) raw
+  WHERE term <> ''
+),
+tok AS (
+  SELECT doc_id, term, pos FROM tok0
+  UNION ALL
+  SELECT a.doc_id, a.term || ' ' || b.term AS term, a.pos
+  FROM tok0 a JOIN tok0 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+dl AS (SELECT doc_id, CAST(count(DISTINCT pos) AS DOUBLE) AS dl
+       FROM tok GROUP BY doc_id),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+),
+tfp AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY doc_id, term),
+dfp AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfp GROUP BY term)
+"""
+
+
+@register(
+    "shingle_phrase_topk",
+    _SHINGLE_PRELUDE
+    + f"""
+, hits AS (SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term IN ('vector window', 'merge'))
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def shingle_phrase_topk(spark, sf_dir):
+    """ShingleFilter end-to-end: the classic phrase-speed trick — the
+    bigram shingle `vector window` is ONE term (a single postings seek
+    replaces positional phrase intersection), scored alongside a unigram.
+    BM25 with discountOverlaps: dl = distinct positions (= base token
+    count), avgdl counts unigrams + shingles."""
+    idx = get_index_shingle(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term("vector window"), Q.Term("merge")))
+    return _topk(s.scored(q))
+
+
+# ------------------------------------------------------------- folding
+
+
+def get_index_folded(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Accent-insensitivity end-to-end: deterministically accent the corpus
+    (a/e/o -> á/è/ö) and index through an ASCIIFoldingFilter chain
+    (ASCIIFoldingFilter.java:60) — folding must restore the plain terms, so
+    the DuckDB oracle is the PLAIN tokenization of the original text."""
+    key = f"{sf_dir}#folded"
+    if key not in _INDEX_CACHE:
+        from .analysis.tokenizer import ANALYZERS, register_folding_analyzer
+
+        if "code_fold_demo" not in ANALYZERS:
+            register_folding_analyzer("code_fold_demo", base="code")
+        accented = get_docs(spark, sf_dir).withColumn(
+            "text", F.translate("text", "aeo", "áèö")
+        )
+        _INDEX_CACHE[key] = build_index(
+            accented, id_col="doc_id", text_col="text",
+            analyzer="code_fold_demo",
+        )
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "folded_match_docs",
+    _PRELUDE
+    + _hits_cte([T_A, "data"])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def folded_match_docs(spark, sf_dir):
+    """BM25 over the accented-then-folded index must equal BM25 over the
+    plain index bit-for-bit (the oracle tokenizes the ORIGINAL text)."""
+    idx = get_index_folded(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term(T_A), Q.Term("data")))
+    return _topk(s.scored(q))
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

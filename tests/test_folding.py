@@ -1,0 +1,78 @@
+"""ASCIIFoldingFilter analog tests (analysis/folding.py + folded chains).
+
+Fixture values cross-checked against the reference switch
+(ASCIIFoldingFilter.java): accent strip via NFKD core + verified
+non-decomposable specials."""
+
+from __future__ import annotations
+
+from lucene_solr_intervals_spark.analysis.folding import fold_ascii
+from lucene_solr_intervals_spark.analysis.tokenizer import (
+    ANALYZERS,
+    tokenize_flat,
+)
+
+
+def test_fold_latin1():
+    assert fold_ascii("café résumé naïve") == "cafe resume naive"
+    assert fold_ascii("Äpfel Über Straße") == "Apfel Uber Strasse"
+    assert fold_ascii("ÀÁÂÃÄÅ àáâãäå") == "AAAAAA aaaaaa"
+    assert fold_ascii("ÈÉÊË èéêë ÌÍÎÏ ìíîï") == "EEEE eeee IIII iiii"
+    assert fold_ascii("ÒÓÔÕÖØ òóôõöø") == "OOOOOO oooooo"
+    assert fold_ascii("ÙÚÛÜ ùúûü ÝŸ ýÿ Ññ Çç") == "UUUU uuuu YY yy Nn Cc"
+
+
+def test_fold_specials_match_reference_switch():
+    # each verified against the reference case labels (see folding.py)
+    assert fold_ascii("Æsir æon Œuvre œil") == "AEsir aeon OEuvre oeil"
+    assert fold_ascii("Þorn þorn Ðe ðe") == "THorn thorn De de"
+    assert fold_ascii("Đak đak Ħa ħa") == "Dak dak Ha ha"
+    assert fold_ascii("ı ĸ Łódź łza ŉ Ŋa ŋa Ŧa ŧa ſ") == "i q Lodz lza n Na na Ta ta s"
+
+
+def test_fold_latin_extended_a():
+    assert fold_ascii("Āā Ēē Īī Ōō Ūū Čč Šš Žž Ęę Łł") == (
+        "Aa Ee Ii Oo Uu Cc Ss Zz Ee Ll"
+    )
+    assert fold_ascii("Ĳssel ĳs") == "IJssel ijs"
+
+
+def test_fold_vietnamese_extended_additional():
+    assert fold_ascii("Việt Nam Hồ Chí Minh") == "Viet Nam Ho Chi Minh"
+
+
+def test_fold_preserves_ascii_and_exotic():
+    assert fold_ascii("plain ascii_123!") == "plain ascii_123!"
+    assert fold_ascii("漢字 🙂 Ω") == "漢字 🙂 Ω"  # exotic blocks out of scope
+    assert fold_ascii("") == ""
+
+
+def test_folded_chain_matches_accented_and_plain():
+    terms, positions, doclen = ANALYZERS["fr_fold"]("Le café était FERMÉ")
+    # "le" stops (hole at 0); était -> etait (not a stop word)
+    assert terms == ["cafe", "etait", "ferme"]
+    assert positions == [1, 2, 3]
+    assert doclen == 3
+
+
+def test_folded_chain_folds_stopwords():
+    # "même" is in the French stop set; it arrives folded as "meme"
+    terms, _, _ = ANALYZERS["fr_fold"]("même chose")
+    assert terms == ["chose"]
+    # German: "für" stops as "fur", ß folds inside tokens
+    terms, _, _ = ANALYZERS["de_fold"]("für die Straße")
+    assert terms == ["strasse"]
+
+
+def test_folded_flat_equals_scalar():
+    texts = ["Le café était FERMÉ", "même chose", None, "", "Ärger Öl Übel ß"]
+    flat = tokenize_flat(texts, "fr_fold")
+    off = 0
+    for i, t in enumerate(texts):
+        terms, positions, doclen = ANALYZERS["fr_fold"](t)
+        n = len(terms)
+        assert flat["terms"][off : off + n].tolist() == terms
+        assert flat["positions"][off : off + n].tolist() == positions
+        assert int(flat["doclens"][i]) == doclen
+        off += n
+    assert off == flat["terms"].size
