@@ -2668,6 +2668,45 @@ def shingle_phrase_topk(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------------- block join (child)
+
+
+@register(
+    "block_join_children",
+    """
+WITH parents AS (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING count(*) >= 5
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e JOIN parents USING (user_id)
+WHERE e.event_type = 'click'
+ORDER BY e.event_id
+""",
+)
+def block_join_children(spark, sf_dir):
+    """ToChildBlockJoinQuery analog (join/ToChildBlockJoinQuery.java:48):
+    the inverse direction of block_join_parents — a PARENT-level query
+    (users with >= 5 error events) joined DOWN to their child rows, then a
+    child-side filter (clicks).  Plan: the parent side reduces to a tiny
+    aggregate, broadcast back onto the child scan — no child-side
+    shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parents = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+        .select("user_id")
+    )
+    return (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(parents), "user_id")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
 # ------------------------------------------------------------- folding
 
 
@@ -2708,6 +2747,34 @@ def folded_match_docs(spark, sf_dir):
     s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
     q = Q.Boolean(should=(Q.Term(T_A), Q.Term("data")))
     return _topk(s.scored(q))
+
+
+# ------------------------------------------------- analyzing query parser
+
+
+@register(
+    "analyzing_parser_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT t1.doc_id FROM tok t1
+WHERE t1.term LIKE 'val%'
+  AND EXISTS (SELECT 1 FROM tok t2
+              WHERE t2.doc_id = t1.doc_id AND t2.term = 'merge')
+ORDER BY t1.doc_id
+""",
+)
+def analyzing_parser_docs(spark, sf_dir):
+    """AnalyzingQueryParser (analyzing/AnalyzingQueryParser.java:41) over
+    the accented-then-folded index: the ACCENTED query string `Vál* AND
+    mèrge` runs through the field analyzer — the prefix body folds to
+    `val`, the term to `merge` — and must match exactly what the plain
+    parser matches on plain text (the oracle)."""
+    from .search.parser import AnalyzingQueryParser
+
+    idx = get_index_folded(spark, sf_dir)  # registers code_fold_demo
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = AnalyzingQueryParser("code_fold_demo").parse("Vál* AND mèrge")
+    return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
 # ------------------------------------------------------------ check window

@@ -176,12 +176,21 @@ class QueryParser:
         if m:
             t, boost = m.group(1), float(m.group(2))
         field, t = _split_field(t)
-        fm = re.match(r"(.*?)~(\d*)$", t)
+        fm = re.match(r"(.*?)~(\d+(?:\.\d+)?)?$", t)
         if fm and fm.group(1):
-            max_e = int(fm.group(2)) if fm.group(2) else 2
-            return Q.Fuzzy(
-                self.analyzer(fm.group(1)), max_edits=max_e, boost=boost, field=field
-            )
+            body = self.analyzer(fm.group(1))
+            sim = fm.group(2)
+            if not sim:
+                max_e = 2
+            elif "." not in sim and float(sim) >= 1:
+                max_e = int(sim)
+            else:
+                # legacy float similarity -> edit distance
+                # (FuzzyQuery.floatToEdits: 0.0 -> 0, else
+                #  min((1 - sim) * termLen, 2))
+                v = float(sim)
+                max_e = 0 if v == 0.0 else min(2, int((1.0 - v) * len(body)))
+            return Q.Fuzzy(body, max_edits=max_e, boost=boost, field=field)
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
             return Q.Prefix(self.analyzer(t[:-1]), boost=boost, field=field)
         if "*" in t or "?" in t:
@@ -195,6 +204,77 @@ class QueryParser:
 
 def parse(s: str, default_operator: str = "OR") -> Q.Query:
     return QueryParser(default_operator).parse(s)
+
+
+# --------------------------------------------------- analyzing query parser
+
+# gobble escaped chars or find a run of wildcard characters
+# (AnalyzingQueryParser.java:43 wildcardPattern)
+_WILDCARD_CHUNK = re.compile(r"(\\.)|([?*]+)")
+
+
+class AnalyzingQueryParser(QueryParser):
+    """analyzing/AnalyzingQueryParser.java:41: the classic parser, but
+    Fuzzy-, Prefix-, Range- and Wildcard operands are passed through the
+    FIELD ANALYZER too (so `Mötl?*` matches a folded index as `motl?*`),
+    while wildcard characters `*`/`?` survive analysis verbatim.
+
+    Behavior pinned to the reference:
+    * wildcard terms are split on wildcard runs; each non-wildcard chunk is
+      analyzed separately and must yield EXACTLY one token
+      (analyzeSingleChunk, :162-203 — zero tokens or multiple tokens raise);
+    * escaped characters (backslash + char) are gobbled — they stay inside
+      their chunk and never act as wildcard boundaries (:77-80);
+    * a leading `*`/`?` raises unless allow_leading_wildcard (:68-71);
+    * prefix bodies, fuzzy bodies and range bounds are analyzed as single
+      chunks (getPrefixQuery/getFuzzyQuery/setAnalyzeRangeTerms(true)).
+
+    `analyzer` names a registered analyzer chain (ANALYZERS registry) —
+    typically a folded/stemmed chain; the reference's warning applies: use
+    with analyzers that neither drop (stopwords) nor add tokens.
+    """
+
+    def __init__(
+        self,
+        analyzer: str = "code",
+        default_operator: str = "OR",
+        allow_leading_wildcard: bool = False,
+    ):
+        from ..analysis.tokenizer import ANALYZERS
+
+        self._chain = ANALYZERS[analyzer]
+        self.allow_leading_wildcard = allow_leading_wildcard
+        super().__init__(default_operator, analyzer=self._analyze_operand)
+
+    def _analyze_single_chunk(self, chunk: str) -> str:
+        terms = self._chain(chunk)[0]
+        if not terms:
+            raise ValueError(f'Analyzer returned nothing for "{chunk}"')
+        if len(terms) > 1:
+            listed = ",".join(f'"{t}"' for t in terms)
+            raise ValueError(
+                f'Analyzer created multiple terms for "{chunk}": {listed}'
+            )
+        return terms[0]
+
+    def _analyze_operand(self, t: str) -> str:
+        if "*" not in t and "?" not in t:
+            return self._analyze_single_chunk(t)
+        if not self.allow_leading_wildcard and t[0] in "*?":
+            raise ValueError(
+                "'*' or '?' not allowed as first character in WildcardQuery"
+            )
+        out, last = [], 0
+        for m in _WILDCARD_CHUNK.finditer(t):
+            if m.group(1) is not None:
+                continue  # escaped char: stays inside the chunk
+            if m.start() > 0:  # same guard as the reference (:82)
+                out.append(self._analyze_single_chunk(t[last : m.start()]))
+            out.append(m.group(2))
+            last = m.end()
+        if last < len(t):
+            out.append(self._analyze_single_chunk(t[last:]))
+        return "".join(out)
 
 
 # ------------------------------------------- precedence (flexible) parser
