@@ -2749,6 +2749,77 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- multimodal header decode
+
+
+@register(
+    "multimodal_decoded_meta",
+    """
+SELECT doc_id AS media_id,
+       'ppm' AS format,
+       CAST(doc_id % 97 + 1 AS INTEGER) AS meta_width,
+       CAST(doc_id % 53 + 1 AS INTEGER) AS meta_height,
+       CAST(octet_length(encode('P6' || chr(10)
+            || CAST(doc_id % 97 + 1 AS VARCHAR)
+            || ' ' || CAST(doc_id % 53 + 1 AS VARCHAR) || chr(10) || '255'
+            || chr(10) || source)) AS BIGINT) AS payload_bytes
+FROM documents ORDER BY media_id
+""",
+)
+def multimodal_decoded_meta(spark, sf_dir):
+    """Multimodal decode upgrade: REAL header parsing — deterministic PPM
+    payloads are built executor-side, and decode_meta's pluggable decoder
+    registry (ops/multimodal.py) parses width/height out of the actual
+    bytes, so meta_width/meta_height are live columns, not dead schema."""
+    docs = get_docs(spark, sf_dir)
+    w = (F.col("doc_id") % 97 + 1).cast("string")
+    h = (F.col("doc_id") % 53 + 1).cast("string")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n"), w, F.lit(" "), h, F.lit("\n255\n"),
+                F.col("source"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+    )
+    return (
+        M.decode_meta(media)
+        .select(
+            "media_id", "format", "meta_width", "meta_height", "payload_bytes"
+        )
+        .orderBy("media_id")
+    )
+
+
+# ------------------------------------------------- stored-suggest aux index
+
+
+@register(
+    "suggest_stored_pruned",
+    """
+SELECT source AS suggestion, CAST(max(n_chars) AS DOUBLE) AS weight
+FROM documents WHERE lower(source) LIKE '%c1%'
+GROUP BY source
+ORDER BY weight DESC, suggestion ASC LIMIT 10
+""",
+)
+def suggest_stored_pruned(spark, sf_dir):
+    """Stored-string infix suggest via the AUXILIARY suffix relation (the
+    same index-not-a-scan treatment the term infix suggester got): lookup
+    is a startswith range over build_stored_infix_index, weight = max over
+    duplicate stored values."""
+    from .search.suggest import build_stored_infix_index, suggest_stored
+
+    docs = get_docs(spark, sf_dir)
+    aux = build_stored_infix_index(docs, "source", "n_chars")
+    return suggest_stored(docs, "source", "n_chars", "c1", k=10, aux=aux)
+
+
 # ------------------------------------------------- analyzing query parser
 
 

@@ -59,6 +59,10 @@ def build_infix_index(index, field: str | None = None) -> DataFrame:
     return (
         ts.select(
             "term",
+            # the aux relation remembers which field it was built for, so a
+            # lookup against the wrong field cannot silently return
+            # wrong-field suggestions (it filters to nothing instead)
+            F.lit(f).alias("field"),
             F.col("df").cast("long").alias("weight"),
             F.explode(
                 F.expr(
@@ -87,6 +91,9 @@ def suggest_infix(
     the dictionary (correct, but un-pruned)."""
     f = field or getattr(index, "default_field", "text")
     if aux is not None:
+        if "field" in aux.columns:
+            # guard against an aux index built for a different field
+            aux = aux.where(F.col("field") == f)
         hits = (
             aux.where(F.col("sub").startswith(pattern))
             .groupBy("term")
@@ -207,6 +214,31 @@ def suggest_free_text(
     )
 
 
+def build_stored_infix_index(
+    df: DataFrame, text_col: str, weight_col: str
+) -> DataFrame:
+    """Auxiliary suffix relation for STORED-string suggestions — the same
+    treatment build_infix_index gives the term dictionary: every character
+    suffix of the lowered stored string becomes a (sub, suggestion, weight)
+    row, sorted by `sub`, so an infix lookup is a min/max-prunable
+    startswith RANGE instead of a contains scan over every stored value
+    (AnalyzingInfixSuggester.java:109 — lookups are index reads)."""
+    return (
+        df.select(
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("double").alias("weight"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(lower({text_col}))),"
+                    f" i -> substring(lower({text_col}), i,"
+                    f" length(lower({text_col}))))"
+                )
+            ).alias("sub"),
+        )
+        .sortWithinPartitions("sub")
+    )
+
+
 def suggest_stored(
     df: DataFrame,
     text_col: str,
@@ -214,11 +246,28 @@ def suggest_stored(
     query: str,
     k: int = 10,
     infix: bool = True,
+    aux: DataFrame | None = None,
 ) -> DataFrame:
     """Suggest full stored strings (AnalyzingInfixSuggester payload mode):
     case-insensitive prefix/infix match over a stored column, weighted by a
-    numeric column — e.g. suggest document titles by view count."""
+    numeric column — e.g. suggest document titles by view count.
+
+    With `aux` (from build_stored_infix_index, typically parquet-persisted):
+    the infix lookup becomes a pushdown-able startswith range over the
+    suffix relation — the scale path.  Without it: a contains scan
+    (correct, but reads every stored value)."""
     pat = query.lower()
+    if infix and aux is not None:
+        hits = (
+            aux.where(F.col("sub").startswith(pat))
+            .groupBy("suggestion")
+            .agg(F.max("weight").alias("weight"))  # dedupe repeat infixes
+        )
+        return (
+            hits.orderBy(F.desc("weight"), F.asc("suggestion"))
+            .limit(k)
+            .select("suggestion", "weight")
+        )
     t = F.lower(F.col(text_col))
     cond = t.contains(pat) if infix else t.startswith(pat)
     return (

@@ -97,3 +97,68 @@ def test_ann_lsh_recall(spark):
     # meaningful recall incl the self-match
     assert 0 in approx
     assert len(exact & approx) >= 5
+
+
+def test_multimodal_header_decoders():
+    """Round-5: real header parsers in the decoder registry."""
+    from lucene_solr_intervals_spark.ops.multimodal import decode_header
+
+    assert decode_header(b"P6\n640 480\n255\n\x00\x01") == ("ppm", 640, 480)
+    assert decode_header(b"P2\n# comment\n 12\t34\n255\n0") == ("ppm", 12, 34)
+    bmp = b"BM" + b"\x00" * 16 + (320).to_bytes(4, "little") + (
+        -200 & 0xFFFFFFFF
+    ).to_bytes(4, "little")
+    assert decode_header(bmp) == ("bmp", 320, 200)  # top-down rows -> abs
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+    )
+    assert decode_header(png) == ("png", 800, 600)
+    gif = b"GIF89a" + (64).to_bytes(2, "little") + (32).to_bytes(2, "little")
+    assert decode_header(gif) == ("gif", 64, 32)
+    assert decode_header(b"garbage bytes") == (None, None, None)
+    assert decode_header(b"") == (None, None, None)
+
+
+def test_multimodal_decode_meta_spark(spark):
+    from lucene_solr_intervals_spark.ops.multimodal import decode_meta
+
+    rows = [
+        (1, "image", bytearray(b"P6\n10 20\n255\nxxx")),
+        (2, "image", bytearray(b"GIF87a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little"))),
+        (3, "image", bytearray(b"not an image")),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    got = {
+        int(r["media_id"]): (r["format"], r["meta_width"], r["meta_height"])
+        for r in decode_meta(media).collect()
+    }
+    assert got == {
+        1: ("ppm", 10, 20),
+        2: ("gif", 7, 9),
+        3: (None, None, None),
+    }
+
+
+def test_multimodal_register_decoder():
+    from lucene_solr_intervals_spark.ops.multimodal import (
+        IMAGE_DECODERS,
+        decode_header,
+        register_decoder,
+    )
+
+    def _parse_fake(b):
+        return (1, 2) if b[:4] == b"FAKE" else None
+
+    register_decoder("fake", _parse_fake)
+    try:
+        assert decode_header(b"FAKE....") == ("fake", 1, 2)
+    finally:
+        IMAGE_DECODERS.pop("fake", None)

@@ -171,3 +171,40 @@ def test_ngram_phrase_rewrite_equivalence(spark):
     assert m == [(0, 3), (9, 12)]
     assert IK.match_intervals(Q.Phrase(target), pos) == [(0, 3)]
     idx.unpersist()
+
+
+def test_suggest_stored_aux_parity(corpus):
+    """Round-5: the aux suffix relation path must return the same
+    suggestions as the contains scan (after max-weight dedup)."""
+    from lucene_solr_intervals_spark.search.suggest import (
+        build_stored_infix_index,
+    )
+
+    titled = corpus.withColumn("views", F.col("doc_id") * 10 + 1)
+    aux = build_stored_infix_index(titled, "text", "views")
+    got_aux = [
+        (r["suggestion"], r["weight"])
+        for r in suggest_stored(titled, "text", "views", "MERGE", k=50, aux=aux).collect()
+    ]
+    # contains path, deduped the same way
+    scan = suggest_stored(titled, "text", "views", "MERGE", k=50)
+    got_scan = {}
+    for r in scan.collect():
+        got_scan[r["suggestion"]] = max(
+            got_scan.get(r["suggestion"], float("-inf")), r["weight"]
+        )
+    expect = sorted(got_scan.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got_aux == expect
+    assert len(got_aux) > 0
+
+
+def test_suggest_infix_aux_wrong_field_guard(index):
+    """ADVICE round-4: an aux index built for field A must not silently
+    serve suggestions when field B is requested."""
+    from lucene_solr_intervals_spark.search.suggest import build_infix_index
+
+    aux = build_infix_index(index)  # built for the default field
+    ok = suggest_infix(index, "ort", k=10, aux=aux).collect()
+    assert len(ok) > 0
+    wrong = suggest_infix(index, "ort", k=10, field="bogus", aux=aux).collect()
+    assert wrong == []
