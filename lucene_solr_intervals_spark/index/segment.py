@@ -1164,7 +1164,9 @@ def _postings_check_udf(codec_name: str):
     return _check
 
 
-def repair_index(spark: SparkSession, index_dir: str) -> dict:
+def repair_index(
+    spark: SparkSession, index_dir: str, dry_run: bool = False
+) -> dict:
     """CheckIndex -fix analog (CheckIndex.java:62 exorciseIndex / the -fix
     flag): drop every segment that fails its checks, LOSING that segment's
     documents, so the rest of the index opens and searches cleanly.
@@ -1173,30 +1175,66 @@ def repair_index(spark: SparkSession, index_dir: str) -> dict:
     directory scan — an unreadable/corrupt parquet file marks only that
     segment broken, never the whole index), then all broken segments flip
     to status="dropped" in ONE atomic manifest replace; readers' live-set
-    filter skips them from then on.  Returns
-    {dropped: [...], remaining: n, lost_docs: n}."""
+    filter skips them from then on.
+
+    Failure classes are distinguished (dropping docs is lossy, so a
+    transient executor/FS hiccup must not masquerade as corruption):
+      * "corrupt"    — the check job ran and found decode/invariant
+        failures: genuinely broken rows;
+      * "unreadable" — the check job itself raised; it is RETRIED once
+        first, so only a repeatable read failure lands here.
+    With dry_run=True nothing is mutated — the report says what WOULD be
+    dropped (run that first; Lucene's -fix is likewise documented as a
+    last resort).  Returns {dropped, corrupt, unreadable, remaining,
+    lost_docs, dry_run}."""
     manifest = read_manifest(index_dir)
     codec_name = manifest.get("codec", "varbyte")
     check = _postings_check_udf(codec_name)
-    bad: list[int] = []
+    corrupt: list[int] = []
+    unreadable: list[int] = []
+
+    def _n_bad(seg: int) -> int:
+        part = spark.read.parquet(
+            os.path.join(index_dir, "postings", f"seg={seg}")
+        )
+        return (
+            part.where(F.col("term") != DOCS_MARKER)
+            .select(check("doc_ids", "tfs", "positions", "df", "ttf").alias("e"))
+            .where(F.col("e") != "")
+            .count()
+        )
+
     for s in manifest["segments"]:
         if s.get("status") != "done":
             continue
         seg = int(s["seg"])
         try:
-            part = spark.read.parquet(
-                os.path.join(index_dir, "postings", f"seg={seg}")
-            )
-            n_bad = (
-                part.where(F.col("term") != DOCS_MARKER)
-                .select(check("doc_ids", "tfs", "positions", "df", "ttf").alias("e"))
-                .where(F.col("e") != "")
-                .count()
-            )
+            try:
+                n_bad = _n_bad(seg)
+            except Exception:
+                n_bad = _n_bad(seg)  # retry once: transient vs repeatable
             if n_bad:
-                bad.append(seg)
+                corrupt.append(seg)
         except Exception:
-            bad.append(seg)
+            unreadable.append(seg)
+    bad = corrupt + unreadable
+    if dry_run:
+        lost = sum(
+            int(s["n_docs"])
+            for s in manifest["segments"]
+            if int(s["seg"]) in bad and s.get("status") == "done"
+        )
+        remaining = len(
+            [s for s in manifest["segments"] if s.get("status") == "done"]
+        ) - len(bad)
+        return {
+            "dropped": sorted(bad),
+            "corrupt": sorted(corrupt),
+            "unreadable": sorted(unreadable),
+            "remaining": remaining,
+            "lost_docs": lost,
+            "dry_run": True,
+        }
     if bad:
         lost = 0
         for s in manifest["segments"]:
@@ -1210,7 +1248,14 @@ def repair_index(spark: SparkSession, index_dir: str) -> dict:
     else:
         lost = 0
     remaining = len([s for s in manifest["segments"] if s.get("status") == "done"])
-    return {"dropped": sorted(bad), "remaining": remaining, "lost_docs": lost}
+    return {
+        "dropped": sorted(bad),
+        "corrupt": sorted(corrupt),
+        "unreadable": sorted(unreadable),
+        "remaining": remaining,
+        "lost_docs": lost,
+        "dry_run": False,
+    }
 
 
 def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None = None,

@@ -243,4 +243,11 @@ def shape_intersects(
         bby_len[len(c)].append(c)
     for length, cells in sorted(bby_len.items()):
         cond = cond | (F.substring(gh, 1, length).isin(cells) & exact)
+    # safety net: a stored geohash SHORTER than the deepest cover cell can
+    # never equal those cells' prefixes (substring returns the short hash),
+    # so such rows fall back to the exact predicate instead of silently
+    # dropping — with_geohash(precision=5) vs a depth-6 cover stays correct
+    deepest = max(list(by_len) + list(bby_len), default=0)
+    if deepest:
+        cond = cond | ((F.length(gh) < deepest) & exact)
     return df.where(cond)

@@ -1312,8 +1312,13 @@ class Searcher:
                     parts = []
                     cur = lo
                     for s0, e0, ti in sorted(set(spans_of_frag.get(fi, []))):
-                        if s0 < cur:
+                        # clamp to the fragment: a match whose char span
+                        # crosses the boundary is cut at offset_end, and a
+                        # span starting past it is dropped — snippet_tagged
+                        # must agree with snippet/offset_end
+                        if s0 < cur or s0 >= hi:
                             continue
+                        e0 = min(e0, hi)
                         parts.append(text[cur:s0])
                         parts.append(f'<b class="hl{ti}">{text[s0:e0]}</b>')
                         cur = e0

@@ -32,7 +32,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # v2 commit: tasks rename their own output files on commit instead
         # of a single-threaded driver rename pass — the driver-serial part
-        # of every parquet write, which is what caps build-phase scaling
+        # of every parquet write, which is what caps build-phase scaling.
+        # Trade-off (deliberate): v1's job-level atomicity is lost, so a
+        # FAILED build job can leave partially-committed files in
+        # postings/norms partition directories.  Correctness is preserved
+        # by the manifest: a segment only becomes visible when its manifest
+        # entry reaches status="done" (readers filter on it), and rebuilds
+        # overwrite the same partition dirs; stray files from a crashed job
+        # waste space until then but are never read.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():

@@ -111,6 +111,12 @@ def test_repair_drops_corrupt_segment(spark, corpus, tmp_path_factory):
         with open(v, "wb") as f:
             f.write(b"not a parquet file")
 
+    # dry run first: reports the damage, mutates nothing
+    dry = repair_index(spark, d, dry_run=True)
+    assert dry["dropped"] == [2] and dry["dry_run"] is True
+    assert dry["unreadable"] == [2]  # repeatable read failure, not decode
+    assert read_manifest(d)["n_docs"] == before["n_docs"]
+
     res = repair_index(spark, d)
     assert res["dropped"] == [2]
     after = read_manifest(d)
@@ -128,4 +134,7 @@ def test_repair_drops_corrupt_segment(spark, corpus, tmp_path_factory):
     # a clean index repairs to a no-op
     d2 = str(tmp_path_factory.mktemp("repair2")) + "/idx"
     build_segments(corpus, d2, n_segments=3, id_col="doc_id", analyzer="code")
-    assert repair_index(spark, d2) == {"dropped": [], "remaining": 3, "lost_docs": 0}
+    assert repair_index(spark, d2) == {
+        "dropped": [], "corrupt": [], "unreadable": [],
+        "remaining": 3, "lost_docs": 0, "dry_run": False,
+    }

@@ -84,3 +84,29 @@ def test_prefix_tree_shape_intersects(spark):
     # varying depth: a large shape covers with cells of more than one length
     w2, b2 = cover_bbox(10.0, 50.0, -120.0, -60.0, max_precision=4)
     assert len({len(c) for c in w2 + b2}) > 1
+
+
+def test_shape_intersects_short_geohash_not_dropped(spark):
+    """ADVICE round-4: rows whose stored geohash is COARSER than the cover
+    depth must fall back to exact verification, not silently vanish."""
+    import random
+
+    from lucene_solr_intervals_spark.ops.spatial import (
+        bbox_filter,
+        shape_intersects,
+        with_geohash,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (i, rng.uniform(35.0, 45.0), rng.uniform(-80.0, -70.0))
+        for i in range(300)
+    ]
+    # stored at precision 4, cover depth defaults to 6
+    df = with_geohash(
+        spark.createDataFrame(rows, ["id", "lat", "lon"]), precision=4
+    )
+    box = (39.0, 42.5, -77.0, -72.5)
+    got = sorted(r["id"] for r in shape_intersects(df, *box).collect())
+    want = sorted(r["id"] for r in bbox_filter(df, *box).collect())
+    assert got == want and got
