@@ -204,6 +204,53 @@ def delete_by_doc_ids(
     return manifest
 
 
+def realtime_get(
+    spark,
+    index_dir: str,
+    doc_ids: list[int],
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RealTimeGetComponent analog (solr/core/.../component/
+    RealTimeGetComponent.java:69): get-by-id against the LATEST committed
+    manifest snapshot — sees every NRT micro-batch segment the moment its
+    manifest entry reaches status="done", and honors tombstones (a deleted
+    or superseded id returns nothing; after update_documents only the NEW
+    identity is returned).
+
+    Solr's uncommitted-read semantics (serving from the in-memory update
+    log BEFORE a commit) has no analog here by design: the NRT path
+    commits per micro-batch, so the manifest snapshot IS the realtime
+    view.  Plan shape: the manifest read is O(1) driver-side; the docs
+    scan is partition-pruned to live segments and id-pushdown filtered;
+    `corpus` (optional) broadcast-joins the stored text back on.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..index.segment import read_spilled_tombstones
+
+    manifest = read_manifest(index_dir)
+    live = [
+        int(s["seg"]) for s in manifest["segments"] if s.get("status") == "done"
+    ]
+    tomb = set(int(t) for t in manifest.get("tombstones", []))
+    if manifest.get("tombstones_spilled"):
+        tomb |= read_spilled_tombstones(index_dir)
+    want = [int(d) for d in doc_ids if int(d) not in tomb]
+    docs = spark.read.parquet(_os.path.join(index_dir, "docs"))
+    out = docs.where(F.col("seg").isin(live) & F.col("doc_id").isin(want)).select(
+        "doc_id", "seg", "doclen", "norm_byte", "sha256"
+    )
+    if corpus is not None:
+        stored = corpus.where(F.col(id_col).isin(want)).withColumnRenamed(
+            id_col, "doc_id"
+        )
+        out = out.join(F.broadcast(stored), "doc_id", "left")
+    return out
+
+
 def update_documents(
     batch_df: DataFrame,
     index_dir: str,

@@ -177,3 +177,44 @@ def test_update_documents_atomic(spark, tmp_path):
     got_b = [r["doc_id"] for r in ss.search(["marker_b"], k=5).collect()]
     assert got_a == []      # old version tombstoned
     assert got_b == [3]     # new version visible
+
+
+def test_realtime_get(spark, tmp_path):
+    """RealTimeGetComponent analog: point lookup sees each committed NRT
+    batch immediately, honors tombstones and updates."""
+    from lucene_solr_intervals_spark.streaming.nrt import (
+        realtime_get,
+        update_documents,
+    )
+
+    index_dir = str(tmp_path / "rtg_idx")
+    os.makedirs(index_dir)
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], ["doc_id", "text"]
+    )
+    append_segment_batch(b0, index_dir)
+
+    got = {r["doc_id"]: r for r in realtime_get(spark, index_dir, [0, 1, 99]).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["doclen"] == 2
+
+    # a new micro-batch is visible the moment its manifest entry commits
+    b1 = spark.createDataFrame([(2, "omega")], ["doc_id", "text"])
+    append_segment_batch(b1, index_dir)
+    got = {r["doc_id"] for r in realtime_get(spark, index_dir, [2]).collect()}
+    assert got == {2}
+
+    # deletes hide the id
+    delete_by_doc_ids(index_dir, [1])
+    assert realtime_get(spark, index_dir, [1]).collect() == []
+
+    # update: old identity gone, new identity (fresh global id) visible
+    newv = spark.createDataFrame([(3, "alpha prime")], ["doc_id", "text"])
+    update_documents(newv, index_dir, old_doc_ids=[0])
+    ids = {r["doc_id"] for r in realtime_get(spark, index_dir, [0, 3]).collect()}
+    assert ids == {3}
+
+    # stored-field join-back
+    corpus = b0.unionByName(b1).unionByName(newv)
+    row = realtime_get(spark, index_dir, [3], corpus=corpus).collect()[0]
+    assert row["text"] == "alpha prime"
