@@ -90,6 +90,7 @@ def main() -> None:
     ap.add_argument("--inner", type=int, default=3)
     ap.add_argument("--index-dir", default="/tmp/lsi_batch_scale_idx")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--tag", default="r5")
     args = ap.parse_args()
 
     if not args.skip_build:
@@ -125,7 +126,7 @@ def main() -> None:
         "all_runs": runs,
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH", "batch_scaling_r3.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"batch_scaling_{args.tag}.json"), "w") as f:
         json.dump(result, f, indent=1)
 
 
