@@ -87,9 +87,15 @@ class SynonymMap:
             if not line or line.startswith("#"):
                 continue
             if "=>" in line:
+                if line.count("=>") > 1:
+                    # SolrSynonymParser.java: "Invalid synonym rule" on a
+                    # double mapping like `a => b => c`
+                    raise ValueError(f"invalid synonym rule (double =>): {line!r}")
                 lhs, rhs = line.split("=>", 1)
                 inputs = [p.strip() for p in lhs.split(",") if p.strip()]
                 outputs = [p.strip() for p in rhs.split(",") if p.strip()]
+                if not inputs or not outputs:
+                    raise ValueError(f"invalid synonym rule (empty side): {line!r}")
                 for i in inputs:
                     for o in outputs:
                         m.add(i, o, keep_orig=False)

@@ -255,3 +255,35 @@ def test_wordnet_parser():
         "woods", "wood", "forest", "fire",
     ]
     assert incs == [1, 0, 0, 1]
+
+
+# ---- TestSolrSynonymParser / TestMultiWordSynonyms transcriptions ----
+
+
+def test_solr_parser_simple():  # TestSolrSynonymParser.testSimple
+    m = SynonymMap.parse_solr(
+        "i-pod, ipod, ipoooood\n"
+        "foo => foo bar\n"
+        "foo => baz\n"
+        "this test, that testing"
+    )
+    assert run(m, "ball") == (["ball"], [1])
+    assert run(m, "i-pod") == (["i-pod", "ipod", "ipoooood"], [1, 0, 0])
+    assert run(m, "foo") == (["foo", "baz", "bar"], [1, 0, 1])
+    assert run(m, "this test") == (
+        ["this", "that", "test", "testing"],
+        [1, 0, 1, 0],
+    )
+
+
+def test_solr_parser_invalid_double_map():  # testInvalidDoubleMap
+    import pytest
+
+    with pytest.raises(ValueError):
+        SynonymMap.parse_solr("a => b => c")
+
+
+def test_multi_word_no_partial_match():  # TestMultiWordSynonyms
+    m = SynonymMap.parse_solr("a b c,d")
+    # "a e" must pass through untouched — no partial multi-word matching
+    assert run(m, "a e") == (["a", "e"], [1, 1])
