@@ -2749,6 +2749,55 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- standard (flexible) parser
+
+
+@register(
+    "standard_parser_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_C])
+    + """
+, ph AS (
+  SELECT a.doc_id FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+  WHERE a.term = 'vector' AND b.term = 'merge'
+  UNION
+  SELECT a.doc_id FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+  WHERE a.term = 'merge' AND b.term = 'vector'
+)
+SELECT h.doc_id, round(sum(score), 4) AS score FROM hits h
+JOIN ph ON h.doc_id = ph.doc_id
+GROUP BY h.doc_id HAVING count(*) = 2
+ORDER BY round(sum(score), 4) DESC, h.doc_id ASC LIMIT 10
+""",
+)
+def standard_parser_topk(spark, sf_dir):
+    """StandardQueryParser facade (flexible/standard/StandardQueryParser
+    .java:113): default operator AND + configured PHRASE_SLOP — parse
+    '"vector merge" vector merge' with phrase_slop=2, i.e. a sloppy phrase
+    gate (intervals scorer for SQL parity) plus two scored MUST terms."""
+    from .search.parser import StandardQueryParser
+
+    p = StandardQueryParser()
+    p.set_default_operator("AND")
+    p.set_phrase_slop(2)
+    q = p.parse('"vector merge" vector merge')
+    # phrase leaf participates as a matching gate with interval semantics in
+    # sql mode; replace the scored phrase by Q-level composition: the parse
+    # tree is Bool(must=(Phrase(slop=2), Term, Term))
+    s = searcher(spark, sf_dir)
+    assert isinstance(q, Q.Boolean) and len(q.must) == 3
+    phrase = next(c for c in q.must if isinstance(c, Q.Phrase))
+    assert phrase.slop == 2
+    terms = tuple(c for c in q.must if isinstance(c, Q.Term))
+    gated = s.matching(Q.Phrase(phrase.terms, slop=phrase.slop, scorer="intervals"))
+    scored = s.scored(Q.Boolean(must=terms)).join(
+        gated.select("doc_id"), "doc_id", "left_semi"
+    )
+    return _topk(scored)
+
+
 # ------------------------------------------------- multimodal header decode
 
 
@@ -2901,6 +2950,7 @@ _CHECK_PRIORITY = [
     "analyzing_parser_docs",
     "suggest_stored_pruned",
     "multimodal_decoded_meta",
+    "standard_parser_topk",
 ]
 
 

@@ -277,6 +277,126 @@ class AnalyzingQueryParser(QueryParser):
         return "".join(out)
 
 
+# ------------------------------------- flexible StandardQueryParser facade
+
+
+class StandardQueryParser:
+    """flexible/standard/StandardQueryParser.java:113 — the flexible
+    framework's classic-syntax parser.  Its parsing behavior matches the
+    classic QueryParser (same grammar, same flat-clause quirks); what the
+    flexible framework adds is a mutable CONFIG surface
+    (StandardQueryConfigHandler.ConfigurationKeys), which this facade
+    reproduces over the engine's parsers:
+
+      set_default_operator(op)        DEFAULT_OPERATOR
+      set_allow_leading_wildcard(b)   ALLOW_LEADING_WILDCARD (default False,
+                                      enforced like the reference)
+      set_fuzzy_min_sim(f)            FUZZY_CONFIG minSimilarity — applied
+                                      to BARE `term~` fuzzies via
+                                      FuzzyQuery.floatToEdits
+      set_phrase_slop(n)              PHRASE_SLOP — default slop for
+                                      phrases without an explicit ~n
+      set_multi_fields(fields)        MULTI_FIELDS — unfielded clauses
+                                      expand across fields (parse() then
+                                      needs no default field)
+      set_fields_boost(map)           FIELD_BOOST_MAP
+      set_analyzer(name)              run operands through a registered
+                                      analyzer chain (AnalyzingQueryParser
+                                      semantics for wildcard/fuzzy/range)
+    """
+
+    def __init__(self, analyzer: str | None = None):
+        self._default_operator = "OR"
+        self._allow_leading_wildcard = False
+        self._fuzzy_min_sim: float | None = None
+        self._phrase_slop = 0
+        self._multi_fields: tuple[str, ...] | None = None
+        self._fields_boost: dict[str, float] = {}
+        self._analyzer_name = analyzer
+
+    # -- config handler surface (get/set pairs like the reference) --------
+    def set_default_operator(self, op: str) -> None:
+        assert op in ("AND", "OR")
+        self._default_operator = op
+
+    def get_default_operator(self) -> str:
+        return self._default_operator
+
+    def set_allow_leading_wildcard(self, allow: bool) -> None:
+        self._allow_leading_wildcard = allow
+
+    def set_fuzzy_min_sim(self, min_sim: float) -> None:
+        self._fuzzy_min_sim = min_sim
+
+    def set_phrase_slop(self, slop: int) -> None:
+        self._phrase_slop = slop
+
+    def set_multi_fields(self, fields: tuple[str, ...]) -> None:
+        self._multi_fields = tuple(fields)
+
+    def set_fields_boost(self, boosts: dict[str, float]) -> None:
+        self._fields_boost = dict(boosts)
+
+    def set_analyzer(self, name: str) -> None:
+        self._analyzer_name = name
+
+    # ---------------------------------------------------------------------
+    def parse(self, s: str, default_field: str | None = None) -> Q.Query:
+        import dataclasses
+
+        if self._analyzer_name is not None:
+            base = AnalyzingQueryParser(
+                self._analyzer_name,
+                default_operator=self._default_operator,
+                allow_leading_wildcard=self._allow_leading_wildcard,
+            )
+            q = base.parse(s)
+        elif self._multi_fields is not None:
+            q = parse_multi_field(
+                s,
+                self._multi_fields,
+                boosts=self._fields_boost or None,
+                default_operator=self._default_operator,
+            )
+        else:
+            q = QueryParser(self._default_operator).parse(s)
+
+        def walk(node: Q.Query) -> Q.Query:
+            if isinstance(node, Q.Boolean):
+                return dataclasses.replace(
+                    node,
+                    must=tuple(walk(c) for c in node.must),
+                    should=tuple(walk(c) for c in node.should),
+                    must_not=tuple(walk(c) for c in node.must_not),
+                )
+            if isinstance(node, Q.Wildcard) and not self._allow_leading_wildcard:
+                if node.pattern[:1] in ("*", "?"):
+                    raise ValueError(
+                        "'*' or '?' not allowed as first character in "
+                        "WildcardQuery"
+                    )
+            if isinstance(node, Q.Phrase) and node.slop == 0 and self._phrase_slop:
+                return dataclasses.replace(node, slop=self._phrase_slop)
+            if isinstance(node, Q.Fuzzy) and self._fuzzy_min_sim is not None:
+                if node.max_edits == 2:  # bare `term~` used the default
+                    v = self._fuzzy_min_sim
+                    edits = (
+                        0
+                        if v == 0.0
+                        else min(2, int((1.0 - v) * len(node.term)))
+                    )
+                    return dataclasses.replace(node, max_edits=edits)
+            if (
+                default_field is not None
+                and getattr(node, "field", "__nofield__") is None
+                and self._multi_fields is None
+            ):
+                return dataclasses.replace(node, field=default_field)
+            return node
+
+        return walk(q)
+
+
 # ------------------------------------------- precedence (flexible) parser
 
 
