@@ -44,7 +44,11 @@ _SPECIALS = {
     0x017F: "s",                   # ſ (long s)
 }
 
-_RANGES = ((0x0080, 0x0250), (0x1E00, 0x1F00))
+_RANGES = (
+    (0x0080, 0x0250),  # Latin-1 Supplement + Latin Extended-A/B
+    (0x1E00, 0x1F00),  # Latin Extended Additional (Vietnamese et al.)
+    (0xFB00, 0xFB07),  # Latin ligatures ﬀ ﬁ ﬂ ﬃ ﬄ ﬅ ﬆ
+)
 
 
 @lru_cache(maxsize=1)
