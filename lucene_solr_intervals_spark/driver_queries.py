@@ -1903,10 +1903,11 @@ _SH_CTE = """
 """
 
 
-def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
-    """Full MinHash+LSH pipeline in DuckDB SQL — same md5-derived 48-bit
-    hash family as ops.dedup.hash48, same band keys, same exact-Jaccard
-    verification, so the driver's value-hash compares the ENTIRE pipeline."""
+def _minhash_pairs_prefix(num_hashes: int, bands: int, threshold: float) -> str:
+    """Full MinHash+LSH pipeline in DuckDB SQL up to a `pairs` CTE — same
+    md5-derived 48-bit hash family as ops.dedup.hash48, same band keys,
+    same exact-Jaccard verification, so the driver's value-hash compares
+    the ENTIRE pipeline.  Shared by the pair and component oracles."""
     rows = num_hashes // bands
     mins = ",\n         ".join(
         f"min({D.hash48_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
@@ -1917,7 +1918,7 @@ def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
         + " AS bh FROM sig"
         for bi in range(bands)
     )
-    return (
+    prefix = (
         _PRELUDE
         + _SH_CTE
         + f"""
@@ -1934,14 +1935,23 @@ inter AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b,
-       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) >= {threshold}
-ORDER BY 1, 2
-"""
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4)
+        >= {threshold}
+)"""
     )
+    return prefix
+
+
+def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    return _minhash_pairs_prefix(num_hashes, bands, threshold) + """
+SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY 1, 2
+"""
 
 
 @register("minhash_lsh_pairs", _minhash_oracle_sql(num_hashes=32, bands=8, threshold=0.4))
@@ -2749,6 +2759,83 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- LM quality score
+
+
+@register(
+    "doc_lm_score",
+    _PRELUDE
+    + """
+, pr AS (
+  SELECT doc_id, term AS token, pos,
+         coalesce(lag(term) OVER (PARTITION BY doc_id ORDER BY pos), '') AS ctx
+  FROM tok
+),
+uni AS (SELECT token, count(*) AS u_cnt FROM pr GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM pr),
+bi AS (SELECT ctx, token, count(*) AS b_cnt FROM pr WHERE ctx <> ''
+       GROUP BY ctx, token),
+ctxc AS (SELECT token AS ctx, u_cnt AS c_cnt FROM uni),
+p AS (
+  SELECT pr.doc_id,
+         CASE WHEN pr.ctx = '' THEN uni.u_cnt / tot.tot
+              WHEN bi.b_cnt IS NOT NULL
+                THEN CAST(bi.b_cnt AS DOUBLE) / ctxc.c_cnt
+              ELSE 0.4 * uni.u_cnt / tot.tot END AS p
+  FROM pr
+  JOIN uni USING (token)
+  LEFT JOIN bi ON bi.ctx = pr.ctx AND bi.token = pr.token
+  LEFT JOIN ctxc ON ctxc.ctx = pr.ctx
+  CROSS JOIN tot
+)
+SELECT doc_id, round(avg(ln(p)), 4) AS lm_score
+FROM p GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_lm_score(spark, sf_dir):
+    """Bigram-LM quality score (stupid backoff over the corpus's own
+    bigram model — the FreeTextSuggester model family repurposed as the
+    cheap pretraining-data quality signal): per-doc mean token
+    log-likelihood, two model groupBys + two scoring hash joins."""
+    return TX.doc_lm_score(get_docs(spark, sf_dir))
+
+
+# ------------------------------------------------- dedup components
+
+
+def _dedup_components_oracle() -> str:
+    """MinHash pairs prefix + WITH RECURSIVE transitive closure: the exact
+    fixpoint the label-propagation loop converges to."""
+    prefix = _minhash_pairs_prefix(num_hashes=32, bands=8, threshold=0.4)
+    assert prefix.startswith("\nWITH ")
+    return prefix.replace("\nWITH ", "\nWITH RECURSIVE ", 1) + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+@register("dedup_components", _dedup_components_oracle())
+def dedup_components(spark, sf_dir):
+    """Dedup CLUSTERING: connected components over the MinHash+LSH near-dup
+    pair graph (transitive duplicate groups; keep min-doc_id as the
+    representative).  Spark side: O(diameter) label-propagation rounds,
+    one shuffle each; oracle: WITH RECURSIVE transitive closure — the
+    exact fixpoint."""
+    pairs = D.minhash_lsh_pairs(
+        get_docs(spark, sf_dir), num_hashes=32, bands=8, n=3, threshold=0.4
+    )
+    return D.duplicate_components(pairs)
+
+
 # ------------------------------------------------- standard (flexible) parser
 
 
@@ -2951,6 +3038,8 @@ _CHECK_PRIORITY = [
     "suggest_stored_pruned",
     "multimodal_decoded_meta",
     "standard_parser_topk",
+    "dedup_components",
+    "doc_lm_score",
 ]
 
 

@@ -339,3 +339,65 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the dedup
+    CLUSTERING step (group transitive duplicates, keep one representative
+    per component).
+
+    Label propagation: comp(v) <- min(comp(v), min comp over neighbors),
+    iterated to fixpoint.  Each round is ONE shuffle (groupBy v); rounds
+    needed = graph diameter, which for near-dup graphs is tiny (dup
+    clusters are near-cliques).  This is deliberately an ITERATIVE driver
+    loop with a 1-row convergence probe per round — the GraphX/Pregel
+    shape — not a per-row driver loop; at 100 TB the per-round shuffle is
+    |V|+|E| sized and the loop count stays O(diameter).
+
+    Returns (doc_id, component) for every vertex that appears in a pair,
+    component = min doc_id reachable."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "comp")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    ).orderBy("doc_id")

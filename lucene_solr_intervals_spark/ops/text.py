@@ -7,7 +7,7 @@ quality scoring, fingerprinting.  Each has an exact ANSI-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..analysis.tokenizer import ENGLISH_STOP_WORDS
@@ -79,4 +79,68 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(canon).alias("fingerprint"),
+    )
+
+
+def doc_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Training-data quality filter: per-document mean log-likelihood under
+    the corpus's own bigram LM with stupid backoff (the FreeTextSuggester
+    model family, FreeTextSuggester.java:91 / ALPHA=0.4) — unnaturally
+    repetitive or out-of-distribution documents score low, fluent
+    in-distribution text scores high.  This is the cheap LM-based quality
+    signal a 100 TB pretraining pipeline computes before the expensive
+    model-based filters.
+
+    p(w_0)        = cnt(w_0) / total_tokens
+    p(w_i|w_i-1)  = cnt(bigram)/cnt(w_i-1)        if the bigram was seen
+                    alpha * cnt(w_i)/total_tokens otherwise
+
+    Shapes: two global groupBy passes build the model (word count shape);
+    scoring is two hash joins keyed on token / (ctx, token) plus one
+    groupBy(doc) — no driver round-trips, no UDFs.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("ctx", F.lag("token", 1, "").over(w))
+    uni = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("u_cnt"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("tot"))
+    bi = (
+        pairs.where(F.col("ctx") != "")
+        .groupBy("ctx", "token")
+        .agg(F.count(F.lit(1)).alias("b_cnt"))
+    )
+    ctx_cnt = uni.select(F.col("token").alias("ctx"), F.col("u_cnt").alias("c_cnt"))
+    scored = (
+        pairs.join(uni, "token")
+        .join(bi, ["ctx", "token"], "left")
+        .join(ctx_cnt, "ctx", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("ctx") == "", F.col("u_cnt").cast("double") / F.col("tot")
+            )
+            .when(
+                F.col("b_cnt").isNotNull(),
+                F.col("b_cnt").cast("double") / F.col("c_cnt"),
+            )
+            .otherwise(
+                F.lit(alpha) * F.col("u_cnt").cast("double") / F.col("tot")
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.avg(F.log("p")), 4).alias("lm_score"))
+        .orderBy("doc_id")
     )

@@ -162,3 +162,45 @@ def test_multimodal_register_decoder():
         assert decode_header(b"FAKE....") == ("fake", 1, 2)
     finally:
         IMAGE_DECODERS.pop("fake", None)
+
+
+def test_duplicate_components_hand_graph(spark):
+    """Label propagation must find the transitive closure: chain + island."""
+    from lucene_solr_intervals_spark.ops.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        int(r["doc_id"]): int(r["component"])
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,      # 5-node chain -> min id 1
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_doc_lm_score_prefers_fluent_text(spark):
+    from lucene_solr_intervals_spark.ops.text import doc_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick fox jumps over the lazy dog"),
+            (1, "the quick fox jumps over the lazy dog"),
+            (2, "dog the over quick lazy jumps fox the"),  # scrambled
+            (3, "zebra xylophone quartz"),                  # rare singletons
+        ],
+        ["doc_id", "text"],
+    )
+    got = {int(r["doc_id"]): r["lm_score"] for r in doc_lm_score(docs).collect()}
+    # the two fluent twins share every bigram -> highest (equal) score;
+    # the scrambled doc backs off on most bigrams -> lowest.  (The
+    # singleton-vocab doc sits between: its bigrams are globally unique so
+    # the self-trained model memorizes them at p=1 — the known self-scoring
+    # artifact; hand-derived values -0.7161 / -1.3226 / -1.0986.)
+    assert got[0] == got[1] == -0.7161
+    assert got[2] == -1.3226 and got[3] == -1.0986
+    assert got[0] > got[3] > got[2]
