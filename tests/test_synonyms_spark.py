@@ -132,3 +132,30 @@ def test_scalar_flat_equivalence():
         assert int(flat["doclens"][i]) == doclen
         off += n
     assert off == flat["terms"].size
+
+
+def test_packed_segments_with_synonym_chain(spark, tmp_path):
+    """The fused packed build (build_segments -> SegmentSearcher) must see
+    the same synonym-expanded postings as the exploded index: overlap
+    tokens reach the packed posting lists, norms carry the discounted
+    length, and a packed term query on the injected term matches."""
+    from lucene_solr_intervals_spark.index.segment import (
+        build_segments,
+        verify_index,
+    )
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    if "syn_e2e" not in ANALYZERS:
+        syn = SynonymMap()
+        syn.add("vector", "vettore", True)
+        syn.add("vector window", "viewport", True)
+        register_synonym_analyzer("syn_e2e", syn, base="code")
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    d = str(tmp_path / "syn_idx")
+    build_segments(corpus, d, n_segments=2, id_col="doc_id", analyzer="syn_e2e")
+    assert verify_index(spark, d)["ok"]
+    ss = SegmentSearcher(spark, d)
+    hits = {int(r["doc_id"]) for r in ss.search(["vettore"], k=10).collect()}
+    assert hits == {1, 2}
+    hits = {int(r["doc_id"]) for r in ss.search(["viewport"], k=10).collect()}
+    assert hits == {0}
