@@ -229,3 +229,72 @@ def test_multi_doc_windows_stay_inside_doc():
     assert flat["terms"].tolist() == ["a", "a b", "b", "c", "c d", "d"]
     assert flat["doc_idx"].tolist() == [0, 0, 0, 1, 1, 1]
     assert flat["doclens"].tolist() == [2, 2]
+
+
+# ---- randomized shadow-implementation check ----
+
+
+def _shadow_shingles(tokens, stop, min_size, max_size, output_unigrams, sep="_SEP_"):
+    """Independent slow re-implementation from the behavioral spec: dense
+    slots with '_' fillers, windows inside [0, L) with >= 1 real token,
+    unigram-first then sizes ascending per slot, positions = slot index
+    (no collapse)."""
+    L = len(tokens)
+    real = [t not in stop for t in tokens]
+    dense = [t if r else "_" for t, r in zip(tokens, real)]
+    out = []  # (slot, order, term)
+    for s in range(L):
+        if output_unigrams and real[s]:
+            out.append((s, 0, tokens[s]))
+        for k in range(min_size, max_size + 1):
+            if s + k <= L and any(real[s : s + k]):
+                out.append((s, k, sep.join(dense[s : s + k])))
+    out.sort(key=lambda t: (t[0], t[1]))
+    terms = [t for _, _, t in out]
+    incs, prev = [], -1
+    for s, _, _ in out:
+        incs.append(s - prev if s != prev else 0)
+        if s != prev:
+            prev = s
+    return terms, incs
+
+
+def test_random_shingles_match_shadow():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import _shingle_flat
+
+    word = st.sampled_from(list("abcdefg") + ["the", "of"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        stream=st.lists(word, min_size=0, max_size=10),
+        min_size=st.integers(2, 3),
+        extra=st.integers(0, 2),
+        unigrams=st.booleans(),
+        with_stop=st.booleans(),
+    )
+    def check(stream, min_size, extra, unigrams, with_stop):
+        stop = frozenset({"the", "of"}) if with_stop else frozenset()
+        params = dict(
+            min_size=min_size,
+            max_size=min_size + extra,
+            output_unigrams=unigrams,
+            separator="_SEP_",
+        )
+        flat = _shingle_flat(
+            [" ".join(stream)], "ws", stop or None, params, False
+        )
+        incs, prev = [], -1
+        for p in flat["positions"].tolist():
+            incs.append(p - prev if p != prev else 0)
+            if p != prev:
+                prev = p
+        got = (flat["terms"].tolist(), incs)
+        want = _shadow_shingles(
+            stream, stop, min_size, min_size + extra, unigrams
+        )
+        assert got == want, (stream, params, stop, got, want)
+
+    check()

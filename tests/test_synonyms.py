@@ -287,3 +287,84 @@ def test_multi_word_no_partial_match():  # TestMultiWordSynonyms
     m = SynonymMap.parse_solr("a b c,d")
     # "a e" must pass through untouched — no partial multi-word matching
     assert run(m, "a e") == (["a", "e"], [1, 1])
+
+
+# ---- randomized shadow-implementation check (testRandom:384 strategy) ----
+
+
+def _shadow_synonyms(tokens, syn):
+    """Independent slow re-implementation of the slot semantics, written
+    directly from the SynonymFilter behavioral spec (greedy longest match,
+    output word j stacked on slot start+j, orig-first emission per slot,
+    empty slots collapse).  The numpy pass must agree on every input."""
+    n = len(tokens)
+    by_first = {}
+    for inp in syn.rules:
+        by_first.setdefault(inp[0], set()).add(len(inp))
+    matches = []
+    i = 0
+    while i < n:
+        best = None
+        for k in sorted(by_first.get(tokens[i], ()), reverse=True):
+            if i + k <= n and tuple(tokens[i : i + k]) in syn.rules:
+                best = k
+                break
+        if best is None:
+            i += 1
+        else:
+            matches.append((i, best, syn.rules[tuple(tokens[i : i + best])]))
+            i += best
+    slots = {}  # slot -> {"orig": tok|None, "out": [terms]}
+    for s, tok in enumerate(tokens):
+        slots[s] = {"orig": tok, "out": []}
+    dropped = set()
+    for start, k, (keep, outputs) in matches:
+        if not keep:
+            dropped.update(range(start, start + k))
+        for out in outputs:
+            for j, w in enumerate(out):
+                slots.setdefault(start + j, {"orig": None, "out": []})["out"].append(w)
+    terms, incs = [], []
+    pos = -1
+    pending = 1
+    for s in sorted(slots):
+        emit = []
+        o = slots[s]
+        if o["orig"] is not None and s not in dropped:
+            emit.append(o["orig"])
+        emit.extend(o["out"])
+        if not emit:
+            continue  # collapsed slot
+        pos += 1
+        terms.append(emit[0])
+        incs.append(pending)
+        pending = 1
+        for w in emit[1:]:
+            terms.append(w)
+            incs.append(0)
+    return terms, incs
+
+
+def test_random_rules_match_shadow():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(list("abcdefg"))
+    phrase = st.lists(word, min_size=1, max_size=3).map(lambda w: " ".join(w))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        rules=st.lists(
+            st.tuples(phrase, phrase, st.booleans()), min_size=0, max_size=6
+        ),
+        stream=st.lists(word, min_size=0, max_size=12),
+    )
+    def check(rules, stream):
+        m = SynonymMap()
+        for inp, out, keep in rules:
+            m.add(inp, out, keep)
+        got = run(m, " ".join(stream)) if stream else ([], [])
+        want = _shadow_synonyms(stream, m)
+        assert got == want, (rules, stream, got, want)
+
+    check()
