@@ -359,6 +359,8 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
     tests/test_analyzers_core.py.
     """
     n_docs = len(texts)
+    if analyzer in _CUSTOM_FLAT:
+        return _CUSTOM_FLAT[analyzer](texts, keep_offsets)
     if analyzer in _FOLD_CHAINS:
         base, stop = _FOLD_CHAINS[analyzer]
         return _fold_flat(texts, base, stop, keep_offsets)
@@ -692,10 +694,89 @@ def _fold_flat(texts, base: str, stopwords, keep_offsets: bool):
     return flat
 
 
+# ---------------------------------------------------------- custom chains
+# Generic registry for fully-custom BATCHED chains: fn(texts, keep_offsets)
+# -> flat dict.  Used by the n-gram tokenizers (analysis/ngrams.py) and
+# open to users who want a flat-path analyzer without the scalar detour.
+_CUSTOM_FLAT: dict[str, object] = {}
+
+
+def register_flat_analyzer(name: str, flat_fn) -> None:
+    """Register a batched flat analyzer: flat_fn(texts, keep_offsets) must
+    return the tokenize_flat dict shape (doc_idx/terms/positions/doclens
+    [+starts/ends]).  A scalar ANALYZERS twin is derived automatically."""
+    _CUSTOM_FLAT[name] = flat_fn
+
+    def _scalar(text: str, _n=name):
+        flat = _CUSTOM_FLAT[_n]([text] if text is not None else [""], False)
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    def _scalar_off(text: str, _n=name):
+        flat = _CUSTOM_FLAT[_n]([text] if text is not None else [""], True)
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            flat["starts"].tolist(),
+            flat["ends"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar, _scalar_off)
+
+
+def register_ngram_analyzer(name: str, min_gram: int = 1, max_gram: int = 2) -> None:
+    """NGramTokenizer chain (NGramTokenizer.java:58, 4.4+ order): char
+    n-grams of the raw text, one position per gram — the char-level
+    producer NGramPhraseQuery pairs with."""
+    from .ngrams import ngram_flat
+
+    def _fn(texts, keep_offsets, _mi=min_gram, _ma=max_gram):
+        flat = ngram_flat(texts, _mi, _ma)
+        if not keep_offsets:
+            flat = {k: v for k, v in flat.items() if k not in ("starts", "ends")}
+        return flat
+
+    register_flat_analyzer(name, _fn)
+
+
+def register_edge_ngram_analyzer(
+    name: str,
+    base: str = "code",
+    min_gram: int = 1,
+    max_gram: int = 1,
+    stopwords: frozenset[str] | None = None,
+) -> None:
+    """EdgeNGramTokenFilter chain (EdgeNGramTokenFilter.java:35): leading
+    grams of each base token stacked at the token's position — index-time
+    autocomplete (prefix search without wildcard expansion).  `stopwords`
+    are applied BEFORE gramming (holes preserved)."""
+    from .ngrams import edge_ngram_flat_pass
+
+    def _fn(texts, keep_offsets, _b=base, _mi=min_gram, _ma=max_gram, _sw=stopwords):
+        flat = tokenize_flat(texts, _b, keep_offsets)
+        if _sw:
+            import pandas as _pd
+
+            emit = ~_pd.Index(flat["terms"]).isin(list(_sw))
+            for k in ("doc_idx", "terms", "positions", "starts", "ends"):
+                if k in flat:
+                    flat[k] = flat[k][emit]
+        return edge_ngram_flat_pass(flat, _mi, _ma)
+
+    register_flat_analyzer(name, _fn)
+
+
 def flat_tokenizer(analyzer: str = "code", keep_offsets: bool = False):
     """Resolve a batched flat tokenizer callable ON THE DRIVER so analyzers
     added via register_analyzer() travel inside the task closure (executor
     workers never see driver-side registry mutations)."""
+    if analyzer in _CUSTOM_FLAT:
+        fn = _CUSTOM_FLAT[analyzer]
+        return lambda texts: fn(texts, keep_offsets)
     if analyzer in _FOLD_CHAINS:
         base, stop = _FOLD_CHAINS[analyzer]
         return lambda texts: _fold_flat(texts, base, stop, keep_offsets)

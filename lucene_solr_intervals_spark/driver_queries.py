@@ -2759,6 +2759,76 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- char/edge n-gram chains
+
+
+def get_index_edge(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = f"{sf_dir}#edge"
+    if key not in _INDEX_CACHE:
+        from .analysis.tokenizer import ANALYZERS, register_edge_ngram_analyzer
+
+        if "code_edge14" not in ANALYZERS:
+            register_edge_ngram_analyzer(
+                "code_edge14", base="code", min_gram=1, max_gram=4
+            )
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            analyzer="code_edge14",
+        )
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "edge_ngram_prefix_docs",
+    _PRELUDE
+    + """
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'mer%' ORDER BY doc_id
+""",
+)
+def edge_ngram_prefix_docs(spark, sf_dir):
+    """EdgeNGramTokenFilter autocomplete (EdgeNGramTokenFilter.java:35):
+    the index stores leading grams (1..4) of every token, so the prefix
+    search `mer*` becomes the SINGLE term lookup `mer` — no term-dictionary
+    expansion, no wildcard scan.  Oracle: docs with any token starting
+    'mer' (gram length 3 <= max_gram)."""
+    idx = get_index_edge(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    return s.matching(Q.Term("mer")).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
+    "chargram_phrase_docs",
+    """
+SELECT DISTINCT doc_id FROM documents
+WHERE position('merge sort' IN text) > 0 ORDER BY doc_id
+""",
+)
+def chargram_phrase_docs(spark, sf_dir):
+    """NGramTokenizer + NGramPhraseQuery, the designed pairing
+    (NGramTokenizer.java:58, NGramPhraseQuery.java:33): the raw text is
+    indexed as char bigrams (one position per gram), and the substring
+    'merge sort' becomes a gapped gram phrase whose rewrite keeps every
+    2nd gram plus the last.  Oracle: plain substring containment."""
+    from .analysis.tokenizer import ANALYZERS, register_ngram_analyzer
+
+    key = f"{sf_dir}#chargram"
+    if key not in _INDEX_CACHE:
+        if "chargram2_drv" not in ANALYZERS:
+            register_ngram_analyzer("chargram2_drv", 2, 2)
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            analyzer="chargram2_drv",
+        )
+    idx = _INDEX_CACHE[key]
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    sub = "merge sort"
+    gram_terms = tuple(sub[i : i + 2] for i in range(len(sub) - 1))
+    q = Q.NGramPhrase(gram_terms, n=2)
+    return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 # ------------------------------------------------- LM quality score
 
 
@@ -3040,6 +3110,8 @@ _CHECK_PRIORITY = [
     "standard_parser_topk",
     "dedup_components",
     "doc_lm_score",
+    "edge_ngram_prefix_docs",
+    "chargram_phrase_docs",
 ]
 
 
