@@ -809,3 +809,41 @@ ANALYZERS["en_stem"] = en_stem_tokenize
 # accent-insensitive matching — "café" indexes as "cafe", "même" still stops.
 register_folding_analyzer("fr_fold", base="simple", stopwords=FRENCH_STOP_WORDS)
 register_folding_analyzer("de_fold", base="simple", stopwords=GERMAN_STOP_WORDS)
+
+
+def _stem_keep_flat(texts, keep_offsets):
+    """KeywordRepeatFilter -> PorterStemFilter -> RemoveDuplicates chain
+    (miscellaneous/KeywordRepeatFilter.java:29 + RemoveDuplicatesTokenFilter
+    .java:27): every token indexes BOTH its original form and its stem at
+    the SAME position (stem injected with posInc=0, dropped when identical)
+    — exact-match queries stay exact while stemmed queries still recall."""
+    flat = tokenize_flat(texts, "code_stop", keep_offsets)
+    terms = flat["terms"]
+    stemmed = _stem_dictionary(terms)
+    if terms.size == 0:
+        return flat
+    diff = _vnp.fromiter(
+        (a != b for a, b in zip(terms, stemmed)), dtype=bool, count=terms.size
+    )
+    extra = _vnp.flatnonzero(diff)
+    base_idx = _vnp.arange(terms.size, dtype=_vnp.int64)
+    comb = _vnp.concatenate((base_idx, extra))
+    ordk = _vnp.concatenate(
+        (_vnp.zeros(terms.size, dtype=_vnp.int64), _vnp.ones(extra.size, dtype=_vnp.int64))
+    )
+    order = _vnp.lexsort((ordk, comb))
+    gather = comb[order]
+    out = {
+        "doc_idx": flat["doc_idx"][gather],
+        "terms": _vnp.concatenate((terms, stemmed[extra]))[order],
+        "positions": flat["positions"][gather],
+        "doclens": flat["doclens"],  # distinct positions unchanged
+    }
+    if keep_offsets:
+        out["starts"] = flat["starts"][gather]
+        out["ends"] = flat["ends"][gather]
+    return out
+
+
+# exact + stemmed at the same position (the KeywordRepeat trick)
+register_flat_analyzer("en_stem_keep", _stem_keep_flat)

@@ -265,3 +265,14 @@ def test_tokenize_flat_property_ws_and_letters():
             assert flat["doclens"].tolist() == ref["doclens"].tolist()
 
     check()
+
+
+def test_stem_keep_chain():
+    """KeywordRepeat + Porter + RemoveDuplicates: original AND stem at the
+    same position; identical stems not duplicated."""
+    from lucene_solr_intervals_spark.analysis.tokenizer import ANALYZERS
+
+    terms, positions, doclen = ANALYZERS["en_stem_keep"]("running runs the dog")
+    assert terms == ["running", "run", "runs", "run", "dog"]
+    assert positions == [0, 0, 1, 1, 3]  # stop hole at 2, stems posInc=0
+    assert doclen == 3  # distinct positions (overlaps discounted)
