@@ -18,16 +18,23 @@ from lucene_solr_intervals_spark.search import queries as Q
 from lucene_solr_intervals_spark.search.parser import AnalyzingQueryParser
 
 
-def _ascii_ws(text: str):
-    """ASCIIAnalyzer analog: whitespace tokenize -> ASCII fold -> lower."""
-    if not text:
-        return [], [], 0
-    terms = [fold_ascii(w).lower() for w in text.split()]
-    return terms, list(range(len(terms))), len(terms)
+def _make_ascii_ws():
+    """ASCIIAnalyzer analog: whitespace tokenize -> ASCII fold -> lower.
+    Built as a CLOSURE so cloudpickle ships it by VALUE if any Spark job
+    ever serializes the analyzer registry — module-level functions of a
+    test module are not importable on executors."""
+
+    def _ascii_ws(text: str):
+        if not text:
+            return [], [], 0
+        terms = [fold_ascii(w).lower() for w in text.split()]
+        return terms, list(range(len(terms))), len(terms)
+
+    return _ascii_ws
 
 
 if "ascii_ws" not in ANALYZERS:
-    register_analyzer("ascii_ws", _ascii_ws)
+    register_analyzer("ascii_ws", _make_ascii_ws())
 
 
 def parser(**kw):
