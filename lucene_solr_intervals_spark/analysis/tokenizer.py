@@ -571,6 +571,19 @@ def _synonym_flat(texts, base: str, syn_map, stopwords, keep_offsets: bool):
 
     n_docs = len(texts)
     flat = tokenize_flat(texts, base, keep_offsets)
+    # the synonym pass REQUIRES consecutive per-doc positions (slot ==
+    # position; SynonymFilter.java:44-46 makes the same demand of its
+    # input) — a base chain with stopword holes would silently mis-stack
+    # multi-word outputs, so fail loudly instead
+    doc_idx, pos = flat["doc_idx"], flat["positions"]
+    if pos.size:
+        first = _vnp.searchsorted(doc_idx, _vnp.arange(n_docs))
+        expect = _vnp.arange(doc_idx.size, dtype=_vnp.int64) - first[doc_idx]
+        if not _vnp.array_equal(pos, expect):
+            raise ValueError(
+                f"synonym base analyzer {base!r} emits position holes; use a "
+                "no-stop base and pass stopwords= to the synonym chain"
+            )
     flat.pop("doclens", None)
     flat = synonym_flat_pass(flat, syn_map)
     if stopwords:

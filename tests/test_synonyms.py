@@ -368,3 +368,24 @@ def test_random_rules_match_shadow():
         assert got == want, (rules, stream, got, want)
 
     check()
+
+
+def test_syn_chain_rejects_holey_base():
+    import pytest
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        _SYN_CHAINS,
+        register_synonym_analyzer,
+        tokenize_flat,
+    )
+
+    try:
+        register_synonym_analyzer(
+            "syn_bad_base", SynonymMap.parse_solr("a, b"), base="code_stop"
+        )
+        with pytest.raises(ValueError, match="position holes"):
+            tokenize_flat(["the a fox"], "syn_bad_base")
+    finally:
+        _SYN_CHAINS.pop("syn_bad_base", None)
+        ANALYZERS.pop("syn_bad_base", None)
