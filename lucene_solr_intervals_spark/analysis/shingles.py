@@ -93,18 +93,26 @@ def shingle_flat_pass(
                 if doc_final_offsets is not None
                 else np.zeros(n_docs, dtype=np.int64)
             )
-            # loop bounded by the number of HOLES, not tokens
-            for h in np.flatnonzero(~real):
-                d = doc_idx[h]
-                seg = np.flatnonzero(real[h : doc_end[d]])
-                v = int(starts[h + seg[0]]) if seg.size else int(final[d])
-                starts[h] = v
-                ends[h] = v
+            # vectorized next-real lookup: searchsorted over the sorted
+            # real-token indices, bounded to the hole's own document
+            holes = np.flatnonzero(~real)
+            real_idx = np.flatnonzero(real)
+            nxt = np.searchsorted(real_idx, holes)
+            v = np.empty(holes.size, dtype=np.int64)
+            in_doc = np.zeros(holes.size, dtype=bool)
+            if real_idx.size:
+                safe = np.minimum(nxt, real_idx.size - 1)
+                cand = real_idx[safe]
+                in_doc = (nxt < real_idx.size) & (cand < doc_end[doc_idx[holes]])
+                v[in_doc] = starts[cand[in_doc]]
+            v[~in_doc] = final[doc_idx[holes[~in_doc]]]
+            starts[holes] = v
+            ends[holes] = v
 
     creal = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(real, out=creal[1:])
 
-    any_shingle = False
+    shingle_docs = np.zeros(n_docs, dtype=bool)  # which DOCS produced one
     pieces = []  # (order_key, doc, slot, term, start, end) as arrays
     for k in range(min_size, max_size + 1):
         if n < k:
@@ -116,7 +124,7 @@ def shingle_flat_pass(
         i = i[ok]
         if i.size == 0:
             continue
-        any_shingle = True
+        shingle_docs[doc_idx[i]] = True
         gram = dense_terms[i]
         for j in range(1, k):
             gram = gram + (separator + dense_terms[i + j])
@@ -131,11 +139,15 @@ def shingle_flat_pass(
             piece["end"] = ends[i + k - 1]
         pieces.append(piece)
 
-    emit_unigrams = output_unigrams or (
-        output_unigrams_if_no_shingles and not any_shingle
-    )
-    if emit_unigrams:
+    if output_unigrams:
         u = np.flatnonzero(real)
+    elif output_unigrams_if_no_shingles:
+        # PER DOCUMENT, like the reference filter (one token stream each):
+        # only docs that produced no shingle emit their unigrams
+        u = np.flatnonzero(real & ~shingle_docs[doc_idx])
+    else:
+        u = np.zeros(0, dtype=np.int64)
+    if u.size:
         piece = {
             "ord": np.zeros(u.size, dtype=np.int64),
             "doc": doc_idx[u],

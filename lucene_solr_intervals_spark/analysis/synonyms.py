@@ -51,6 +51,7 @@ class SynonymMap:
 
     # input tuple -> [keep_orig, list of output word-tuples]
     rules: dict[tuple[str, ...], list] = field(default_factory=dict)
+    _by_first: dict | None = field(default=None, repr=False, compare=False)
 
     def add(self, input_phrase: str, output_phrase: str, keep_orig: bool) -> None:
         inp = tuple(input_phrase.split())
@@ -61,17 +62,21 @@ class SynonymMap:
         entry[0] = entry[0] or keep_orig
         if out not in entry[1]:  # Builder dedups identical rules
             entry[1].append(out)
+        self._by_first = None  # invalidate the compiled table
 
-    # -- compiled lookup tables (built lazily, pickled with the map) --------
+    # -- compiled lookup tables (built once, cached on the instance so a
+    # large Solr map is not re-scanned on every Arrow batch) ---------------
     def _compiled(self):
-        by_first: dict[str, list[int]] = {}
-        for inp in self.rules:
-            lens = by_first.setdefault(inp[0], [])
-            if len(inp) not in lens:
-                lens.append(len(inp))
-        for lens in by_first.values():
-            lens.sort(reverse=True)  # longest match wins
-        return by_first
+        if self._by_first is None:
+            by_first: dict[str, list[int]] = {}
+            for inp in self.rules:
+                lens = by_first.setdefault(inp[0], [])
+                if len(inp) not in lens:
+                    lens.append(len(inp))
+            for lens in by_first.values():
+                lens.sort(reverse=True)  # longest match wins
+            self._by_first = by_first
+        return self._by_first
 
     @classmethod
     def parse_solr(cls, text: str, expand: bool = True) -> "SynonymMap":

@@ -565,27 +565,25 @@ def register_synonym_analyzer(
     register_analyzer(name, _scalar, _scalar_off)
 
 
-def _synonym_flat(texts, base: str, syn_map, stopwords, keep_offsets: bool):
-    """tokenize(base, no stop) -> synonym_flat_pass -> stop holes -> doclens."""
-    from .synonyms import discounted_lengths, synonym_flat_pass
-
-    n_docs = len(texts)
-    flat = tokenize_flat(texts, base, keep_offsets)
-    # the synonym pass REQUIRES consecutive per-doc positions (slot ==
-    # position; SynonymFilter.java:44-46 makes the same demand of its
-    # input) — a base chain with stopword holes would silently mis-stack
-    # multi-word outputs, so fail loudly instead
+def _require_dense_positions(flat, n_docs: int, base: str, chain: str) -> None:
+    """Synonym/shingle passes REQUIRE consecutive per-doc positions (slot ==
+    position; SynonymFilter.java:44-46 makes the same demand of its input).
+    A base chain with stopword holes would silently mis-stack synonym
+    outputs / join shingles across removed stopwords — fail loudly."""
     doc_idx, pos = flat["doc_idx"], flat["positions"]
     if pos.size:
         first = _vnp.searchsorted(doc_idx, _vnp.arange(n_docs))
         expect = _vnp.arange(doc_idx.size, dtype=_vnp.int64) - first[doc_idx]
         if not _vnp.array_equal(pos, expect):
             raise ValueError(
-                f"synonym base analyzer {base!r} emits position holes; use a "
-                "no-stop base and pass stopwords= to the synonym chain"
+                f"{chain} base analyzer {base!r} emits position holes; use a "
+                f"no-stop base and pass stopwords= to the {chain} chain"
             )
-    flat.pop("doclens", None)
-    flat = synonym_flat_pass(flat, syn_map)
+
+
+def _stop_filter_flat(flat: dict, stopwords) -> dict:
+    """StopFilter over flat arrays: drop stopword rows across every
+    per-token stream, positions untouched (holes preserved)."""
     if stopwords:
         import pandas as _pd
 
@@ -593,6 +591,19 @@ def _synonym_flat(texts, base: str, syn_map, stopwords, keep_offsets: bool):
         for k in ("doc_idx", "terms", "positions", "starts", "ends"):
             if k in flat:
                 flat[k] = flat[k][emit]
+    return flat
+
+
+def _synonym_flat(texts, base: str, syn_map, stopwords, keep_offsets: bool):
+    """tokenize(base, no stop) -> synonym_flat_pass -> stop holes -> doclens."""
+    from .synonyms import discounted_lengths, synonym_flat_pass
+
+    n_docs = len(texts)
+    flat = tokenize_flat(texts, base, keep_offsets)
+    _require_dense_positions(flat, n_docs, base, "synonym")
+    flat.pop("doclens", None)
+    flat = synonym_flat_pass(flat, syn_map)
+    flat = _stop_filter_flat(flat, stopwords)
     flat["doclens"] = discounted_lengths(flat["doc_idx"], flat["positions"], n_docs)
     return flat
 
@@ -642,6 +653,7 @@ def _shingle_flat(texts, base: str, stopwords, params: dict, keep_offsets: bool)
     from .shingles import shingle_flat_pass
 
     flat = tokenize_flat(texts, base, keep_offsets)
+    _require_dense_positions(flat, len(texts), base, "shingle")
     final_offs = None
     if keep_offsets:
         final_offs = _vnp.fromiter(
@@ -686,7 +698,19 @@ def register_folding_analyzer(
             int(flat["doclens"][0]),
         )
 
-    register_analyzer(name, _scalar)
+    def _scalar_off(text: str, _n=name):
+        # NB: offsets refer to the FOLDED text (folding can lengthen, ß->ss
+        # — see analysis/folding.py docstring)
+        flat = _fold_flat([text] if text is not None else [""], *_FOLD_CHAINS[_n], True)
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            flat["starts"].tolist(),
+            flat["ends"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar, _scalar_off)
 
 
 def _fold_flat(texts, base: str, stopwords, keep_offsets: bool):
@@ -695,12 +719,7 @@ def _fold_flat(texts, base: str, stopwords, keep_offsets: bool):
     folded = [fold_ascii(t) if isinstance(t, str) else t for t in texts]
     flat = tokenize_flat(folded, base, keep_offsets)
     if stopwords:
-        import pandas as _pd
-
-        emit = ~_pd.Index(flat["terms"]).isin(list(stopwords))
-        for k in ("doc_idx", "terms", "positions", "starts", "ends"):
-            if k in flat:
-                flat[k] = flat[k][emit]
+        flat = _stop_filter_flat(flat, stopwords)
         flat["doclens"] = _vnp.bincount(
             flat["doc_idx"], minlength=len(texts)
         ).astype(_vnp.int64)
@@ -770,14 +789,7 @@ def register_edge_ngram_analyzer(
     from .ngrams import edge_ngram_flat_pass
 
     def _fn(texts, keep_offsets, _b=base, _mi=min_gram, _ma=max_gram, _sw=stopwords):
-        flat = tokenize_flat(texts, _b, keep_offsets)
-        if _sw:
-            import pandas as _pd
-
-            emit = ~_pd.Index(flat["terms"]).isin(list(_sw))
-            for k in ("doc_idx", "terms", "positions", "starts", "ends"):
-                if k in flat:
-                    flat[k] = flat[k][emit]
+        flat = _stop_filter_flat(tokenize_flat(texts, _b, keep_offsets), _sw)
         return edge_ngram_flat_pass(flat, _mi, _ma)
 
     register_flat_analyzer(name, _fn)

@@ -96,6 +96,10 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("seg", T.IntegerType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("doclen", T.IntegerType()),
+        # raw emitted-token count incl. posInc=0 overlaps (== doclen for
+        # non-overlap analyzers); per-seg sums = sumTotalTermFreq, the
+        # avgdl numerator (BM25Similarity.java:82-89)
+        T.StructField("n_tok", T.LongType()),
         T.StructField("norm_byte", T.IntegerType()),
         T.StructField("sha256", T.StringType()),
     ]
@@ -345,9 +349,20 @@ def _tokenize_pdf(pdf: pd.DataFrame, analyzer: str, keep_offsets: bool = False) 
 
 
 def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
-    """Pack the per-doc columns of one segment into a single postings row."""
+    """Pack the per-doc columns of one segment into a single postings row.
+
+    `block_max_tf` (unused by marker rows otherwise) carries the per-doc
+    RAW token counts (n_tok — every emitted token, posInc=0 overlaps
+    included).  doclen stays the overlap-DISCOUNTED norm length; the two
+    are identical for non-overlap analyzers.  sum(n_tok) is Lucene's
+    sumTotalTermFreq, the avgdl numerator (BM25Similarity.java:82-89)."""
     ids = tok["doc_id"].to_numpy(dtype=np.int64)
     doclens = tok["doclen"].to_numpy(dtype=np.int64)
+    n_tok = (
+        tok["n_tok"].to_numpy(dtype=np.int64)
+        if "n_tok" in tok.columns
+        else doclens
+    )
     nbs = tok["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
     shas = "".join(tok["sha256"]).encode("ascii")
     return {
@@ -359,7 +374,7 @@ def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
         "tfs": vb_encode(doclens.astype(np.uint64)),
         "positions": nbs.tobytes(),
         "block_last": shas,
-        "block_max_tf": b"",
+        "block_max_tf": vb_encode(n_tok.astype(np.uint64)),
         "block_max_nb": b"",
         "block_id_offs": b"",
         "block_tf_offs": b"",
@@ -386,6 +401,10 @@ def _tokenize_flat_pdf(
             "seg": g["seg"].to_numpy(),
             "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
             "doclen": doclens,
+            # raw emitted-token count (overlaps included) — sumTotalTermFreq
+            "n_tok": np.bincount(
+                flat["doc_idx"], minlength=len(texts)
+            ).astype(np.int64),
             "norm_byte": encode_norm(np.maximum(doclens, 1)).astype(np.int64),
             "sha256": [
                 hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
@@ -437,16 +456,24 @@ def _fused_build_fn(analyzer: str, keep_offsets: bool = False, codec: str = "var
 
 
 def _docs_from_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sidecar rows -> per-doc rows (seg, doc_id, doclen, norm_byte, sha256)."""
-    rows = {"seg": [], "doc_id": [], "doclen": [], "norm_byte": [], "sha256": []}
+    """Sidecar rows -> per-doc rows (seg, doc_id, doclen, n_tok,
+    norm_byte, sha256).  Sidecars written before the n_tok stream existed
+    fall back to n_tok = doclen (exact for non-overlap analyzers)."""
+    rows = {
+        "seg": [], "doc_id": [], "doclen": [], "n_tok": [],
+        "norm_byte": [], "sha256": [],
+    }
     for _, r in pdf.iterrows():
         ids = unpack_doc_ids(r["doc_ids"])
         doclens = vb_decode(r["tfs"]).astype(np.int64)
+        ntb = r["block_max_tf"]
+        n_tok = vb_decode(ntb).astype(np.int64) if ntb else doclens
         nbs = np.frombuffer(r["positions"], dtype=np.uint8)
         shas = r["block_last"].decode("ascii")
         rows["seg"].extend([int(r["seg"])] * ids.size)
         rows["doc_id"].extend(ids.tolist())
         rows["doclen"].extend(doclens.tolist())
+        rows["n_tok"].extend(n_tok.tolist())
         rows["norm_byte"].extend(nbs.astype(np.int64).tolist())
         rows["sha256"].extend(shas[i * 64 : (i + 1) * 64] for i in range(ids.size))
     return pd.DataFrame(rows)
@@ -454,30 +481,12 @@ def _docs_from_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _sidecar_from_docs(pdf: pd.DataFrame) -> pd.DataFrame:
     """Docs rows of ONE segment -> its sidecar postings row (used by merge
-    and NRT append so every live segment has a sidecar)."""
+    and NRT append so every live segment has a sidecar).  Carries the
+    per-doc n_tok stream like _docs_sidecar_row (falls back to doclen for
+    docs written before the stream existed)."""
     pdf = pdf.sort_values("doc_id")
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    doclens = pdf["doclen"].to_numpy(dtype=np.int64)
-    nbs = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
-    shas = "".join(pdf["sha256"]).encode("ascii")
     return pd.DataFrame(
-        [
-            {
-                "seg": int(pdf["seg"].iloc[0]),
-                "term": DOCS_MARKER,
-                "df": int(ids.size),
-                "ttf": int(doclens.sum()),
-                "doc_ids": pack_doc_ids(ids),
-                "tfs": vb_encode(doclens.astype(np.uint64)),
-                "positions": nbs.tobytes(),
-                "block_last": shas,
-                "block_max_tf": b"",
-                "block_max_nb": b"",
-                "block_id_offs": b"",
-                "block_tf_offs": b"",
-                "offsets": b"",
-            }
-        ],
+        [_docs_sidecar_row(int(pdf["seg"].iloc[0]), pdf)],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],
     )
 
@@ -646,6 +655,7 @@ def build_segments(
         "seg",
         F.col("df").alias("n_docs"),
         F.col("ttf").alias("sum_doclen"),
+        F.col("block_max_tf").alias("ntok_blob"),
     ).collect()
     base_by_seg = {
         int(r["seg"]): int(r["doc_base"])
@@ -660,6 +670,11 @@ def build_segments(
             "doc_base": base_by_seg[int(r["seg"])],
             "n_docs": int(r["n_docs"]),
             "sum_doclen": int(r["sum_doclen"]),
+            # sumTotalTermFreq (overlap tokens included) — the avgdl
+            # numerator; == sum_doclen for non-overlap analyzers
+            "sum_ttf": int(vb_decode(bytes(r["ntok_blob"])).sum())
+            if r["ntok_blob"]
+            else int(r["sum_doclen"]),
             "status": "done",
             "lineage": [],
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -670,6 +685,7 @@ def build_segments(
         "version": 1,
         "n_docs": int(sum(s["n_docs"] for s in segments)),
         "sum_doclen": int(sum(s["sum_doclen"] for s in segments)),
+        "sum_ttf": int(sum(s["sum_ttf"] for s in segments)),
         "analyzer": analyzer,
         "offsets": keep_offsets,
         "codec": codec,
@@ -1014,13 +1030,19 @@ def merge_segments(
         )
 
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
+    if "n_tok" not in docs.columns:  # pre-n_tok indexes
+        docs = docs.withColumn("n_tok", F.col("doclen"))
     removed_doclen = 0
+    removed_ttf = 0
     if reclaim:
         removed = docs.where(F.col("doc_id").isin(sorted(reclaim)))
         agg = removed.agg(
-            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doclen"), F.lit(0)).alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doclen"), F.lit(0)).alias("s"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("t"),
         ).collect()[0]
         removed_doclen = int(agg["s"])
+        removed_ttf = int(agg["t"])
         docs = docs.where(~F.col("doc_id").isin(sorted(reclaim)))
     docs_new = docs.withColumn("seg", F.lit(new_seg)).persist()
 
@@ -1055,6 +1077,8 @@ def merge_segments(
                 "doc_base": min(s["doc_base"] for s in old),
                 "n_docs": sum(s["n_docs"] for s in old) - len(reclaim),
                 "sum_doclen": sum(s["sum_doclen"] for s in old) - removed_doclen,
+                "sum_ttf": sum(s.get("sum_ttf", s["sum_doclen"]) for s in old)
+                - removed_ttf,
                 "status": "done",
                 "lineage": sorted(seg_ids),
                 "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -1066,11 +1090,11 @@ def merge_segments(
                 remaining = read_spilled_tombstones(index_dir) - reclaim
                 spill_tombstones(index_dir, manifest, remaining)
         if "n_docs" in manifest:
-            manifest["n_docs"] = sum(
-                s["n_docs"] for s in manifest["segments"] if s["status"] == "done"
-            )
-            manifest["sum_doclen"] = sum(
-                s["sum_doclen"] for s in manifest["segments"] if s["status"] == "done"
+            live = [s for s in manifest["segments"] if s["status"] == "done"]
+            manifest["n_docs"] = sum(s["n_docs"] for s in live)
+            manifest["sum_doclen"] = sum(s["sum_doclen"] for s in live)
+            manifest["sum_ttf"] = sum(
+                s.get("sum_ttf", s["sum_doclen"]) for s in live
             )
         _write_manifest(index_dir, manifest)
     return manifest
@@ -1244,6 +1268,9 @@ def repair_index(
         keep = [s for s in manifest["segments"] if s.get("status") == "done"]
         manifest["n_docs"] = int(sum(s["n_docs"] for s in keep))
         manifest["sum_doclen"] = int(sum(s["sum_doclen"] for s in keep))
+        manifest["sum_ttf"] = int(
+            sum(s.get("sum_ttf", s["sum_doclen"]) for s in keep)
+        )
         _write_manifest(index_dir, manifest)
     else:
         lost = 0

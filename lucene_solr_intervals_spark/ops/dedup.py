@@ -375,6 +375,7 @@ def duplicate_components(
         .withColumn("comp", F.col("v"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("v", "dst"), "dst"
@@ -395,8 +396,20 @@ def duplicate_components(
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # no silent caps: partial labels would split one transitive
+        # duplicate group into several with no warning
+        labels.unpersist()
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — raise max_iter"
+        )
+    # NB: the returned frame stays persisted (its lineage is max_iter joins
+    # deep — recomputing on every downstream action would redo the whole
+    # fixpoint); call .unpersist() when done.
     return labels.select(
         F.col("v").cast("long").alias("doc_id"),
         F.col("comp").cast("long").alias("component"),

@@ -41,7 +41,9 @@ class MultiIndexSearcher:
             raise ValueError("need at least one index dir")
         self.shards = [SegmentSearcher(spark, d) for d in index_dirs]
         self.n_docs = sum(s.n_docs for s in self.shards)
-        total_tokens = sum(s.manifest["sum_doclen"] for s in self.shards)
+        total_tokens = sum(
+            s.manifest.get("sum_ttf", s.manifest["sum_doclen"]) for s in self.shards
+        )
         self.avgdl = total_tokens / self.n_docs if self.n_docs else 1.0
         # ONE norm cache from the GLOBAL avgdl — what a merged index would use
         self.cache = norm_cache(self.avgdl)

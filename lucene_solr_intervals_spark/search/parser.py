@@ -182,14 +182,16 @@ class QueryParser:
             sim = fm.group(2)
             if not sim:
                 max_e = 2
-            elif "." not in sim and float(sim) >= 1:
-                max_e = int(sim)
             else:
-                # legacy float similarity -> edit distance
-                # (FuzzyQuery.floatToEdits: 0.0 -> 0, else
-                #  min((1 - sim) * termLen, 2))
+                # FuzzyQuery.floatToEdits: >= 1 -> min((int) sim, 2);
+                # 0.0 -> 0; else min((1 - sim) * termLen, 2)
                 v = float(sim)
-                max_e = 0 if v == 0.0 else min(2, int((1.0 - v) * len(body)))
+                if v >= 1:
+                    max_e = min(int(v), 2)
+                elif v == 0.0:
+                    max_e = 0
+                else:
+                    max_e = min(2, int((1.0 - v) * len(body)))
             return Q.Fuzzy(body, max_edits=max_e, boost=boost, field=field)
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
             return Q.Prefix(self.analyzer(t[:-1]), boost=boost, field=field)
@@ -376,7 +378,7 @@ class StandardQueryParser:
                         "WildcardQuery"
                     )
             if isinstance(node, Q.Phrase) and node.slop == 0 and self._phrase_slop:
-                return dataclasses.replace(node, slop=self._phrase_slop)
+                node = dataclasses.replace(node, slop=self._phrase_slop)
             if isinstance(node, Q.Fuzzy) and self._fuzzy_min_sim is not None:
                 if node.max_edits == 2:  # bare `term~` used the default
                     v = self._fuzzy_min_sim
@@ -385,13 +387,13 @@ class StandardQueryParser:
                         if v == 0.0
                         else min(2, int((1.0 - v) * len(node.term)))
                     )
-                    return dataclasses.replace(node, max_edits=edits)
+                    node = dataclasses.replace(node, max_edits=edits)
             if (
                 default_field is not None
                 and getattr(node, "field", "__nofield__") is None
                 and self._multi_fields is None
             ):
-                return dataclasses.replace(node, field=default_field)
+                node = dataclasses.replace(node, field=default_field)
             return node
 
         return walk(q)

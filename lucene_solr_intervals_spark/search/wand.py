@@ -363,7 +363,13 @@ def search_segments(
     # global stats -> float32 weights (idf * (k1+1)), broadcast via closure
     stats = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
     n_docs = manifest["n_docs"]
-    avgdl = manifest["sum_doclen"] / n_docs if n_docs else 1.0
+    # avgdl = sumTotalTermFreq / maxDoc (BM25Similarity.java:82-89) — the
+    # overlap-inclusive token total; old manifests fall back to sum_doclen
+    avgdl = (
+        manifest.get("sum_ttf", manifest["sum_doclen"]) / n_docs
+        if n_docs
+        else 1.0
+    )
     weights = {
         r["term"]: (idf32(int(r["df"]), n_docs) * np.float32(2.2)).astype(np.float32)
         for r in stats
@@ -419,7 +425,12 @@ class SegmentSearcher:
         self.norms.count()
         self.tombstones = frozenset(self.manifest.get("tombstones", []))
         self.n_docs = self.manifest["n_docs"]
-        self.avgdl = self.manifest["sum_doclen"] / self.n_docs if self.n_docs else 1.0
+        self.avgdl = (
+            self.manifest.get("sum_ttf", self.manifest["sum_doclen"])
+            / self.n_docs
+            if self.n_docs
+            else 1.0
+        )
         self.cache = norm_cache(self.avgdl)
         # Codec.forName at reader open (Codec.java:94): the manifest declares
         # the postings format; kernels decode with the resolved codec

@@ -67,7 +67,12 @@ def append_segment_batch(
         .select("doc_id", "sha256", "t.terms", "t.positions", "t.doclen", "t.norm_byte")
         .withColumn("seg", F.lit(new_seg).cast("int"))
     )
-    docs_df = tokenized.select("seg", "doc_id", "doclen", "norm_byte", "sha256")
+    # n_tok = raw emitted-token count (overlaps included; sumTotalTermFreq)
+    docs_df = tokenized.select(
+        "seg", "doc_id", "doclen",
+        F.size("terms").cast("long").alias("n_tok"),
+        "norm_byte", "sha256",
+    )
     docs_df.write.mode("append").partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
     # appended segments encode with the index's declared codec
     codec_name = manifest.get("codec", "varbyte")
@@ -100,6 +105,7 @@ def append_segment_batch(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("base"),
         F.sum("doclen").alias("s"),
+        F.sum("n_tok").alias("t"),
     ).collect()
     if not stats:
         return manifest
@@ -110,15 +116,16 @@ def append_segment_batch(
             "doc_base": int(r["base"]),
             "n_docs": int(r["n"]),
             "sum_doclen": int(r["s"]),
+            "sum_ttf": int(r["t"]),
             "status": "done",
             "lineage": [],
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
     )
-    manifest["n_docs"] = sum(s["n_docs"] for s in manifest["segments"] if s["status"] == "done")
-    manifest["sum_doclen"] = sum(
-        s["sum_doclen"] for s in manifest["segments"] if s["status"] == "done"
-    )
+    live = [s for s in manifest["segments"] if s["status"] == "done"]
+    manifest["n_docs"] = sum(s["n_docs"] for s in live)
+    manifest["sum_doclen"] = sum(s["sum_doclen"] for s in live)
+    manifest["sum_ttf"] = sum(s.get("sum_ttf", s["sum_doclen"]) for s in live)
     _write_manifest(index_dir, manifest)
     return manifest
 

@@ -145,3 +145,13 @@ def test_single_chunk_exceptions():  # testSingleChunkExceptions:106-130
         register_analyzer("multi_an", _multi)
     with pytest.raises(ValueError, match="multiple terms"):
         AnalyzingQueryParser("multi_an").parse("hello*")
+
+
+def test_float_to_edits_reference_clamps():
+    """Review r5: FuzzyQuery.floatToEdits — sims >= 1 use min(int(sim), 2)
+    even with a decimal point; integers clamp to 2."""
+    p = parser()
+    assert p.parse("roam~1.5").max_edits == 1
+    assert p.parse("roam~1.0").max_edits == 1
+    assert p.parse("roam~3").max_edits == 2
+    assert p.parse("roam~0").max_edits == 0

@@ -298,3 +298,18 @@ def test_random_shingles_match_shadow():
         assert got == want, (stream, params, stop, got, want)
 
     check()
+
+
+def test_output_unigrams_if_no_shingles_is_per_document():
+    """Review r5: the flag is per token stream (document), not per batch —
+    a shingle-less doc keeps its unigrams even when batch-mates shingled."""
+    from lucene_solr_intervals_spark.analysis.tokenizer import _shingle_flat
+
+    flat = _shingle_flat(
+        ["a", "x y"], "ws", None,
+        dict(output_unigrams=False, output_unigrams_if_no_shingles=True),
+        False,
+    )
+    assert flat["doc_idx"].tolist() == [0, 1]
+    assert flat["terms"].tolist() == ["a", "x y"]
+    assert flat["doclens"].tolist() == [1, 1]

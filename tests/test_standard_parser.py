@@ -88,3 +88,16 @@ def test_with_analyzer_chain():
     p = StandardQueryParser(analyzer="ascii_ws_std")
     q = p.parse("Mötl?*")
     assert isinstance(q, Q.Wildcard) and q.pattern == "motl?*"
+
+
+def test_default_field_applies_after_rewrites():
+    """Review r5: phrase-slop / fuzzy-min-sim rewrites must not skip the
+    default_field binding."""
+    p = StandardQueryParser()
+    p.set_phrase_slop(2)
+    q = p.parse('"vector merge"', default_field="title")
+    assert isinstance(q, Q.Phrase) and q.slop == 2 and q.field == "title"
+    p2 = StandardQueryParser()
+    p2.set_fuzzy_min_sim(0.8)
+    q = p2.parse("vector~", default_field="body")
+    assert isinstance(q, Q.Fuzzy) and q.field == "body" and q.max_edits == 1

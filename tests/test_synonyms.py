@@ -389,3 +389,22 @@ def test_syn_chain_rejects_holey_base():
     finally:
         _SYN_CHAINS.pop("syn_bad_base", None)
         ANALYZERS.pop("syn_bad_base", None)
+
+
+def test_shingle_chain_rejects_holey_base():
+    import pytest
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        _SHINGLE_CHAINS,
+        register_shingle_analyzer,
+        tokenize_flat,
+    )
+
+    try:
+        register_shingle_analyzer("sh_bad_base", base="code_stop")
+        with pytest.raises(ValueError, match="position holes"):
+            tokenize_flat(["the quick fox"], "sh_bad_base")
+    finally:
+        _SHINGLE_CHAINS.pop("sh_bad_base", None)
+        ANALYZERS.pop("sh_bad_base", None)

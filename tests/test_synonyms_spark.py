@@ -159,3 +159,26 @@ def test_packed_segments_with_synonym_chain(spark, tmp_path):
     assert hits == {1, 2}
     hits = {int(r["doc_id"]) for r in ss.search(["viewport"], k=10).collect()}
     assert hits == {0}
+
+
+def test_packed_avgdl_matches_exploded_for_overlaps(spark, tmp_path):
+    """Review r5: BM25 avgdl must agree between the exploded and packed
+    paths for overlap-injecting analyzers — both use sumTotalTermFreq
+    (overlaps included), not the discounted doclen sum."""
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    if "syn_e2e" not in ANALYZERS:
+        syn = SynonymMap()
+        syn.add("vector", "vettore", True)
+        syn.add("vector window", "viewport", True)
+        register_synonym_analyzer("syn_e2e", syn, base="code")
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="syn_e2e")
+    d = str(tmp_path / "avgdl_idx")
+    build_segments(corpus, d, n_segments=2, id_col="doc_id", analyzer="syn_e2e")
+    ss = SegmentSearcher(spark, d)
+    assert ss.manifest["sum_ttf"] == idx.sum_ttf == 14
+    assert ss.manifest["sum_doclen"] == 11  # discounted
+    assert abs(ss.avgdl - idx.avgdl) < 1e-12
+    idx.unpersist()
