@@ -177,3 +177,100 @@ def shingle_flat_pass(
 
     out["doclens"] = discounted_lengths(out["doc_idx"], out["positions"], n_docs)
     return out
+
+
+def common_grams_flat_pass(
+    flat: dict,
+    common_words,
+    separator: str = "_",
+    query_mode: bool = False,
+) -> dict:
+    """CommonGramsFilter / CommonGramsQueryFilter analogs
+    (lucene/analysis/common/.../commongrams/CommonGramsFilter.java:48,
+    CommonGramsQueryFilter.java:33) over dense flat arrays.
+
+    Index mode: every token at its position, plus — for each adjacent pair
+    where EITHER side is a common word — the bigram "a{sep}b" stacked at
+    the first token's position (posInc 0): "the fox" -> the, the_fox(0),
+    fox.  The phrase-speed trick for stopword-heavy phrases, pairing with
+    CommonTermsQuery.
+
+    Query mode: ONE token per position — the bigram replaces its two
+    unigrams; a trailing unigram covered by the preceding bigram is
+    dropped: "fox of the" -> fox_of, of_the (CommonGramsFilterTest
+    testCommonGramsQueryFilter's truth table)."""
+    terms = np.asarray(flat["terms"], dtype=object)
+    doc_idx = np.asarray(flat["doc_idx"], dtype=np.int64)
+    slots = np.asarray(flat["positions"], dtype=np.int64)
+    n = terms.size
+    n_docs = int(np.asarray(flat["doclens"]).size)
+    empty = {
+        "doc_idx": np.zeros(0, dtype=np.int64),
+        "terms": np.zeros(0, dtype=object),
+        "positions": np.zeros(0, dtype=np.int64),
+        "doclens": np.zeros(n_docs, dtype=np.int64),
+    }
+    if n == 0:
+        return empty
+    import pandas as pd
+
+    common = pd.Index(terms).isin(list(common_words))
+    # adjacent pairs within one document
+    i = np.arange(n - 1) if n > 1 else np.zeros(0, dtype=np.int64)
+    pair_ok = np.zeros(max(n - 1, 0), dtype=bool)
+    if n > 1:
+        pair_ok = (doc_idx[i] == doc_idx[i + 1]) & (common[i] | common[i + 1])
+    gi = np.flatnonzero(pair_ok)
+    grams = (
+        terms[gi] + (separator + terms[gi + 1]) if gi.size else np.zeros(0, object)
+    )
+
+    if not query_mode:
+        comb_doc = np.concatenate((doc_idx, doc_idx[gi]))
+        comb_slot = np.concatenate((slots, slots[gi]))
+        comb_term = np.concatenate((terms, grams))
+        comb_ord = np.concatenate(
+            (np.zeros(n, dtype=np.int64), np.ones(gi.size, dtype=np.int64))
+        )
+        order = np.lexsort((comb_ord, comb_slot, comb_doc))
+        out = {
+            "doc_idx": comb_doc[order],
+            "terms": comb_term[order],
+            "positions": comb_slot[order],
+        }
+        from .synonyms import discounted_lengths
+
+        out["doclens"] = discounted_lengths(
+            out["doc_idx"], out["positions"], n_docs
+        )
+        return out
+
+    # query mode: gram at i replaces unigram(i); last unigram of a doc is
+    # dropped iff a gram ends at it
+    has_gram = np.zeros(n, dtype=bool)
+    has_gram[gi] = True
+    covered_end = np.zeros(n, dtype=bool)
+    covered_end[gi + 1] = True
+    is_last = np.ones(n, dtype=bool)
+    if n > 1:
+        is_last[:-1] = doc_idx[:-1] != doc_idx[1:]
+    emit_uni = ~has_gram & ~(is_last & covered_end)
+    ui = np.flatnonzero(emit_uni)
+    comb_doc = np.concatenate((doc_idx[ui], doc_idx[gi]))
+    comb_slot = np.concatenate((slots[ui], slots[gi]))
+    comb_term = np.concatenate((terms[ui], grams))
+    order = np.lexsort((comb_slot, comb_doc))
+    # one token per position -> renumber positions sequentially per doc
+    d_sorted = comb_doc[order]
+    first = np.ones(d_sorted.size, dtype=bool)
+    if d_sorted.size > 1:
+        first[1:] = d_sorted[1:] != d_sorted[:-1]
+    base = np.flatnonzero(first)
+    doc_ord = np.cumsum(first) - 1
+    pos = np.arange(d_sorted.size, dtype=np.int64) - base[doc_ord]
+    return {
+        "doc_idx": d_sorted,
+        "terms": comb_term[order],
+        "positions": pos,
+        "doclens": np.bincount(d_sorted, minlength=n_docs).astype(np.int64),
+    }

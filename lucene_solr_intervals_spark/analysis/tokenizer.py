@@ -775,6 +775,30 @@ def register_ngram_analyzer(name: str, min_gram: int = 1, max_gram: int = 2) -> 
     register_flat_analyzer(name, _fn)
 
 
+def register_common_grams_analyzer(
+    name: str,
+    common_words,
+    base: str = "code",
+    query_mode: bool = False,
+    separator: str = "_",
+) -> None:
+    """CommonGramsFilter chain (commongrams/CommonGramsFilter.java:48):
+    common-word-adjacent bigrams stacked at the first token's position —
+    the stopword-phrase speed trick pairing with CommonTermsQuery.
+    query_mode=True gives the CommonGramsQueryFilter output (one token per
+    position, bigrams replacing their unigrams)."""
+    from .shingles import common_grams_flat_pass
+
+    cw = frozenset(common_words)
+
+    def _fn(texts, keep_offsets, _b=base, _cw=cw, _q=query_mode, _s=separator):
+        flat = tokenize_flat(texts, _b, False)  # offsets n/a for grams
+        _require_dense_positions(flat, len(texts), _b, "common-grams")
+        return common_grams_flat_pass(flat, _cw, separator=_s, query_mode=_q)
+
+    register_flat_analyzer(name, _fn)
+
+
 def register_edge_ngram_analyzer(
     name: str,
     base: str = "code",

@@ -2759,6 +2759,75 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- common grams
+
+
+_CG_PRELUDE = """
+WITH tok0 AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+           generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS idx
+    FROM documents
+  ) raw
+  WHERE term <> ''
+),
+tok AS (
+  SELECT doc_id, term, pos FROM tok0
+  UNION ALL
+  SELECT a.doc_id, a.term || '_' || b.term AS term, a.pos
+  FROM tok0 a JOIN tok0 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('the', 'a') OR b.term IN ('the', 'a')
+),
+dl AS (SELECT doc_id, CAST(count(DISTINCT pos) AS DOUBLE) AS dl
+       FROM tok GROUP BY doc_id),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+),
+tfp AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY doc_id, term),
+dfp AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfp GROUP BY term)
+"""
+
+
+@register(
+    "common_grams_topk",
+    _CG_PRELUDE
+    + f"""
+, hits AS (SELECT tfp.doc_id, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term IN ('the_vector', 'merge'))
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def common_grams_topk(spark, sf_dir):
+    """CommonGramsFilter end-to-end (commongrams/CommonGramsFilter.java:48):
+    bigrams around the common words `the`/`a` are stacked at the first
+    token's position, so the stopword phrase "the vector" is the ONE term
+    `the_vector` — scored with discountOverlaps norms alongside a
+    unigram (the CommonTermsQuery companion trick)."""
+    from .analysis.tokenizer import ANALYZERS, register_common_grams_analyzer
+
+    key = f"{sf_dir}#cgrams"
+    if key not in _INDEX_CACHE:
+        if "code_cgrams" not in ANALYZERS:
+            register_common_grams_analyzer(
+                "code_cgrams", {"the", "a"}, base="code"
+            )
+        _INDEX_CACHE[key] = build_index(
+            get_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            analyzer="code_cgrams",
+        )
+    s = Searcher(_INDEX_CACHE[key], corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term("the_vector"), Q.Term("merge")))
+    return _topk(s.scored(q))
+
+
 # ------------------------------------------------- char/edge n-gram chains
 
 
@@ -3112,6 +3181,7 @@ _CHECK_PRIORITY = [
     "doc_lm_score",
     "edge_ngram_prefix_docs",
     "chargram_phrase_docs",
+    "common_grams_topk",
 ]
 
 
