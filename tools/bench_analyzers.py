@@ -1,0 +1,99 @@
+"""Analyzer-chain throughput microbench -> BENCH/analyzer_bench_{tag}.json.
+
+Measures tokens/sec of the batched flat path for every built-in and
+round-5 chain over a synthetic 20k-doc / 120-token batch (the Arrow-batch
+shape of the build hot path), plus the per-doc fallback for comparison.
+Pure Python/numpy — no Spark session — so the numbers isolate the
+tokenizer kernels themselves.
+
+Usage: python tools/bench_analyzers.py [tag]
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import string
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lucene_solr_intervals_spark.analysis.synonyms import SynonymMap  # noqa: E402
+from lucene_solr_intervals_spark.analysis.tokenizer import (  # noqa: E402
+    ANALYZERS,
+    _flat_fallback,
+    register_common_grams_analyzer,
+    register_edge_ngram_analyzer,
+    register_ngram_analyzer,
+    register_shingle_analyzer,
+    register_synonym_analyzer,
+    tokenize_flat,
+)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r5"
+    rng = random.Random(3)
+    words = [
+        "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(2, 9)))
+        for _ in range(500)
+    ] + ["the", "of", "and", "running"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(120)) for _ in range(20000)
+    ]
+    n_tok = 20000 * 120
+
+    syn = SynonymMap()
+    syn.add(words[0], "synonymzero", True)
+    syn.add(f"{words[1]} {words[2]}", "synpair", True)
+    for name, reg in (
+        ("bench_syn", lambda: register_synonym_analyzer("bench_syn", syn, base="code")),
+        ("bench_shingle", lambda: register_shingle_analyzer("bench_shingle", base="code")),
+        ("bench_cgrams", lambda: register_common_grams_analyzer(
+            "bench_cgrams", {"the", "of", "and"}, base="code")),
+        ("bench_edge", lambda: register_edge_ngram_analyzer(
+            "bench_edge", base="code", min_gram=1, max_gram=3)),
+        ("bench_ngram2", lambda: register_ngram_analyzer("bench_ngram2", 2, 2)),
+    ):
+        if name not in ANALYZERS:
+            reg()
+
+    chains = [
+        "code", "code_stop", "simple", "stop", "fr", "de", "ws", "en_stem",
+        "en_stem_keep", "keyword", "fr_fold",
+        "bench_syn", "bench_shingle", "bench_cgrams", "bench_edge",
+        "bench_ngram2",
+    ]
+    out = {"batch_docs": 20000, "tokens_per_doc": 120, "chains": {}}
+    tokenize_flat(texts[:200], "code")  # warm imports
+    for name in chains:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            flat = tokenize_flat(texts, name)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        emitted = int(flat["terms"].size)
+        rec = {
+            "wall_sec_best": round(best, 3),
+            "input_tokens_per_sec": int(n_tok / best),
+            "emitted_tokens": emitted,
+        }
+        # fallback comparison where a scalar twin exists
+        if name in ANALYZERS:
+            t0 = time.time()
+            _flat_fallback(texts[:2000], ANALYZERS[name], False)
+            fb = (time.time() - t0) * 10  # scaled to the full batch
+            rec["per_doc_fallback_sec_est"] = round(fb, 3)
+            rec["speedup_vs_fallback"] = round(fb / best, 1)
+        out["chains"][name] = rec
+        print(name, rec)
+    dest = Path(__file__).resolve().parent.parent / "BENCH" / f"analyzer_bench_{tag}.json"
+    dest.write_text(json.dumps(out, indent=2) + "\n")
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
