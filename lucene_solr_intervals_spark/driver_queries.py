@@ -2759,6 +2759,46 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- fuzzy suggest
+
+
+def _fuzzy_suggest_oracle(prefix: str, k: int = 10) -> str:
+    """Embed the enumerated 1-edit variant frontier (same Python function
+    the Spark side uses) as per-length IN-lists."""
+    from .search.suggest import _edit1_prefixes
+
+    variants = [v for v in _edit1_prefixes(prefix) if v[:1] == prefix[:1]]
+    by_len: dict[int, list[str]] = {}
+    for v in variants:
+        by_len.setdefault(len(v), []).append(v)
+    conds = " OR ".join(
+        f"substring(term, 1, {ln}) IN ("
+        + ", ".join(f"'{v}'" for v in sorted(vs))
+        + ")"
+        for ln, vs in sorted(by_len.items())
+        if ln > 0
+    )
+    return (
+        _PRELUDE
+        + f"""
+SELECT term AS suggestion, CAST(df AS BIGINT) AS weight
+FROM dfp WHERE {conds}
+ORDER BY df DESC, term ASC LIMIT {k}
+"""
+    )
+
+
+@register("fuzzy_suggest", _fuzzy_suggest_oracle("vektor"))
+def fuzzy_suggest(spark, sf_dir):
+    """FuzzySuggester analog (FuzzySuggester.java:66): the typo'd prefix
+    `vektor` still completes to `vector` — the 1-edit Levenshtein frontier
+    is enumerated and pushed down as per-length IN predicates over the
+    term dictionary (prunable prefix ranges, no edit-distance scan)."""
+    from .search.suggest import suggest_fuzzy
+
+    return suggest_fuzzy(get_index(spark, sf_dir), "vektor", k=10)
+
+
 # ------------------------------------------------- common grams
 
 
@@ -3182,6 +3222,7 @@ _CHECK_PRIORITY = [
     "edge_ngram_prefix_docs",
     "chargram_phrase_docs",
     "common_grams_topk",
+    "fuzzy_suggest",
 ]
 
 

@@ -1372,3 +1372,73 @@ def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None =
             problems.append(f"{mismatches} sha256 mismatches")
 
     return {"ok": not problems, "problems": problems, "n_docs": n_docs, "sha_ok": sha_ok}
+
+
+def split_index(index_dir: str, out_dirs: list[str]) -> list[dict]:
+    """IndexSplitter analog (lucene/misc/src/java/org/apache/lucene/index/
+    IndexSplitter.java:47): split one index into shards ALONG SEGMENT
+    BOUNDARIES — pure metadata + hardlink work, no data rewrite (the
+    reference likewise copies whole segment files).
+
+    Live segments are round-robined across `out_dirs` (balanced by doc
+    count, largest first); each shard gets hardlinks (copy fallback) of
+    its segments' postings/docs/norms partitions and its own manifest.
+    Tombstones follow every shard (ids are globally unique, so a shard
+    simply ignores tombstones of docs it does not hold).  The shards
+    reopen via SegmentSearcher, and MultiIndexSearcher over all shards is
+    bit-equal to the original (the sharded == unsharded equality the
+    scatter-gather tests pin).  Returns the shard manifests."""
+    import shutil
+
+    manifest = read_manifest(index_dir)
+    live = [s for s in manifest["segments"] if s.get("status") == "done"]
+    if not live:
+        raise ValueError("no live segments to split")
+    # balance by doc count: biggest segment to the lightest shard
+    shards: list[list[dict]] = [[] for _ in out_dirs]
+    loads = [0] * len(out_dirs)
+    for s in sorted(live, key=lambda x: -int(x["n_docs"])):
+        i = loads.index(min(loads))
+        shards[i].append(s)
+        loads[i] += int(s["n_docs"])
+
+    def _link_tree(src: str, dst: str) -> None:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            troot = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(troot, exist_ok=True)
+            for f in files:
+                sp, tp = os.path.join(root, f), os.path.join(troot, f)
+                try:
+                    os.link(sp, tp)
+                except OSError:
+                    shutil.copy2(sp, tp)
+
+    out_manifests = []
+    for out_dir, segs in zip(out_dirs, shards):
+        os.makedirs(out_dir, exist_ok=True)
+        for sub in ("postings", "docs", "norms"):
+            for s in segs:
+                src = os.path.join(index_dir, sub, f"seg={int(s['seg'])}")
+                if os.path.isdir(src):
+                    _link_tree(src, os.path.join(out_dir, sub, f"seg={int(s['seg'])}"))
+        m = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("segments", "n_docs", "sum_doclen", "sum_ttf")
+        }
+        m["segments"] = [dict(s) for s in segs]
+        m["n_docs"] = int(sum(s["n_docs"] for s in segs))
+        m["sum_doclen"] = int(sum(s["sum_doclen"] for s in segs))
+        m["sum_ttf"] = int(
+            sum(s.get("sum_ttf", s["sum_doclen"]) for s in segs)
+        )
+        if manifest.get("tombstones_spilled"):
+            # shard keeps a copy of the spill table (ids are global; the
+            # anti-join simply misses foreign ids)
+            spill_src = os.path.join(index_dir, "tombstones")
+            if os.path.isdir(spill_src):
+                _link_tree(spill_src, os.path.join(out_dir, "tombstones"))
+        _write_manifest(out_dir, m)
+        out_manifests.append(m)
+    return out_manifests
