@@ -2759,6 +2759,52 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- decontamination
+
+
+_DECON_LEADS = " || ' ' || ".join(
+    ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, 13)]
+)
+
+@register(
+    "decontaminate_train",
+    _PRELUDE
+    + f"""
+, sh AS (
+  SELECT DISTINCT doc_id, {_DECON_LEADS} AS shingle
+  FROM (SELECT doc_id, term, pos FROM tok) t
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  -- rows whose window ran past the doc end produce NULL shingles
+),
+shv AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+ev AS (SELECT DISTINCT shingle FROM shv WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM shv s JOIN ev USING (shingle)
+  WHERE s.doc_id % 50 <> 0
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 50 <> 0
+  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+ORDER BY d.doc_id
+""",
+)
+def decontaminate_train(spark, sf_dir):
+    """Eval-set decontamination (the GPT-3 13-gram rule): drop every
+    training doc sharing any 13-gram with the held-out set (here: every
+    50th doc plays the benchmark).  Plan: eval shingles broadcast, one
+    anti-join over the training shingles — the planted near-duplicates of
+    eval docs are exactly what gets removed."""
+    docs = get_docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    out = D.decontaminate(train, eval_df, n=13)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------- fuzzy suggest
 
 
@@ -3223,6 +3269,7 @@ _CHECK_PRIORITY = [
     "chargram_phrase_docs",
     "common_grams_topk",
     "fuzzy_suggest",
+    "decontaminate_train",
 ]
 
 

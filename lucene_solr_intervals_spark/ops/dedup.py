@@ -414,3 +414,35 @@ def duplicate_components(
         F.col("v").cast("long").alias("doc_id"),
         F.col("comp").cast("long").alias("component"),
     ).orderBy("doc_id")
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Training-set decontamination: drop every training document sharing
+    ANY word n-gram with the evaluation set (the GPT-3-style 13-gram rule;
+    n is configurable — benchmark suites commonly use 8-13).
+
+    Plan shape at 100 TB: eval shingles are a SMALL relation (benchmarks
+    are thousands of docs) — broadcast them and LEFT ANTI join the training
+    shingles: one scan of train, no train-side self-shuffle.  Returns the
+    SURVIVING training rows (all columns)."""
+    ev = shingles_df(
+        eval_df,
+        id_col=eval_id_col or id_col,
+        text_col=eval_text_col or text_col,
+        n=n,
+    ).select("shingle").distinct()
+    tr_sh = shingles_df(train, id_col=id_col, text_col=text_col, n=n)
+    contaminated = (
+        tr_sh.join(F.broadcast(ev), "shingle")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

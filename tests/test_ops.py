@@ -204,3 +204,32 @@ def test_doc_lm_score_prefers_fluent_text(spark):
     assert got[0] == got[1] == -0.7161
     assert got[2] == -1.3226 and got[3] == -1.0986
     assert got[0] > got[3] > got[2]
+
+
+def test_decontaminate(spark):
+    """GPT-3-style n-gram decontamination: training docs sharing any
+    n-gram with the eval set are dropped; unrelated docs survive."""
+    from lucene_solr_intervals_spark.ops.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "a completely different document about spark engines"),
+            (2, "quick brown fox jumps over the lazy dog yesterday"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        int(r["doc_id"]) for r in decontaminate(train, eval_df, n=8).collect()
+    )
+    # docs 0 and 2 share the 8-gram "quick brown fox jumps over the lazy dog"
+    assert kept == [1]
+    # with a longer n than any shared run, everything survives
+    kept = sorted(
+        int(r["doc_id"]) for r in decontaminate(train, eval_df, n=11).collect()
+    )
+    assert kept == [0, 1, 2]
