@@ -359,6 +359,9 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
     tests/test_analyzers_core.py.
     """
     n_docs = len(texts)
+    if analyzer in _CHAR_FILTER_CHAINS:
+        cf, base, stop = _CHAR_FILTER_CHAINS[analyzer]
+        return _char_filter_flat(texts, cf, base, stop, keep_offsets)
     if analyzer in _CUSTOM_FLAT:
         return _CUSTOM_FLAT[analyzer](texts, keep_offsets)
     if analyzer in _FOLD_CHAINS:
@@ -726,6 +729,65 @@ def _fold_flat(texts, base: str, stopwords, keep_offsets: bool):
     return flat
 
 
+# ------------------------------------------------------ char-filter chains
+# Generic CharFilter SPI (the Analyzer.initReader extension point): a
+# text -> text function applied BEFORE the base tokenizer.  ASCII folding
+# and HTML stripping are instances; users plug any str -> str callable.
+_CHAR_FILTER_CHAINS: dict[str, tuple[object, str, frozenset[str] | None]] = {}
+
+
+def register_char_filter_analyzer(
+    name: str,
+    char_filter,
+    base: str = "code",
+    stopwords: frozenset[str] | None = None,
+) -> None:
+    """Register base tokenizer chain preceded by a CHAR FILTER
+    (charfilter/BaseCharFilter.java role): `char_filter(text) -> text`
+    runs per document (C-level string ops expected) ahead of tokenize;
+    `stopwords` apply post-tokenize.  Offsets refer to the FILTERED
+    text."""
+    if base in _CHAR_FILTER_CHAINS or base in _SYN_CHAINS or base in _SHINGLE_CHAINS:
+        raise ValueError("char-filter base must be a plain tokenizer chain")
+    _CHAR_FILTER_CHAINS[name] = (char_filter, base, stopwords)
+
+    def _scalar(text: str, _n=name):
+        flat = _char_filter_flat(
+            [text] if text is not None else [""], *_CHAR_FILTER_CHAINS[_n], False
+        )
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar)
+
+
+def _char_filter_flat(texts, char_filter, base: str, stopwords, keep_offsets: bool):
+    filtered = [char_filter(t) if isinstance(t, str) else t for t in texts]
+    flat = tokenize_flat(filtered, base, keep_offsets)
+    if stopwords:
+        flat = _stop_filter_flat(flat, stopwords)
+        flat["doclens"] = _vnp.bincount(
+            flat["doc_idx"], minlength=len(texts)
+        ).astype(_vnp.int64)
+    return flat
+
+
+def register_html_strip_analyzer(
+    name: str,
+    base: str = "code",
+    stopwords: frozenset[str] | None = None,
+) -> None:
+    """HTMLStripCharFilter chain (charfilter/HTMLStripCharFilter.java —
+    see analysis/htmlstrip.py): markup stripped + entities decoded before
+    tokenization."""
+    from .htmlstrip import strip_html
+
+    register_char_filter_analyzer(name, strip_html, base, stopwords)
+
+
 # ---------------------------------------------------------- custom chains
 # Generic registry for fully-custom BATCHED chains: fn(texts, keep_offsets)
 # -> flat dict.  Used by the n-gram tokenizers (analysis/ngrams.py) and
@@ -823,6 +885,9 @@ def flat_tokenizer(analyzer: str = "code", keep_offsets: bool = False):
     """Resolve a batched flat tokenizer callable ON THE DRIVER so analyzers
     added via register_analyzer() travel inside the task closure (executor
     workers never see driver-side registry mutations)."""
+    if analyzer in _CHAR_FILTER_CHAINS:
+        cf, base, stop = _CHAR_FILTER_CHAINS[analyzer]
+        return lambda texts: _char_filter_flat(texts, cf, base, stop, keep_offsets)
     if analyzer in _CUSTOM_FLAT:
         fn = _CUSTOM_FLAT[analyzer]
         return lambda texts: fn(texts, keep_offsets)

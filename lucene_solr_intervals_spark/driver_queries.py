@@ -2759,6 +2759,45 @@ def folded_match_docs(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------------- html strip
+
+
+@register(
+    "html_strip_topk",
+    _PRELUDE
+    + _hits_cte([T_B, "scan"])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def html_strip_topk(spark, sf_dir):
+    """HTMLStripCharFilter end-to-end: the corpus is deterministically
+    wrapped in markup (div/b tags, a comment, a script block, an entity)
+    and indexed through the html-strip chain — stripping must restore the
+    plain token stream, so the oracle is the PLAIN tokenization BM25."""
+    from .analysis.tokenizer import ANALYZERS, register_html_strip_analyzer
+
+    key = f"{sf_dir}#html"
+    if key not in _INDEX_CACHE:
+        if "code_html" not in ANALYZERS:
+            register_html_strip_analyzer("code_html", base="code")
+        wrapped = get_docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.lit('<div class="d"><b>'),
+                F.col("text"),
+                F.lit("</b></div><!-- x --><script>drop();</script> &amp;"),
+            ),
+        )
+        _INDEX_CACHE[key] = build_index(
+            wrapped, id_col="doc_id", text_col="text", analyzer="code_html"
+        )
+    s = Searcher(_INDEX_CACHE[key], corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term(T_B), Q.Term("scan")))
+    return _topk(s.scored(q))
+
+
 # ------------------------------------------------- decontamination
 
 
@@ -3270,6 +3309,7 @@ _CHECK_PRIORITY = [
     "common_grams_topk",
     "fuzzy_suggest",
     "decontaminate_train",
+    "html_strip_topk",
 ]
 
 
