@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
         "repair", help="CheckIndex -fix: drop segments that fail checks (loses their docs)"
     )
     r.add_argument("--index", required=True)
+    r.add_argument("--dry-run", action="store_true",
+                   help="report what would be dropped without mutating")
+
+    sp = sub.add_parser(
+        "split", help="IndexSplitter: shard along segment boundaries (hardlinks)"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True, help="comma-separated shard dirs")
 
     args = ap.parse_args(argv)
 
@@ -154,7 +162,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "repair":
         from .index.segment import repair_index
 
-        print(json.dumps(repair_index(spark, args.index)))
+        print(json.dumps(repair_index(spark, args.index, dry_run=args.dry_run)))
+    elif args.cmd == "split":
+        from .index.segment import split_index
+
+        manifests = split_index(args.index, args.out.split(","))
+        print(
+            json.dumps(
+                [
+                    {"n_docs": m["n_docs"], "segments": len(m["segments"])}
+                    for m in manifests
+                ]
+            )
+        )
     return 0
 
 
