@@ -788,6 +788,48 @@ def register_html_strip_analyzer(
     register_char_filter_analyzer(name, strip_html, base, stopwords)
 
 
+# ----------------------------------------------------- small token filters
+
+
+def register_length_filter_analyzer(
+    name: str,
+    base: str = "code",
+    min_len: int = 0,
+    max_len: int = 10**9,
+    max_count: int | None = None,
+) -> None:
+    """LengthFilter + LimitTokenCountFilter chain
+    (miscellaneous/LengthFilter.java:30 — drop tokens outside
+    [min_len, max_len], position increments PRESERVED i.e. holes, like any
+    FilteringTokenFilter; miscellaneous/LimitTokenCountFilter.java:28 —
+    keep only the first `max_count` tokens per document, the classic
+    huge-document indexing guard).  Vectorized: one length mask + one
+    per-doc rank mask over the flat arrays."""
+
+    def _fn(texts, keep_offsets, _b=base, _mi=min_len, _ma=max_len, _mc=max_count):
+        import pandas as _pd
+
+        flat = tokenize_flat(texts, _b, keep_offsets)
+        terms = flat["terms"]
+        if terms.size:
+            lens = _pd.Index(terms).str.len().to_numpy(dtype=_vnp.int64)
+            keep = (lens >= _mi) & (lens <= _ma)
+            if _mc is not None:
+                di = flat["doc_idx"]
+                first = _vnp.searchsorted(di, _vnp.arange(len(texts)))
+                rank = _vnp.arange(di.size, dtype=_vnp.int64) - first[di]
+                keep &= rank < _mc  # limit counts INPUT tokens, like the ref
+            for k in ("doc_idx", "terms", "positions", "starts", "ends"):
+                if k in flat:
+                    flat[k] = flat[k][keep]
+        flat["doclens"] = _vnp.bincount(
+            flat["doc_idx"], minlength=len(texts)
+        ).astype(_vnp.int64)
+        return flat
+
+    register_flat_analyzer(name, _fn)
+
+
 # ---------------------------------------------------------- custom chains
 # Generic registry for fully-custom BATCHED chains: fn(texts, keep_offsets)
 # -> flat dict.  Used by the n-gram tokenizers (analysis/ngrams.py) and

@@ -276,3 +276,42 @@ def test_stem_keep_chain():
     assert terms == ["running", "run", "runs", "run", "dog"]
     assert positions == [0, 0, 1, 1, 3]  # stop hole at 2, stems posInc=0
     assert doclen == 3  # distinct positions (overlaps discounted)
+
+
+def test_length_and_limit_filters():
+    """LengthFilter holes + LimitTokenCountFilter head-cut (r5 SPI)."""
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        register_length_filter_analyzer,
+    )
+
+    if "len_2_5" not in ANALYZERS:
+        register_length_filter_analyzer("len_2_5", base="code", min_len=2, max_len=5)
+    terms, positions, doclen = ANALYZERS["len_2_5"]("a bb ccc verylongtoken dd")
+    # 'a' (len 1) and 'verylongtoken' (len 13) dropped WITH holes
+    assert terms == ["bb", "ccc", "dd"]
+    assert positions == [1, 2, 4]
+    assert doclen == 3
+
+    if "first3" not in ANALYZERS:
+        register_length_filter_analyzer("first3", base="code", max_count=3)
+    terms, positions, doclen = ANALYZERS["first3"]("one two three four five")
+    assert terms == ["one", "two", "three"] and doclen == 3
+
+
+def test_pattern_replace_char_filter_instance():
+    """PatternReplaceCharFilter is a one-liner through the CharFilter SPI."""
+    import re
+
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        register_char_filter_analyzer,
+    )
+
+    camel = re.compile(r"(?<=[a-z])(?=[A-Z])")
+    if "camel_split" not in ANALYZERS:
+        register_char_filter_analyzer(
+            "camel_split", lambda t: camel.sub(" ", t), base="code"
+        )
+    terms, _, _ = ANALYZERS["camel_split"]("getIndexReader fooBar")
+    assert terms == ["get", "index", "reader", "foo", "bar"]

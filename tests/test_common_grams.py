@@ -128,3 +128,38 @@ def test_registered_chain_index(spark):
     dl = {int(r["doc_id"]): int(r["doclen"]) for r in idx.docs.collect()}
     assert dl == {0: 3, 1: 4, 2: 3}
     idx.unpersist()
+
+
+def test_query_mode_phrase_equals_gram_lookup(spark):
+    """The CommonGrams pairing end-to-end: analyzing the QUERY phrase
+    'the fox' through the query-mode chain yields the single gram
+    'the_fox', and its term lookup on the index-mode index matches
+    exactly the docs where the phrase occurs."""
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        register_common_grams_analyzer,
+    )
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search import queries as Q
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    if "cg_e2e" not in ANALYZERS:
+        register_common_grams_analyzer("cg_e2e", {"the", "of"}, base="code")
+    if "cg_query" not in ANALYZERS:
+        register_common_grams_analyzer(
+            "cg_query", {"the", "of"}, base="code", query_mode=True
+        )
+    corpus = spark.createDataFrame(
+        [(0, "the fox jumps"), (1, "a fox the hound"), (2, "near the fox den")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(corpus, analyzer="cg_e2e")
+    s = Searcher(idx, corpus=corpus, mode="sql")
+    qterms, _, _ = ANALYZERS["cg_query"]("the fox")
+    assert qterms == ["the_fox"]
+    hits = sorted(
+        int(r["doc_id"]) for r in s.matching(Q.Term(qterms[0])).collect()
+    )
+    # phrase "the fox" occurs in docs 0 and 2
+    assert hits == [0, 2]
+    idx.unpersist()
