@@ -84,6 +84,21 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "split":
+        # pure metadata + hardlink work — no Spark session needed
+        from .index.segment import split_index
+
+        manifests = split_index(args.index, args.out.split(","))
+        print(
+            json.dumps(
+                [
+                    {"n_docs": m["n_docs"], "segments": len(m["segments"])}
+                    for m in manifests
+                ]
+            )
+        )
+        return 0
+
     from .session import get_spark
 
     spark = get_spark(app_name=f"lsi-{args.cmd}")
@@ -163,18 +178,6 @@ def main(argv: list[str] | None = None) -> int:
         from .index.segment import repair_index
 
         print(json.dumps(repair_index(spark, args.index, dry_run=args.dry_run)))
-    elif args.cmd == "split":
-        from .index.segment import split_index
-
-        manifests = split_index(args.index, args.out.split(","))
-        print(
-            json.dumps(
-                [
-                    {"n_docs": m["n_docs"], "segments": len(m["segments"])}
-                    for m in manifests
-                ]
-            )
-        )
     return 0
 
 

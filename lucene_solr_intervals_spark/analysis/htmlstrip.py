@@ -27,6 +27,12 @@ import re
 _SCRIPT_STYLE = re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
 )
+# truncated web pages routinely end mid-script: an UNTERMINATED
+# script/style block is stripped to end-of-text (run after the closed-pair
+# pass, so only a genuinely unclosed block matches)
+_SCRIPT_STYLE_OPEN = re.compile(
+    r"<(script|style)\b[^>]*>.*\Z", re.IGNORECASE | re.DOTALL
+)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 # block-level elements whose boundaries become newlines
 _BLOCK = (
@@ -45,6 +51,7 @@ def strip_html(text: str) -> str:
     if not text or "<" not in text and "&" not in text:
         return text
     t = _SCRIPT_STYLE.sub("", text)
+    t = _SCRIPT_STYLE_OPEN.sub("", t)
     t = _COMMENT.sub("", t)
     t = _BLOCK_TAG.sub("\n", t)
     t = _ANY_TAG.sub("", t)

@@ -364,9 +364,6 @@ def tokenize_flat(texts, analyzer: str = "code", keep_offsets: bool = False):
         return _char_filter_flat(texts, cf, base, stop, keep_offsets)
     if analyzer in _CUSTOM_FLAT:
         return _CUSTOM_FLAT[analyzer](texts, keep_offsets)
-    if analyzer in _FOLD_CHAINS:
-        base, stop = _FOLD_CHAINS[analyzer]
-        return _fold_flat(texts, base, stop, keep_offsets)
     if analyzer in _SHINGLE_CHAINS:
         base, stop, params = _SHINGLE_CHAINS[analyzer]
         return _shingle_flat(texts, base, stop, params, keep_offsets)
@@ -670,10 +667,10 @@ def _shingle_flat(texts, base: str, stopwords, params: dict, keep_offsets: bool)
 
 
 # ----------------------------------------------------------------- folding
-# ASCIIFoldingFilter chains: fold Latin accents to ASCII as a CHAR FILTER
-# ahead of the base tokenizer (analysis/folding.py), stop set folded at
-# registration so "même" still stops after becoming "meme".
-_FOLD_CHAINS: dict[str, tuple[str, frozenset[str] | None]] = {}
+# ASCIIFoldingFilter chains are an INSTANCE of the generic char-filter SPI
+# below: fold Latin accents to ASCII ahead of the base tokenizer
+# (analysis/folding.py), stop set folded at registration so "même" still
+# stops after becoming "meme".
 
 
 def register_folding_analyzer(
@@ -681,52 +678,16 @@ def register_folding_analyzer(
     base: str = "simple",
     stopwords: frozenset[str] | None = None,
 ) -> None:
-    """Register base-tokenizer chain with ASCII folding (ASCIIFolding
+    """Register a base-tokenizer chain with ASCII folding (ASCIIFolding
     Filter.java:60).  `base` is a no-stop tokenizer; `stopwords` are folded
-    and applied post-tokenize."""
+    and applied post-tokenize.  Offsets refer to the FOLDED text (folding
+    can lengthen, ß->ss)."""
     from .folding import fold_ascii
 
-    if base in _FOLD_CHAINS or base in _SYN_CHAINS or base in _SHINGLE_CHAINS:
-        raise ValueError("folding base must be a plain tokenizer chain")
     folded_stop = (
         frozenset(fold_ascii(w) for w in stopwords) if stopwords else None
     )
-    _FOLD_CHAINS[name] = (base, folded_stop)
-
-    def _scalar(text: str, _n=name):
-        flat = _fold_flat([text] if text is not None else [""], *_FOLD_CHAINS[_n], False)
-        return (
-            flat["terms"].tolist(),
-            flat["positions"].tolist(),
-            int(flat["doclens"][0]),
-        )
-
-    def _scalar_off(text: str, _n=name):
-        # NB: offsets refer to the FOLDED text (folding can lengthen, ß->ss
-        # — see analysis/folding.py docstring)
-        flat = _fold_flat([text] if text is not None else [""], *_FOLD_CHAINS[_n], True)
-        return (
-            flat["terms"].tolist(),
-            flat["positions"].tolist(),
-            flat["starts"].tolist(),
-            flat["ends"].tolist(),
-            int(flat["doclens"][0]),
-        )
-
-    register_analyzer(name, _scalar, _scalar_off)
-
-
-def _fold_flat(texts, base: str, stopwords, keep_offsets: bool):
-    from .folding import fold_ascii
-
-    folded = [fold_ascii(t) if isinstance(t, str) else t for t in texts]
-    flat = tokenize_flat(folded, base, keep_offsets)
-    if stopwords:
-        flat = _stop_filter_flat(flat, stopwords)
-        flat["doclens"] = _vnp.bincount(
-            flat["doc_idx"], minlength=len(texts)
-        ).astype(_vnp.int64)
-    return flat
+    register_char_filter_analyzer(name, fold_ascii, base, folded_stop)
 
 
 # ------------------------------------------------------ char-filter chains
@@ -761,7 +722,20 @@ def register_char_filter_analyzer(
             int(flat["doclens"][0]),
         )
 
-    register_analyzer(name, _scalar)
+    def _scalar_off(text: str, _n=name):
+        # offsets refer to the FILTERED text (char filters may change length)
+        flat = _char_filter_flat(
+            [text] if text is not None else [""], *_CHAR_FILTER_CHAINS[_n], True
+        )
+        return (
+            flat["terms"].tolist(),
+            flat["positions"].tolist(),
+            flat["starts"].tolist(),
+            flat["ends"].tolist(),
+            int(flat["doclens"][0]),
+        )
+
+    register_analyzer(name, _scalar, _scalar_off)
 
 
 def _char_filter_flat(texts, char_filter, base: str, stopwords, keep_offsets: bool):
@@ -815,10 +789,18 @@ def register_length_filter_analyzer(
             lens = _pd.Index(terms).str.len().to_numpy(dtype=_vnp.int64)
             keep = (lens >= _mi) & (lens <= _ma)
             if _mc is not None:
+                # LimitTokenCount runs DOWNSTREAM of LengthFilter: it
+                # counts the tokens that survived the length window
                 di = flat["doc_idx"]
-                first = _vnp.searchsorted(di, _vnp.arange(len(texts)))
-                rank = _vnp.arange(di.size, dtype=_vnp.int64) - first[di]
-                keep &= rank < _mc  # limit counts INPUT tokens, like the ref
+                # clip: trailing empty docs point past the last row (their
+                # base is never gathered)
+                first = _vnp.minimum(
+                    _vnp.searchsorted(di, _vnp.arange(len(texts))), di.size - 1
+                )
+                csum = _vnp.cumsum(keep)
+                base = csum[first] - keep[first]
+                kept_rank = csum - 1 - base[di]
+                keep &= kept_rank < _mc
             for k in ("doc_idx", "terms", "positions", "starts", "ends"):
                 if k in flat:
                     flat[k] = flat[k][keep]
@@ -837,10 +819,13 @@ def register_length_filter_analyzer(
 _CUSTOM_FLAT: dict[str, object] = {}
 
 
-def register_flat_analyzer(name: str, flat_fn) -> None:
+def register_flat_analyzer(name: str, flat_fn, offsets: bool = True) -> None:
     """Register a batched flat analyzer: flat_fn(texts, keep_offsets) must
     return the tokenize_flat dict shape (doc_idx/terms/positions/doclens
-    [+starts/ends]).  A scalar ANALYZERS twin is derived automatically."""
+    [+starts/ends]).  A scalar ANALYZERS twin is derived automatically;
+    pass offsets=False for chains that cannot produce starts/ends (no
+    OFFSET_ANALYZERS twin is registered, so offsets consumers fail with a
+    clear KeyError on the NAME instead of a missing dict key)."""
     _CUSTOM_FLAT[name] = flat_fn
 
     def _scalar(text: str, _n=name):
@@ -861,7 +846,7 @@ def register_flat_analyzer(name: str, flat_fn) -> None:
             int(flat["doclens"][0]),
         )
 
-    register_analyzer(name, _scalar, _scalar_off)
+    register_analyzer(name, _scalar, _scalar_off if offsets else None)
 
 
 def register_ngram_analyzer(name: str, min_gram: int = 1, max_gram: int = 2) -> None:
@@ -900,7 +885,7 @@ def register_common_grams_analyzer(
         _require_dense_positions(flat, len(texts), _b, "common-grams")
         return common_grams_flat_pass(flat, _cw, separator=_s, query_mode=_q)
 
-    register_flat_analyzer(name, _fn)
+    register_flat_analyzer(name, _fn, offsets=False)
 
 
 def register_edge_ngram_analyzer(
@@ -933,9 +918,6 @@ def flat_tokenizer(analyzer: str = "code", keep_offsets: bool = False):
     if analyzer in _CUSTOM_FLAT:
         fn = _CUSTOM_FLAT[analyzer]
         return lambda texts: fn(texts, keep_offsets)
-    if analyzer in _FOLD_CHAINS:
-        base, stop = _FOLD_CHAINS[analyzer]
-        return lambda texts: _fold_flat(texts, base, stop, keep_offsets)
     if analyzer in _SHINGLE_CHAINS:
         base, stop, params = _SHINGLE_CHAINS[analyzer]
         return lambda texts: _shingle_flat(texts, base, stop, params, keep_offsets)

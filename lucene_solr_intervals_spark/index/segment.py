@@ -1394,6 +1394,15 @@ def split_index(index_dir: str, out_dirs: list[str]) -> list[dict]:
     live = [s for s in manifest["segments"] if s.get("status") == "done"]
     if not live:
         raise ValueError("no live segments to split")
+    out_dirs = [d for d in out_dirs]
+    if not out_dirs or any(not d or not str(d).strip() for d in out_dirs):
+        raise ValueError(f"invalid out_dirs: {out_dirs!r}")
+    if len(out_dirs) > len(live):
+        # a shard with zero segments has no partition dirs and cannot open
+        raise ValueError(
+            f"cannot split {len(live)} live segments into {len(out_dirs)} "
+            "shards (every shard needs at least one segment)"
+        )
     # balance by doc count: biggest segment to the lightest shard
     shards: list[list[dict]] = [[] for _ in out_dirs]
     loads = [0] * len(out_dirs)

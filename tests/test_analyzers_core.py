@@ -315,3 +315,50 @@ def test_pattern_replace_char_filter_instance():
         )
     terms, _, _ = ANALYZERS["camel_split"]("getIndexReader fooBar")
     assert terms == ["get", "index", "reader", "foo", "bar"]
+
+
+def test_limit_counts_post_length_survivors():
+    """Review r5b: LimitTokenCount runs downstream of LengthFilter."""
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        register_length_filter_analyzer,
+    )
+
+    if "len2_first3" not in ANALYZERS:
+        register_length_filter_analyzer(
+            "len2_first3", base="code", min_len=2, max_count=3
+        )
+    terms, _, doclen = ANALYZERS["len2_first3"]("a bb cc dd ee")
+    # 'a' dropped by length; the NEXT THREE survivors kept
+    assert terms == ["bb", "cc", "dd"] and doclen == 3
+
+
+def test_char_filter_chain_offsets_twin():
+    """Review r5b: char-filter chains register an offsets twin (folded
+    text coordinates) so highlight paths work."""
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        OFFSET_ANALYZERS,
+        register_html_strip_analyzer,
+    )
+
+    if "html_code" not in OFFSET_ANALYZERS:
+        register_html_strip_analyzer("html_code", base="code")
+    assert "fr_fold" in OFFSET_ANALYZERS  # folding = char-filter instance
+    terms, positions, starts, ends, doclen = OFFSET_ANALYZERS["html_code"](
+        "<b>vector</b> merge"
+    )
+    assert terms == ["vector", "merge"]
+    # offsets refer to the STRIPPED text "vector merge"
+    assert list(zip(starts, ends)) == [(0, 6), (7, 12)]
+
+
+def test_common_grams_chain_has_no_offsets_twin():
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        OFFSET_ANALYZERS,
+        register_common_grams_analyzer,
+    )
+
+    if "cg_noff" not in ANALYZERS:
+        register_common_grams_analyzer("cg_noff", {"the"}, base="code")
+    assert "cg_noff" not in OFFSET_ANALYZERS

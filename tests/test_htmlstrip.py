@@ -77,3 +77,11 @@ def test_registered_chain_exact():
     assert terms == ["vector", "merge", "scan"]
     assert positions == [0, 1, 2]
     assert doclen == 3
+
+
+def test_unterminated_script_stripped():
+    """Review r5b: truncated pages ending mid-script must not leak JS."""
+    assert strip_html("intro <script>var a=1; track(user)") == "intro "
+    assert strip_html("x <style>body{color:red}") == "x "
+    # a closed block followed by an open one
+    assert strip_html("a <script>ok</script> b <script>tail") == "a  b "

@@ -99,3 +99,24 @@ def test_suggest_fuzzy(sugg_index):
     # max_edits=0 degrades to plain prefix completion
     got = suggest_fuzzy(sugg_index, "vektor", k=10, max_edits=0).collect()
     assert got == []
+
+
+def test_split_index_validation(spark, tmp_path):
+    """Review r5b: more shards than segments / malformed dirs fail loudly
+    instead of producing unopenable empty shards."""
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import (
+        build_segments,
+        split_index,
+    )
+
+    corpus = generate_corpus(spark, 120)
+    d = str(tmp_path / "tiny")
+    build_segments(corpus, d, n_segments=2, id_col="doc_id",
+                   text_col="content", analyzer="code")
+    with pytest.raises(ValueError, match="every shard needs"):
+        split_index(d, [str(tmp_path / x) for x in "abc"])
+    with pytest.raises(ValueError, match="invalid out_dirs"):
+        split_index(d, [str(tmp_path / "a"), ""])
+    with pytest.raises(ValueError, match="invalid out_dirs"):
+        split_index(d, [])
