@@ -42,6 +42,8 @@ _SPECIALS = {
     0x014A: "N", 0x014B: "n",     # Ŋ ŋ
     0x0166: "T", 0x0167: "t",     # Ŧ ŧ
     0x017F: "s",                   # ſ (long s)
+    # superscript digits — present in the reference switch (:1560,1579,1598)
+    0x00B9: "1", 0x00B2: "2", 0x00B3: "3",
 }
 
 _RANGES = (
@@ -61,7 +63,12 @@ def fold_table() -> dict[int, str]:
             ascii_d = "".join(
                 c for c in d if ord(c) < 0x80 and not unicodedata.combining(c)
             )
-            if ascii_d and ascii_d != chr(cp):
+            # Only keep all-letter skeletons: the reference switch has NO
+            # case for vulgar fractions (¼½¾ — NFKD yields '14'/'12'/'34'
+            # with the fraction slash dropped) or spacing marks (¨ ¯ ´ ¸
+            # NBSP), so those pass through as separators.  Digit folds the
+            # reference DOES handle (¹²³) are listed in _SPECIALS.
+            if ascii_d and ascii_d != chr(cp) and ascii_d.isalpha():
                 table[cp] = ascii_d
     table.update(_SPECIALS)
     return table

@@ -3256,60 +3256,61 @@ def analyzing_parser_docs(spark, sf_dir):
 # recent CORRECTNESS_r*.json: never-verified first, then stale-green
 # (verified only in an older round), then a rotating tail of current-green.
 _CHECK_PRIORITY = [
-    # round 5: the 34 queries whose latest green row is CORRECTNESS_r03
-    # (everything in CORRECTNESS_r04 is one-round fresh and rotates out).
-    "interval_range_filter",
-    "min_freq_filter",
-    "prefix_docs",
-    "wildcard_docs",
-    "term_range_docs",
-    "fuzzy_docs",
-    "prefix_scoring_topk",
-    "numeric_range_docs",
-    "dismax_topk",
-    "classic_bool_topk",
-    "lm_dirichlet_topk",
-    "dfr_inl2_topk",
-    "search_after_page2",
-    "match_all_count",
-    "total_hits",
-    "facet_by_source",
-    "group_top2_per_source",
-    "expand_topn",
-    "suggest_prefix",
-    "freetext_suggest",
-    "suggest_infix",
-    "query_parser_topk",
-    "rescore_topk",
-    "query_time_join",
-    "query_time_join_scored",
-    "multiphrase_docs",
-    "common_terms_topk",
-    "sloppy_phrase_topk",
-    "ngram_jaccard_pairs",
-    "more_like_this",
-    "sort_by_field_topk",
-    "facet_range_histogram",
-    "terms_component",
-    "term_vector_doc",
-    # new round-5 registrations (never driver-checked yet) — appended as
-    # they land so they share the window with the stale set above.
-    "synonym_expand_topk",
-    "shingle_phrase_topk",
-    "folded_match_docs",
-    "block_join_children",
-    "analyzing_parser_docs",
-    "suggest_stored_pruned",
-    "multimodal_decoded_meta",
-    "standard_parser_topk",
-    "dedup_components",
-    "doc_lm_score",
-    "edge_ngram_prefix_docs",
-    "chargram_phrase_docs",
-    "common_grams_topk",
-    "fuzzy_suggest",
-    "decontaminate_train",
-    "html_strip_topk",
+    # round 6: exactly the 50 queries whose latest green row is
+    # CORRECTNESS_r04 (everything in CORRECTNESS_r05 is one-round fresh
+    # and rotates out).  ZERO new registrations share this window — new
+    # round-6 queries land past slot 50, are verified locally via
+    # tools/replay_contract.py + pytest, and rotate into the r7 window.
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "block_join_parents",
+    "bm25_term_topk",
+    "bm25_term_topk_common",
+    "bool_and_not",
+    "bool_and_topk",
+    "bool_min_should_match",
+    "bool_or_topk",
+    "boosting_query_topk",
+    "complex_phrase_docs",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_near_pairs",
+    "events_hourly_window",
+    "events_sessionize",
+    "facet_queries",
+    "fielded_bool_topk",
+    "fielded_intervals_leaves",
+    "geo_distance_docs",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "multifield_parser_topk",
+    "multimodal_features",
+    "nb_classify_lang",
+    "ngram_phrase_topk",
+    "nonoverlapping_intervals",
+    "ordered_near",
+    "payload_term_topk",
+    "percolate_queries",
+    "phrase_topk",
+    "pivot_facet",
+    "quality_score",
+    "query_elevation_topk",
+    "sharded_count",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "simple_query_parser_topk",
+    "spell_suggest",
+    "stats_over_hits",
+    "suggest_infix_pruned",
+    "surround_query_docs",
+    "sweet_spot_topk",
+    "taxonomy_drill_sideways",
+    "taxonomy_facet_drilldown",
+    "taxonomy_sum_associations",
+    "token_stats",
+    "unordered_near",
+    "xml_query_docs",
 ]
 
 

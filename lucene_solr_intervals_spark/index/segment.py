@@ -358,11 +358,16 @@ def _docs_sidecar_row(seg: int, tok: pd.DataFrame) -> dict:
     sumTotalTermFreq, the avgdl numerator (BM25Similarity.java:82-89)."""
     ids = tok["doc_id"].to_numpy(dtype=np.int64)
     doclens = tok["doclen"].to_numpy(dtype=np.int64)
-    n_tok = (
-        tok["n_tok"].to_numpy(dtype=np.int64)
-        if "n_tok" in tok.columns
-        else doclens
-    )
+    if "n_tok" in tok.columns:
+        # fillna: rows from pre-n_tok parquet files arrive as null in a
+        # mixed-schema index — treat them as doclen (exact for non-overlap
+        # analyzers, same rule as the column-absent fallback below).
+        n_tok = (
+            tok["n_tok"].astype("float64").fillna(pd.Series(doclens, index=tok.index))
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        n_tok = doclens
     nbs = tok["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
     shas = "".join(tok["sha256"]).encode("ascii")
     return {
@@ -749,7 +754,15 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "docs"))
+    # mergeSchema: a mixed-generation index (pre-n_tok segments + newer
+    # appends) must surface n_tok-as-null for the old files rather than
+    # silently adopting whichever file's schema Spark samples first —
+    # otherwise real n_tok data in new segments is dropped and merge's
+    # removed_ttf accounting drifts.  Footer merging is a distributed
+    # job over file metadata only (cheap relative to any docs scan).
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(index_dir, "docs")
+    )
 
 
 def load_norms(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1032,6 +1045,12 @@ def merge_segments(
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
     if "n_tok" not in docs.columns:  # pre-n_tok indexes
         docs = docs.withColumn("n_tok", F.col("doclen"))
+    else:
+        # Mixed-schema indexes (old segments + NRT appends): pre-upgrade
+        # parquet files read n_tok as null — normalize to doclen so the
+        # removed_ttf sum cannot silently undercount and the sidecar cast
+        # cannot hit NaN.
+        docs = docs.withColumn("n_tok", F.coalesce(F.col("n_tok"), F.col("doclen")))
     removed_doclen = 0
     removed_ttf = 0
     if reclaim:

@@ -440,9 +440,11 @@ def decontaminate(
         n=n,
     ).select("shingle").distinct()
     tr_sh = shingles_df(train, id_col=id_col, text_col=text_col, n=n)
+    # shingles_df always aliases the id column to "doc_id" — rename it back
+    # so the anti-join key matches the caller's id_col whatever it is named.
     contaminated = (
         tr_sh.join(F.broadcast(ev), "shingle")
-        .select(id_col)
+        .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")

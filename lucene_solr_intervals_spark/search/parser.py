@@ -192,7 +192,10 @@ class QueryParser:
                     max_e = 0
                 else:
                     max_e = min(2, int((1.0 - v) * len(body)))
-            return Q.Fuzzy(body, max_edits=max_e, boost=boost, field=field)
+            return Q.Fuzzy(
+                body, max_edits=max_e, boost=boost, field=field,
+                edits_explicit=bool(sim),
+            )
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
             return Q.Prefix(self.analyzer(t[:-1]), boost=boost, field=field)
         if "*" in t or "?" in t:
@@ -380,7 +383,7 @@ class StandardQueryParser:
             if isinstance(node, Q.Phrase) and node.slop == 0 and self._phrase_slop:
                 node = dataclasses.replace(node, slop=self._phrase_slop)
             if isinstance(node, Q.Fuzzy) and self._fuzzy_min_sim is not None:
-                if node.max_edits == 2:  # bare `term~` used the default
+                if not node.edits_explicit:  # bare `term~` used the default
                     v = self._fuzzy_min_sim
                     edits = (
                         0

@@ -214,6 +214,12 @@ class Fuzzy(Query):
     # identical prefix preserves Levenshtein distance, so the whole-string
     # predicate stays exact while the prefix becomes a pushdown-able range.
     prefix_length: int = 0
+    # True when the edit count came from an explicit `term~N` / `term~0.x`
+    # on the query string; False for bare `term~`.  StandardQueryParser's
+    # FuzzyConfig default min-sim only overrides the IMPLICIT default —
+    # an explicit similarity on the query wins (reference flexible parser
+    # FuzzyQueryNodeBuilder semantics).
+    edits_explicit: bool = True
 
 
 @dataclass(frozen=True)

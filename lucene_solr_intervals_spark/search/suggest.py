@@ -276,6 +276,10 @@ def suggest_stored(
             F.col(text_col).alias("suggestion"),
             F.col(weight_col).cast("double").alias("weight"),
         )
+        # same dedup rule as the aux path: one row per distinct stored
+        # value, max weight — both modes agree on identical inputs
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )

@@ -52,7 +52,7 @@ def test_parse_not():
 def test_parse_wildcard_prefix_fuzzy():
     assert parse("wild*") == Q.Prefix("wild")
     assert parse("wi?d") == Q.Wildcard("wi?d")
-    assert parse("fuzzy~") == Q.Fuzzy("fuzzy", max_edits=2)
+    assert parse("fuzzy~") == Q.Fuzzy("fuzzy", max_edits=2, edits_explicit=False)
     assert parse("fuzzy~1") == Q.Fuzzy("fuzzy", max_edits=1)
 
 
