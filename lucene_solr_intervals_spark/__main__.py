@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--id-col", default=None)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--codec", default="varbyte",
-                   help="postings codec name (codecs.registry: varbyte, plain32)")
+                   help="postings codec name (codecs.registry: varbyte, plain32, for128)")
 
     m = sub.add_parser("merge", help="compact live segments (tiered)")
     m.add_argument("--index", required=True)

@@ -27,6 +27,10 @@ Registered codecs:
   plain32   fixed-width little-endian uint32 — trades space for pure-slice
             decode speed; values must fit 32 bits (delta-gapped doc ids,
             tfs, and position deltas do at any realistic segment size)
+  for128    frame-of-reference bit-packed 128-value blocks (ForUtil.java:36,
+            157-243) — 2-4x smaller streams than varbyte for dense postings;
+            slices must be 128-value-block aligned (the only slicing the
+            engine performs).  See forpack.py.
 """
 
 from __future__ import annotations
@@ -46,6 +50,20 @@ class IntStreamCodec:
     encode_batch: Callable[[np.ndarray, np.ndarray], list]
     decode: Callable[[bytes], np.ndarray]
     nbytes: Callable[[np.ndarray], np.ndarray]
+    # Per-value widths for a concatenation of streams (group_offsets are the
+    # stream boundaries).  None means widths are position-independent and
+    # nbytes(values) is already correct for any grouping (varbyte, plain32);
+    # block codecs whose layout restarts per stream must supply it.
+    nbytes_batch: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None
+
+
+def nbytes_grouped(
+    codec: IntStreamCodec, values: np.ndarray, group_offsets: np.ndarray
+) -> np.ndarray:
+    """Per-value encoded widths for values = concat of per-stream arrays."""
+    if codec.nbytes_batch is not None:
+        return codec.nbytes_batch(values, group_offsets)
+    return codec.nbytes(values)
 
 
 # ------------------------------------------------------------------ plain32
@@ -88,7 +106,18 @@ PLAIN32 = IntStreamCodec(
     nbytes=_p32_nbytes,
 )
 
-CODECS: dict[str, IntStreamCodec] = {c.name: c for c in (VARBYTE, PLAIN32)}
+from . import forpack as _for  # noqa: E402
+
+FOR128 = IntStreamCodec(
+    name="for128",
+    encode=_for.for_encode,
+    encode_batch=_for.for_encode_batch,
+    decode=_for.for_decode,
+    nbytes=_for.for_nbytes,
+    nbytes_batch=_for.for_nbytes_batch,
+)
+
+CODECS: dict[str, IntStreamCodec] = {c.name: c for c in (VARBYTE, PLAIN32, FOR128)}
 
 
 def register_codec(codec: IntStreamCodec) -> None:

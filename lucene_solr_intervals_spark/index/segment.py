@@ -237,9 +237,13 @@ def _invert_occurrences(
     )
 
     # skip data: byte offset of each block start within its term's encoded
-    # doc_ids / tfs buffers (one vectorized pass over per-value byte counts)
-    id_nb = codec.nbytes(doc_deltas.astype(np.uint64))
-    tf_nb = codec.nbytes(tfs_all.astype(np.uint64))
+    # doc_ids / tfs buffers (one vectorized pass over per-value byte counts).
+    # Grouped form: a block codec's layout restarts at each term's stream
+    # start, so widths must be computed per term run, not over the concat.
+    from ..codecs.registry import nbytes_grouped
+
+    id_nb = nbytes_grouped(codec, doc_deltas.astype(np.uint64), term_run_offsets)
+    tf_nb = nbytes_grouped(codec, tfs_all.astype(np.uint64), term_run_offsets)
     id_bs = np.zeros(run_term.size, dtype=np.int64)
     id_bs[1:] = np.cumsum(id_nb)[:-1]
     tf_bs = np.zeros(run_term.size, dtype=np.int64)
@@ -1192,7 +1196,7 @@ def _postings_check_udf(codec_name: str):
                     msgs.append(f"ttf {ttfx} != {int(tf.sum())}")
                 if ids.size > 1 and not bool(np.all(np.diff(ids) > 0)):
                     msgs.append("doc_ids not strictly increasing")
-                pos = unpack_positions(pb, tf)
+                pos = unpack_positions(pb, tf, codec)
                 if sum(len(p) for p in pos) != int(tf.sum()):
                     msgs.append("positions count != ttf")
                 if any(

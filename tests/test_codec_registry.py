@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 
 from lucene_solr_intervals_spark.codecs.registry import (
     CODECS,
+    FOR128,
     PLAIN32,
     VARBYTE,
     IntStreamCodec,
@@ -28,7 +29,7 @@ def test_forname_resolves_and_rejects():
         get_codec("lucene41")
 
 
-@pytest.mark.parametrize("codec", [VARBYTE, PLAIN32], ids=lambda c: c.name)
+@pytest.mark.parametrize("codec", [VARBYTE, PLAIN32, FOR128], ids=lambda c: c.name)
 @given(vals=st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=200))
 @settings(max_examples=50, deadline=None)
 def test_roundtrip(codec, vals):
@@ -36,7 +37,7 @@ def test_roundtrip(codec, vals):
     assert np.array_equal(codec.decode(codec.encode(a)), a)
 
 
-@pytest.mark.parametrize("codec", [VARBYTE, PLAIN32], ids=lambda c: c.name)
+@pytest.mark.parametrize("codec", [VARBYTE, PLAIN32, FOR128], ids=lambda c: c.name)
 def test_encode_batch_matches_per_group(codec):
     rng = np.random.default_rng(7)
     vals = rng.integers(0, 1 << 20, size=500).astype(np.uint64)
@@ -46,7 +47,7 @@ def test_encode_batch_matches_per_group(codec):
         assert bufs[i] == codec.encode(vals[offs[i] : offs[i + 1]])
 
 
-@pytest.mark.parametrize("codec", [VARBYTE, PLAIN32], ids=lambda c: c.name)
+@pytest.mark.parametrize("codec", [VARBYTE, PLAIN32, FOR128], ids=lambda c: c.name)
 def test_nbytes_consistent_with_encode(codec):
     rng = np.random.default_rng(11)
     vals = rng.integers(0, 1 << 28, size=300).astype(np.uint64)
@@ -66,7 +67,7 @@ def test_decode_selected_blocks_any_codec():
 
     rng = np.random.default_rng(3)
     vals = rng.integers(0, 1 << 16, size=400).astype(np.uint64)
-    for codec in (VARBYTE, PLAIN32):
+    for codec in (VARBYTE, PLAIN32, FOR128):
         buf = codec.encode(vals)
         bs = block_byte_starts(codec.nbytes(vals))
         sel = np.array([True, False, True, False], dtype=bool)[: bs.size]
