@@ -89,14 +89,38 @@ def _unpack_width_bits(packed2d: np.ndarray, w: int, c: int) -> np.ndarray:
     return out.view(dt).reshape(k, c).astype(np.uint64)
 
 
+def _unpack_width_small(packed2d: np.ndarray, w: int, c: int) -> np.ndarray:
+    """Shift-based unpack for w <= 8 — the high-volume widths (dense doc-id
+    gaps, tfs, position deltas).  Every 8 consecutive values occupy exactly
+    w bytes; one group zero-pads to a u64, then 8 vectorized shift+mask ops
+    yield all values — ~1 u64 op per value, no 8-byte-per-value gather
+    window (8-21x less intermediate traffic at small widths)."""
+    k = packed2d.shape[0]
+    g = (c + 7) >> 3  # value groups of 8
+    need = g * w
+    if packed2d.shape[1] < need:  # short last block: bit-count < group pad
+        tmp = np.zeros((k, need), dtype=np.uint8)
+        tmp[:, : packed2d.shape[1]] = packed2d
+        packed2d = tmp
+    padded = np.zeros((k, g, 8), dtype=np.uint8)
+    padded[:, :, :w] = packed2d[:, :need].reshape(k, g, w)
+    words = padded.reshape(k, g * 8).view("<u8").reshape(k, g)
+    out = np.empty((k, g, 8), dtype=np.uint64)
+    mask = np.uint64((1 << w) - 1)
+    for j in range(8):
+        out[:, :, j] = (words >> np.uint64(j * w)) & mask
+    return np.ascontiguousarray(out.reshape(k, g * 8)[:, :c])
+
+
 def _unpack_width(packed2d: np.ndarray, w: int, c: int) -> np.ndarray:
     """(k, ceil(c*w/8)) uint8 -> (k, c) uint64 — inverse of _pack_width.
 
-    Hot path (w <= 56, i.e. every realistic postings stream): gather an
-    8-byte little-endian window at each value's byte offset, view as u64,
-    shift by the in-byte bit offset, mask to w bits — three SIMD-friendly
-    ops, no bit-tensor blow-up (the decode side is the memory-bandwidth pin
-    the round-5 batch-scaling diagnosis found, so intermediates matter).
+    w <= 8: shift-based group unpack (see _unpack_width_small).
+    8 < w <= 56 (every realistic postings stream): gather an 8-byte
+    little-endian window at each value's byte offset, view as u64, shift by
+    the in-byte bit offset, mask to w bits — three SIMD-friendly ops, no
+    bit-tensor blow-up (the decode side is the memory-bandwidth pin the
+    round-5 batch-scaling diagnosis found, so intermediates matter).
     Value j starts at bit j*w; since bit_off <= 7, bit_off + w <= 63 < 64
     keeps the whole value inside one window.  w > 56 (never produced by
     delta-gapped ids/tfs/positions, but legal uint64 input) falls back to
@@ -104,6 +128,8 @@ def _unpack_width(packed2d: np.ndarray, w: int, c: int) -> np.ndarray:
     k = packed2d.shape[0]
     if w == 0:
         return np.zeros((k, c), dtype=np.uint64)
+    if w <= 8:
+        return _unpack_width_small(packed2d, w, c)
     if w > 56:
         return _unpack_width_bits(packed2d, w, c)
     byte_off = (np.arange(c, dtype=np.int64) * w) >> 3
@@ -231,17 +257,18 @@ def for_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    # sequential header walk (data-dependent offsets)
+    # sequential header walk (data-dependent offsets); Python-bytes indexing
+    # is ~3x numpy scalar indexing here, and the walk is the only per-block
+    # Python in the decode
+    bb = buf if isinstance(buf, bytes) else bytes(buf)
     hdr_off: list[int] = []
     widths: list[int] = []
     counts: list[int] = []
     pos = 0
     n = b.size
     while pos < n:
-        w = int(b[pos])
-        c = int(b[pos + 1])
-        if c == 0:
-            c = BLOCK
+        w = bb[pos]
+        c = bb[pos + 1] or BLOCK
         hdr_off.append(pos)
         widths.append(w)
         counts.append(c)
