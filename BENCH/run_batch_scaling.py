@@ -63,7 +63,7 @@ def run_child(cpus: int, index_dir: str, batch: int, inner: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def build_once(index_dir: str, docs: int, segments: int) -> None:
+def build_once(index_dir: str, docs: int, segments: int, codec: str) -> None:
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
 from lucene_solr_intervals_spark.session import get_spark
@@ -73,7 +73,8 @@ spark = get_spark(app_name="batch-scale-build", master="local[32]", shuffle_part
 spark.sparkContext.setLogLevel("ERROR")
 corpus = generate_corpus(spark, {docs})
 build_segments(corpus, {index_dir!r}, n_segments={segments}, id_col="doc_id",
-               text_col="content", analyzer="code", n_docs_hint={docs})
+               text_col="content", analyzer="code", n_docs_hint={docs},
+               codec={codec!r})
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
@@ -90,12 +91,15 @@ def main() -> None:
     ap.add_argument("--inner", type=int, default=3)
     ap.add_argument("--index-dir", default="/tmp/lsi_batch_scale_idx")
     ap.add_argument("--skip-build", action="store_true")
-    ap.add_argument("--tag", default="r5")
+    ap.add_argument("--codec", default="for128",
+                    help="postings codec for the built index (the r5 run was "
+                         "varbyte; r6+ measures the FOR-packed default)")
+    ap.add_argument("--tag", default="r6")
     args = ap.parse_args()
 
     if not args.skip_build:
         print(f"[batch-scaling] building {args.docs} docs once ...", flush=True)
-        build_once(args.index_dir, args.docs, args.segments)
+        build_once(args.index_dir, args.docs, args.segments, args.codec)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from run_scaling import measure_cpu_ceiling
@@ -116,6 +120,7 @@ def main() -> None:
     hi = max(r["qps"] for r in runs[args.high])
     result = {
         "corpus_docs": args.docs,
+        "codec": args.codec,
         "batch": args.batch,
         "levels": [args.low, args.high],
         "qps_low_best": round(lo, 1),

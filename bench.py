@@ -17,7 +17,18 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default 32) -> master local[N], shuffle=2N
   BENCH_CORPUS_DOCS    (default 20000) F1 corpus size
+  BENCH_CODEC          (default for128) postings codec for the packed build
+  BENCH_NO_CONTROL=1   skip the pinned-clone control run
   BENCH_OUT            optional path to also write the JSON
+
+Same-window control: this shared box sees ~10x background load waves, so a
+round-over-round comparison of two absolute battery numbers taken hours
+apart is meaningless (round 5's official artifact inflated 38% while a
+same-day controlled A/B was flat).  Unless BENCH_NO_CONTROL=1, the battery
+first runs a PINNED round-5 clone (git archive of CONTROL_COMMIT) as a
+subprocess in the same window, brackets both runs with a fixed numpy
+cpu-probe, and reports control totals + the current/control ratio — the
+ratio, not the absolute seconds, is the load-invariant headline.
 """
 
 from __future__ import annotations
@@ -25,11 +36,59 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 import pandas as pd
+
+# the tree the round-5 driver bench measured (commit just before the r5
+# artifacts were recorded)
+CONTROL_COMMIT = "71787b9"
+
+
+def _cpu_probe() -> float:
+    """Fixed-size numpy workload (seconds) — a load-level gauge for the slot
+    it runs in; identical work every call."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.time()
+    for _ in range(6):
+        a = a @ a
+        a /= np.abs(a).max()
+    return round(time.time() - t0, 3)
+
+
+def _run_control(repo: str) -> dict | None:
+    """Materialize the pinned control tree and run its full battery as a
+    subprocess (before this process starts its own Spark JVM, so the two
+    runs never contend).  Returns the control's JSON dict or None."""
+    ctl_dir = f"/tmp/lsi_control_{CONTROL_COMMIT}"
+    try:
+        if not os.path.exists(os.path.join(ctl_dir, "bench.py")):
+            os.makedirs(ctl_dir, exist_ok=True)
+            ar = subprocess.run(
+                ["git", "-C", repo, "archive", CONTROL_COMMIT],
+                capture_output=True, check=True,
+            )
+            subprocess.run(
+                ["tar", "-x", "-C", ctl_dir], input=ar.stdout, check=True
+            )
+        env = dict(os.environ)
+        env["BENCH_NO_CONTROL"] = "1"
+        env.pop("BENCH_OUT", None)
+        out = subprocess.run(
+            [sys.executable, "bench.py"], cwd=ctl_dir, env=env,
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"err": (out.stderr or "no JSON line")[-500:]}
+    except Exception as e:  # control must never fail the round's bench
+        return {"err": repr(e)[:500]}
 
 
 def main() -> None:
@@ -47,6 +106,18 @@ def main() -> None:
     from lucene_solr_intervals_spark.search.executor import Searcher
     from lucene_solr_intervals_spark.search.wand import SegmentSearcher, search_segments
     from lucene_solr_intervals_spark.session import get_spark
+
+    codec = os.environ.get("BENCH_CODEC", "for128")
+    control = None
+    probe_control = probe_current = None
+    if (
+        os.environ.get("BENCH_NO_CONTROL", "") != "1"
+        and os.environ.get("BENCH_FAST", "") != "1"
+    ):
+        repo = os.path.dirname(os.path.abspath(__file__))
+        probe_control = _cpu_probe()
+        control = _run_control(repo)
+        probe_current = _cpu_probe()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(
@@ -70,7 +141,14 @@ def main() -> None:
     spark.range(0, cpus * 4, numPartitions=cpus * 4).select(_warm(_F.col("id"))).count()
 
     queries: dict[str, float] = {}
-    extras: dict = {"cpus": cpus, "sf_dir": sf_dir, "corpus_docs": n_corpus}
+    extras: dict = {
+        "cpus": cpus, "sf_dir": sf_dir, "corpus_docs": n_corpus, "codec": codec,
+    }
+    if control is not None:
+        extras["control_commit"] = CONTROL_COMMIT
+        extras["control"] = control
+        extras["cpu_probe_control_slot_sec"] = probe_control
+        extras["cpu_probe_current_slot_sec"] = probe_current
 
     def timed(name: str, fn):
         t0 = time.time()
@@ -103,6 +181,7 @@ def main() -> None:
         lambda: build_segments(
             corpus, index_dir, n_segments=n_segments, id_col="doc_id",
             text_col="content", analyzer="code", n_docs_hint=n_corpus,
+            codec=codec,
         ),
     )
     extras["segments_build_files_per_sec"] = round(
@@ -249,6 +328,20 @@ def main() -> None:
     timed("cosine_top10", lambda: cosine_topk(emb, qvec, k=10).collect())
 
     total = time.time() - total0
+    if control is not None and isinstance(control.get("value"), (int, float)):
+        extras["vs_control_ratio"] = round(total / control["value"], 3)
+        cq = control.get("queries", {})
+        shared = [n for n in queries if n in cq and cq[n] > 0]
+        if shared:  # per-phase geomean is robust to one outlier phase
+            import math
+
+            extras["vs_control_phase_geomean"] = round(
+                math.exp(
+                    sum(math.log(max(queries[n], 1e-4) / cq[n]) for n in shared)
+                    / len(shared)
+                ),
+                3,
+            )
     out = {
         "metric": "index-build files/sec + BM25 top-10 battery",
         "value": round(total, 3),
