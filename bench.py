@@ -303,6 +303,11 @@ def main() -> None:
         lambda: s.search(Q.Boolean(should=(Q.Term("vector"), Q.Term("window"))), k=10).collect(),
     )
     timed("df_phrase_top10", lambda: s.search(Q.Phrase(("table", "hash")), k=10).collect())
+    # classic SloppyPhraseScorer, vectorized no-repeats kernel (csloppy2)
+    timed(
+        "df_sloppy_phrase_top10",
+        lambda: s.search(Q.Phrase(("table", "hash"), slop=4), k=10).collect(),
+    )
     timed(
         "df_ordered_near_top10",
         lambda: s.search(Q.OrderedNear(3, (Q.Term("vector"), Q.Term("window"))), k=10).collect(),

@@ -181,6 +181,98 @@ def sloppy_pairs_2(
     return uniq, cnt, sf
 
 
+def classic_sloppy_2(
+    akeys: np.ndarray, bkeys: np.ndarray, slop: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SloppyPhraseScorer walk for a TWO-distinct-term phrase, vectorized
+    across docs (the no-repeats fast path the per-doc Python walk in
+    search/sloppy.py otherwise runs at interpreter speed).
+
+    akeys/bkeys are offset-ADJUSTED keys: doc*stride + (pos - offset + C)
+    with a constant C >= max offset so adjusted positions stay >= 0.
+
+    Why this is the same walk (SloppyPhraseScorer.java:117-147): with two
+    PhrasePositions, `end` (the running max) always equals the stationary
+    pointer's position, so the walk is a sequence of consumption SEGMENTS —
+    the advancing (minimum) pointer consumes its positions while <= next
+    (ties consumed: the crossing test is strictly `>`), the final
+    matchLength is next - (largest advancing position <= next), one match
+    is scored per segment (matchLength <= slop), and the roles swap with
+    next = the position that crossed.  Exhaustion ends the walk after the
+    current segment's score — identical to the loop-exit count.  Each
+    segment is one numpy step over all still-active docs: per-doc cost is
+    O(#role-swaps) vector ops, not O(#positions) interpreted ops.
+    Equality with the transcribed walk is pinned by property tests and the
+    TestSloppyPhraseQuery goldens (tests/test_classic_sloppy_vectorized.py).
+
+    Returns (docs, n_matches, sloppy_freq) for docs with >= 1 match.
+    """
+    empty = _EMPTY, _EMPTY, np.empty(0, dtype=np.float64)
+    if akeys.size == 0 or bkeys.size == 0:
+        return empty
+    adocs = akeys // stride
+    bdocs = bkeys // stride
+    docs = np.intersect1d(adocs[np.concatenate([[True], adocs[1:] != adocs[:-1]])],
+                          bdocs[np.concatenate([[True], bdocs[1:] != bdocs[:-1]])])
+    if docs.size == 0:
+        return empty
+    a_lo = np.searchsorted(akeys, docs * stride, side="left")
+    a_hi = np.searchsorted(akeys, (docs + 1) * stride, side="left")
+    b_lo = np.searchsorted(bkeys, docs * stride, side="left")
+    b_hi = np.searchsorted(bkeys, (docs + 1) * stride, side="left")
+
+    n = docs.size
+    ia = a_lo.copy()
+    ib = b_lo.copy()
+    va = akeys[ia]
+    vb = bkeys[ib]
+    # initial advancing pp = lesser by (position, offset); term0 has the
+    # smaller offset, so it wins position ties
+    adv_is_a = va <= vb
+    nxt = np.where(adv_is_a, vb, va)
+    n_match = np.zeros(n, dtype=np.int64)
+    freq = np.zeros(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+    while active.any():
+        ai = np.flatnonzero(active)
+        adv_a = adv_is_a[ai]
+        ml = np.empty(ai.size, dtype=np.int64)
+        nxt_i = np.empty(ai.size, dtype=np.int64)
+        exhausted = np.empty(ai.size, dtype=bool)
+        for is_a, keys, hi in ((True, akeys, a_hi), (False, bkeys, b_hi)):
+            m = adv_a == is_a
+            if not m.any():
+                continue
+            rows = ai[m]
+            # largest advancing position <= next (ties consumed)
+            pred = np.searchsorted(keys, nxt[rows], side="right") - 1
+            ml[m] = nxt[rows] - keys[pred]
+            nxt_i[m] = pred + 1
+            exhausted[m] = pred + 1 >= hi[rows]
+        hit = ml <= slop
+        np.add.at(n_match, ai[hit], 1)
+        np.add.at(freq, ai[hit], 1.0 / (ml[hit] + 1.0))
+        cont = ~exhausted
+        rows = ai[cont]
+        if rows.size:
+            # crossing: old advancing pointer lands past next and becomes
+            # stationary; the other pointer (at old next) advances
+            ni = nxt_i[cont]
+            # both np.where branches evaluate: clip the other list's index
+            new_next = np.where(
+                adv_a[cont],
+                akeys[np.minimum(ni, akeys.size - 1)],
+                bkeys[np.minimum(ni, bkeys.size - 1)],
+            )
+            ia[rows] = np.where(adv_a[cont], nxt_i[cont], ia[rows])
+            ib[rows] = np.where(adv_a[cont], ib[rows], nxt_i[cont])
+            nxt[rows] = new_next
+            adv_is_a[rows] = ~adv_a[cont]
+        active[ai[exhausted]] = False
+    sel = n_match > 0
+    return docs[sel], n_match[sel], freq[sel]
+
+
 # --------------------------------------------------------------- dispatch
 
 
@@ -188,22 +280,32 @@ def fast_shape(q) -> tuple | None:
     """Return a vectorizable descriptor for `q`, or None -> iterator path.
 
       ("phrase", terms)            exact phrase, any length / repeats
-      ("sloppy2", a, b, slop)      2-distinct-term sloppy phrase
+      ("sloppy2", a, b, slop)      2-distinct-term sloppy phrase (intervals)
+      ("csloppy2", a, b, slop)     2-distinct-term sloppy phrase (classic
+                                   SloppyPhraseScorer walk, vectorized)
       ("ordered2", a, b, slop)     OrderedNear of two Terms
       ("unordered2", a, b, slop)   UnorderedNear of two Terms (adjusted)
     """
     if isinstance(q, Q.Phrase):
         if q.slop == 0 and len(q.terms) >= 1:
             return ("phrase", tuple(q.terms))
-        # sloppy2 implements the INTERVALS-module semantics; a classic-scorer
-        # phrase (SloppyPhraseScorer walk) must take its dedicated kernel
+        if q.slop > 0 and len(q.terms) == 2 and q.terms[0] != q.terms[1]:
+            # sloppy2 implements the INTERVALS-module semantics; a
+            # classic-scorer phrase runs the vectorized SloppyPhraseScorer
+            # walk (no repeats: 2 distinct terms can never collide)
+            if getattr(q, "scorer", "classic") == "intervals":
+                return ("sloppy2", q.terms[0], q.terms[1], q.slop)
+            return ("csloppy2", q.terms[0], q.terms[1], q.slop)
+        return None
+    if isinstance(q, Q.MultiPhrase) and q.slop > 0:
+        # two singleton distinct slots degenerate to the 2-term phrase walk
         if (
-            q.slop > 0
-            and len(q.terms) == 2
-            and q.terms[0] != q.terms[1]
-            and getattr(q, "scorer", "classic") == "intervals"
+            len(q.slots) == 2
+            and all(len(s) == 1 for s in q.slots)
+            and set(q.slots[0]) != set(q.slots[1])
         ):
-            return ("sloppy2", q.terms[0], q.terms[1], q.slop)
+            (a,), (b,) = tuple(q.slots[0]), tuple(q.slots[1])
+            return ("csloppy2", a, b, q.slop)
         return None
     if isinstance(q, Q.NGramPhrase):
         return ("phrase_off", q.kept_slots(), len(q.terms))
@@ -349,6 +451,12 @@ def run_shape(
     slop = shape[3]
     if kind == "sloppy2":
         return sloppy_pairs_2(a, b, slop, stride)
+    if kind == "csloppy2":
+        # classic walk runs in offset-adjusted space (pos - offset + C,
+        # C = 1 = max offset keeps positions nonnegative); term0 off 0 ->
+        # +1, term1 off 1 -> +0.  Adjusted positions stay < stride (the
+        # executor reserves len(terms) + 2 slack above maxpos).
+        return classic_sloppy_2(a + np.int64(1), b, slop, stride)
     if kind == "unordered2":
         docs = unordered_near_2(a, b, slop, stride)
     else:  # pragma: no cover

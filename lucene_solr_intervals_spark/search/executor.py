@@ -932,9 +932,11 @@ class Searcher:
         )
 
         query = q  # closure capture (dataclasses pickle fine)
-        shape = None if freq_mode == "classic_sloppy" else VK.fast_shape(q)
+        shape = VK.fast_shape(q)
+        if freq_mode == "classic_sloppy" and (shape is None or shape[0] != "csloppy2"):
+            shape = None  # repeats / k-term / multi-term slots: Python walk
 
-        if freq_mode == "classic_sloppy":
+        if freq_mode == "classic_sloppy" and shape is None:
             # SloppyPhraseScorer walk per doc (search/sloppy.py); MultiPhrase
             # slots become per-slot term sets (position unions kernel-side)
             from .sloppy import sloppy_slots_freq

@@ -513,7 +513,11 @@ class SegmentSearcher:
         elif isinstance(q, Q.MultiPhrase) and q.slop > 0:
             classic_slots = [frozenset(s) for s in q.slots]
         classic_phrase = classic_slots is not None
-        shape = None if classic_phrase else VK.fast_shape(q)
+        shape = VK.fast_shape(q)
+        if classic_phrase and (shape is None or shape[0] != "csloppy2"):
+            shape = None  # repeats / k-term / multi-term slots: Python walk
+        if classic_phrase and shape is not None:
+            freq_mode = "sloppy"  # kernel returns the walk's sloppyFreq
         codec = self.codec
 
         def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
