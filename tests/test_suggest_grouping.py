@@ -208,3 +208,45 @@ def test_suggest_infix_aux_wrong_field_guard(index):
     assert len(ok) > 0
     wrong = suggest_infix(index, "ort", k=10, field="bogus", aux=aux).collect()
     assert wrong == []
+
+
+def test_block_join_grouped_hits(spark):
+    """ToParentBlockJoinCollector analog: parent order = aggregated child
+    score, children ranked within, score modes Max/Total/Avg
+    (ToParentBlockJoinCollector.java:78, ToParentBlockJoinQuery ScoreMode)."""
+    from lucene_solr_intervals_spark.search.grouping import block_join_grouped_hits
+
+    rows = [  # (doc_id, parent, score)
+        (1, "p1", 5.0), (2, "p1", 3.0), (3, "p1", 1.0), (4, "p1", 0.5),
+        (5, "p2", 4.0), (6, "p2", 4.0),
+        (7, "p3", 6.0),
+        (8, "p4", 0.1), (9, "p4", 0.2),
+    ]
+    hits = spark.createDataFrame(rows, ["doc_id", "parent", "score"])
+    out = block_join_grouped_hits(
+        hits, "parent", k_parents=3, k_children=2, score_mode="max"
+    ).collect()
+    got = [
+        (r["parent"], r["parent_rank"], r["doc_id"], r["child_rank"], r["score"])
+        for r in sorted(out, key=lambda r: (r["parent_rank"], r["child_rank"]))
+    ]
+    # max scores: p3=6, p1=5, p2=4 (p4=0.2 cut); ties in p2 break by doc_id
+    assert got == [
+        ("p3", 1, 7, 1, 6.0),
+        ("p1", 2, 1, 1, 5.0), ("p1", 2, 2, 2, 3.0),
+        ("p2", 3, 5, 1, 4.0), ("p2", 3, 6, 2, 4.0),
+    ]
+
+    # total mode reorders: p1=9.5 > p2=8 > p3=6
+    tot = block_join_grouped_hits(
+        hits, "parent", k_parents=2, k_children=1, score_mode="total"
+    ).collect()
+    order = sorted({(r["parent_rank"], r["parent"]) for r in tot})
+    assert order == [(1, "p1"), (2, "p2")]
+
+    # avg mode: p3=6 > p2=4 > p1=2.375
+    avg = block_join_grouped_hits(
+        hits, "parent", k_parents=2, k_children=1, score_mode="avg"
+    ).collect()
+    order = sorted({(r["parent_rank"], r["parent"]) for r in avg})
+    assert order == [(1, "p3"), (2, "p2")]
