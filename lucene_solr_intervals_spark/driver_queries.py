@@ -3309,6 +3309,40 @@ def block_join_grouped_hits_q(spark, sf_dir):
     )
 
 
+@register(
+    "dfr_gl2_topk",
+    _PRELUDE
+    + _SIM_STATS
+    + f"""
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT tfp.doc_id,
+         (log2(((dft.ttf + 1.0) / (cs.n + dft.ttf + 1.0)) + 1.0)
+          + (tfp.tf * log2(1 + cs.avgdl / dl.dl))
+            * log2((1.0 + ((dft.ttf + 1.0) / (cs.n + dft.ttf + 1.0)))
+                   / ((dft.ttf + 1.0) / (cs.n + dft.ttf + 1.0))))
+         / ((tfp.tf * log2(1 + cs.avgdl / dl.dl)) + 1.0) AS score
+  FROM tfp JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term = '{T_A}'
+)
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def dfr_gl2_topk(spark, sf_dir):
+    """DFR GL2 from the full composition matrix (DFRSimilarity.java:78;
+    BasicModelG.java:34 lambda = F/(N+F), AfterEffectL.java:32,
+    NormalizationH2.java:53): score = (log2(lam+1) + tfn*log2((1+lam)/lam))
+    / (tfn+1), tfn = tf*log2(1+avgdl/dl)."""
+    from .scoring.similarities import DFR
+
+    s = Searcher(
+        get_index(spark, sf_dir),
+        corpus=get_docs(spark, sf_dir),
+        mode="sql",
+        similarity=DFR(basic_model="g", after_effect="l", normalization="h2"),
+    )
+    return _topk(s.scored(Q.Term(T_A)))
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

@@ -71,6 +71,161 @@ def _tfn_h2(tf: Column, doclen: Column, c: float, avgdl: float) -> Column:
     return tf * _log2(F.lit(1.0) + F.lit(c) * F.lit(avgdl) / doclen)
 
 
+_LOG2_E = 1.4426950408889634  # BasicModelP.java:32 LOG2_E
+_PI = 3.141592653589793
+
+
+def _tfn(
+    normalization: str,
+    c: float,
+    tf: Column,
+    ttf: Column,
+    doclen: Column,
+    avgdl: float,
+    sum_ttf: int,
+) -> Column:
+    """Normalization.tfn dispatch — the DFR/IB "second normalization".
+
+      none  tf                                 Normalization.NoNormalization
+      h1    tf * avgdl / dl                    NormalizationH1.java:50 (the
+            reference's 4.x H1 ignores its c hyper-parameter)
+      h2    tf * log2(1 + c * avgdl / dl)      NormalizationH2.java:53
+      h3    (tf + mu*(ttf+1)/(sum_ttf+1))
+              / (dl + mu) * mu, mu = c         NormalizationH3.java:44
+      z     tf * (avgdl / dl)^z, z = c         NormalizationZ.java:45
+    """
+    if normalization == "none":
+        return tf * F.lit(1.0)
+    if normalization == "h1":
+        return tf * F.lit(avgdl) / doclen
+    if normalization == "h2":
+        return tf * _log2(F.lit(1.0) + F.lit(c) * F.lit(avgdl) / doclen)
+    if normalization == "h3":
+        mu = F.lit(c)
+        g = (ttf + 1.0) / F.lit(float(sum_ttf) + 1.0)
+        return (tf + mu * g) / (doclen + mu) * mu
+    if normalization == "z":
+        return tf * F.pow(F.lit(avgdl) / doclen, F.lit(c))
+    raise ValueError(f"unknown normalization {normalization!r}")
+
+
+@dataclass(frozen=True)
+class DFR(SimilarityBase):
+    """The full DFRSimilarity composition matrix (DFRSimilarity.java:78-154):
+    score = basicModel(stats, tfn) * afterEffect(stats, tfn), with tfn from
+    the chosen normalization.  7 basic models x 3 after-effects (incl.
+    NoAfterEffect) x 5 normalizations (incl. NoNormalization), float64
+    sql-precision column expressions.
+
+      basic_model  be BasicModelBE.java:38   d  BasicModelD.java:40
+                   g  BasicModelG.java:34    if BasicModelIF.java:32
+                   in BasicModelIn.java:33   ine BasicModelIne.java:33
+                   p  BasicModelP.java:38
+      after_effect l AfterEffectL.java:32    b AfterEffectB.java:32
+                   none AfterEffect.NoAfterEffect
+      normalization / c: see _tfn (c doubles as H3's mu and Z's z)
+    """
+
+    basic_model: str = "in"
+    after_effect: str = "l"
+    normalization: str = "h2"
+    c: float = 1.0
+    name: str = "dfr"
+
+    def score_col(self, tf, df, ttf, doclen, *, n_docs, avgdl, sum_ttf):
+        tfn = _tfn(self.normalization, self.c, tf, ttf, doclen, avgdl, sum_ttf)
+        N = float(n_docs)
+        bm = self.basic_model
+        if bm == "be":
+            # BasicModelBE.java:38-49 (f(n,m) = (m+.5)*log2(n/m)+(n-m)*log2(n))
+            Fq = ttf + 1.0 + tfn
+            N2 = Fq + F.lit(N)
+
+            def fhelp(nc: Column, mc: Column) -> Column:
+                return (mc + 0.5) * _log2(nc / mc) + (nc - mc) * _log2(nc)
+
+            basic = (
+                -_log2((N2 - 1.0) * F.lit(2.718281828459045))
+                + fhelp(N2 + Fq - 1.0, N2 + Fq - tfn - 2.0)
+                - fhelp(Fq, Fq - tfn)
+            )
+        elif bm == "d":
+            # BasicModelD.java:40-49
+            Fq = ttf + 1.0 + tfn
+            phi = tfn / Fq
+            nphi = F.lit(1.0) - phi
+            p = 1.0 / (N + 1.0)
+            Dkl = phi * _log2(phi / F.lit(p)) + nphi * _log2(nphi / F.lit(1.0 - p))
+            basic = Dkl * Fq + 0.5 * _log2(F.lit(1.0) + F.lit(2.0 * _PI) * tfn * nphi)
+        elif bm == "g":
+            # BasicModelG.java:34-40 (lambda from F/(N+F))
+            Fg = ttf + 1.0
+            lam = Fg / (F.lit(N) + Fg)
+            basic = _log2(lam + 1.0) + tfn * _log2((F.lit(1.0) + lam) / lam)
+        elif bm == "if":
+            basic = tfn * _log2(F.lit(1.0) + F.lit(N + 1.0) / (ttf + 0.5))
+        elif bm == "in":
+            basic = tfn * _log2(F.lit(N + 1.0) / (df + 0.5))
+        elif bm == "ine":
+            # BasicModelIne.java:33-37: ne = N * (1 - ((N-1)/N)^F)
+            ne = F.lit(N) * (F.lit(1.0) - F.pow(F.lit((N - 1.0) / N), ttf))
+            basic = tfn * _log2(F.lit(N + 1.0) / (ne + 0.5))
+        elif bm == "p":
+            # BasicModelP.java:38-43
+            lam = (ttf + 1.0) / F.lit(N + 1.0)
+            basic = (
+                tfn * _log2(tfn / lam)
+                + (lam + F.lit(1.0) / (F.lit(12.0) * tfn) - tfn) * F.lit(_LOG2_E)
+                + 0.5 * _log2(F.lit(2.0 * _PI) * tfn)
+            )
+        else:
+            raise ValueError(f"unknown basic model {bm!r}")
+        ae = self.after_effect
+        if ae == "l":
+            after = F.lit(1.0) / (tfn + 1.0)
+        elif ae == "b":
+            # AfterEffectB.java:32-36: F = ttf+1, n = df+1
+            after = ((ttf + 1.0) + 1.0) / ((df + 1.0) * (tfn + 1.0))
+        elif ae == "none":
+            after = F.lit(1.0)
+        else:
+            raise ValueError(f"unknown after effect {ae!r}")
+        return basic * after
+
+
+@dataclass(frozen=True)
+class IB(SimilarityBase):
+    """The full IBSimilarity matrix (IBSimilarity.java:60): 2 distributions
+    x 2 lambdas x the shared normalizations.
+
+      distribution ll DistributionLL.java:34  spl DistributionSPL.java:34
+      lam          df LambdaDF.java:33 (df+1)/(N+1)
+                   ttf LambdaTTF.java:23 (ttf+1)/(N+1)
+    """
+
+    distribution: str = "ll"
+    lam: str = "df"
+    normalization: str = "h2"
+    c: float = 1.0
+    name: str = "ib"
+
+    def score_col(self, tf, df, ttf, doclen, *, n_docs, avgdl, sum_ttf):
+        tfn = _tfn(self.normalization, self.c, tf, ttf, doclen, avgdl, sum_ttf)
+        num = df if self.lam == "df" else ttf
+        if self.lam not in ("df", "ttf"):
+            raise ValueError(f"unknown lambda {self.lam!r}")
+        lam = (num + 1.0) / F.lit(float(n_docs) + 1.0)
+        if self.distribution == "ll":
+            return -F.log(lam / (tfn + lam))
+        if self.distribution == "spl":
+            # DistributionSPL.java:34-40 (lambda==1 clamped to .99)
+            lam = F.when(lam == 1.0, F.lit(0.99)).otherwise(lam)
+            return -F.log(
+                (F.pow(lam, tfn / (tfn + 1.0)) - lam) / (F.lit(1.0) - lam)
+            )
+        raise ValueError(f"unknown distribution {self.distribution!r}")
+
+
 @dataclass(frozen=True)
 class DFRInL2(SimilarityBase):
     """DFR I(n)L2 (DFRSimilarity.java:61 composition)."""
@@ -169,7 +324,9 @@ class SweetSpot(SimilarityBase):
 
 
 SIMILARITIES = {
+    "dfr": DFR,
     "dfr_inl2": DFRInL2,
+    "ib": IB,
     "ib_ll": IBLL,
     "lm_dirichlet": LMDirichlet,
     "lm_jelinek_mercer": LMJelinekMercer,

@@ -249,3 +249,161 @@ def test_sweet_spot_ranks_sweet_docs_first(spark):
     scores = {r["doc_id"]: r["score"] for r in rows}
     assert scores[0] > scores[1]
     idx.unpersist()
+
+
+# ---------------------------------------------------------- full DFR/IB matrix
+
+
+def _py_tfn(norm, c, f, ttf, dl, avgdl, sum_ttf):
+    if norm == "none":
+        return float(f)
+    if norm == "h1":
+        return f * avgdl / dl
+    if norm == "h2":
+        return f * _log2(1 + c * avgdl / dl)
+    if norm == "h3":
+        return (f + c * ((ttf + 1.0) / (sum_ttf + 1.0))) / (dl + c) * c
+    if norm == "z":
+        return f * (avgdl / dl) ** c
+    raise AssertionError(norm)
+
+
+def _py_dfr(bm, ae, norm, c, f, df, ttf, dl, n, avgdl, sum_ttf):
+    tfn = _py_tfn(norm, c, f, ttf, dl, avgdl, sum_ttf)
+    if bm == "be":
+        Fq = ttf + 1.0 + tfn
+        N2 = Fq + n
+
+        def fh(a, m):
+            return (m + 0.5) * _log2(a / m) + (a - m) * _log2(a)
+
+        basic = -_log2((N2 - 1) * math.e) + fh(N2 + Fq - 1, N2 + Fq - tfn - 2) - fh(Fq, Fq - tfn)
+    elif bm == "d":
+        Fq = ttf + 1.0 + tfn
+        phi = tfn / Fq
+        nphi = 1 - phi
+        p = 1.0 / (n + 1)
+        D = phi * _log2(phi / p) + nphi * _log2(nphi / (1 - p))
+        basic = D * Fq + 0.5 * _log2(1 + 2 * math.pi * tfn * nphi)
+    elif bm == "g":
+        Fg = ttf + 1.0
+        lam = Fg / (n + Fg)
+        basic = _log2(lam + 1) + tfn * _log2((1 + lam) / lam)
+    elif bm == "if":
+        basic = tfn * _log2(1 + (n + 1) / (ttf + 0.5))
+    elif bm == "in":
+        basic = tfn * _log2((n + 1) / (df + 0.5))
+    elif bm == "ine":
+        ne = n * (1 - ((n - 1) / n) ** ttf)
+        basic = tfn * _log2((n + 1) / (ne + 0.5))
+    elif bm == "p":
+        lam = (ttf + 1.0) / (n + 1.0)
+        basic = (
+            tfn * _log2(tfn / lam)
+            + (lam + 1 / (12 * tfn) - tfn) * _log2(math.e)
+            + 0.5 * _log2(2 * math.pi * tfn)
+        )
+    else:
+        raise AssertionError(bm)
+    if ae == "l":
+        after = 1.0 / (tfn + 1.0)
+    elif ae == "b":
+        after = ((ttf + 1.0) + 1.0) / ((df + 1.0) * (tfn + 1.0))
+    else:
+        after = 1.0
+    return basic * after
+
+
+def _py_ib(dist, lam_kind, norm, c, f, df, ttf, dl, n, avgdl, sum_ttf):
+    tfn = _py_tfn(norm, c, f, ttf, dl, avgdl, sum_ttf)
+    lam = ((df if lam_kind == "df" else ttf) + 1.0) / (n + 1.0)
+    if dist == "ll":
+        return -math.log(lam / (tfn + lam))
+    if lam == 1.0:
+        lam = 0.99
+    return -math.log((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam))
+
+
+def test_dfr_ib_full_matrix_formula_exact(spark):
+    """Every DFRSimilarity composition (7 basic models x 3 after-effects x
+    5 normalizations, DFRSimilarity.java:78-154) and every IBSimilarity
+    composition (2 distributions x 2 lambdas, IBSimilarity.java:60) as one
+    Spark select vs an independent pure-Python oracle of the reference
+    formulas, float64 bit-level (rel 1e-12)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_intervals_spark.scoring.similarities import DFR, IB
+
+    n, avgdl, sum_ttf = 50, 7.4, 370
+    rows = [  # (tf, df, ttf, dl)
+        (1.0, 3.0, 5.0, 4.0),
+        (2.0, 10.0, 40.0, 12.0),
+        (7.0, 30.0, 200.0, 7.0),
+        (1.0, 49.0, 300.0, 30.0),
+    ]
+    df_stats = spark.createDataFrame(rows, ["tf", "df", "ttf", "dl"])
+    combos, cols = [], []
+    kw = dict(n_docs=n, avgdl=avgdl, sum_ttf=sum_ttf)
+    for bm in ("be", "d", "g", "if", "in", "ine", "p"):
+        for ae in ("l", "b", "none"):
+            for norm, c in (("none", 1.0), ("h1", 1.0), ("h2", 1.0),
+                            ("h3", 800.0), ("z", 0.30)):
+                sim = DFR(basic_model=bm, after_effect=ae, normalization=norm, c=c)
+                combos.append(("dfr", bm, ae, norm, c))
+                cols.append(sim.score_col(
+                    F.col("tf"), F.col("df"), F.col("ttf"), F.col("dl"), **kw
+                ).alias(f"c{len(cols)}"))
+    for dist in ("ll", "spl"):
+        for lk in ("df", "ttf"):
+            sim = IB(distribution=dist, lam=lk, normalization="h2", c=1.0)
+            combos.append(("ib", dist, lk, "h2", 1.0))
+            cols.append(sim.score_col(
+                F.col("tf"), F.col("df"), F.col("ttf"), F.col("dl"), **kw
+            ).alias(f"c{len(cols)}"))
+    got = df_stats.select(*cols).collect()
+    assert len(combos) == 7 * 3 * 5 + 4
+    for ri, (tf, dfv, ttf, dl) in enumerate(rows):
+        for ci, combo in enumerate(combos):
+            if combo[0] == "dfr":
+                _, bm, ae, norm, c = combo
+                want = _py_dfr(bm, ae, norm, c, tf, dfv, ttf, dl, n, avgdl, sum_ttf)
+            else:
+                _, dist, lk, norm, c = combo
+                want = _py_ib(dist, lk, norm, c, tf, dfv, ttf, dl, n, avgdl, sum_ttf)
+            assert got[ri][f"c{ci}"] == pytest.approx(want, rel=1e-12), (combo, rows[ri])
+
+
+def test_dfr_matrix_end_to_end_searcher(spark, tiny_index):
+    """Representative matrix members through the full Searcher path,
+    including the composed-name registry entries."""
+    from lucene_solr_intervals_spark.scoring.similarities import DFR
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    toks, n, sum_ttf, avgdl = _corpus_stats()
+    tf, df, ttf = _tf_df_ttf("apple")
+    for bm, ae, norm, c in [("g", "l", "h2", 1.0), ("be", "b", "h1", 1.0),
+                            ("p", "l", "z", 0.30), ("ine", "b", "h3", 800.0)]:
+        sim = DFR(basic_model=bm, after_effect=ae, normalization=norm, c=c)
+        s = Searcher(idx, corpus=corpus, mode="sql", similarity=sim)
+        got = {r["doc_id"]: r["score"] for r in s.scored(Q.Term("apple")).collect()}
+        for d, f in tf.items():
+            dl = float(len(toks[d]))
+            want = _py_dfr(bm, ae, norm, c, f, df, ttf, dl, n, avgdl, sum_ttf)
+            assert got[d] == pytest.approx(want, rel=1e-9), (bm, ae, norm, d)
+
+
+def test_dfr_inl2_legacy_equals_matrix_member(spark, tiny_index):
+    """The pre-existing DFRInL2 is the (in, l, h2) matrix member."""
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    corpus, idx = tiny_index
+    a = Searcher(idx, corpus=corpus, mode="sql", similarity="dfr_inl2")
+    from lucene_solr_intervals_spark.scoring.similarities import DFR
+
+    b = Searcher(idx, corpus=corpus, mode="sql",
+                 similarity=DFR(basic_model="in", after_effect="l",
+                                normalization="h2"))
+    ga = sorted((r["doc_id"], r["score"]) for r in a.scored(Q.Term("apple")).collect())
+    gb = sorted((r["doc_id"], r["score"]) for r in b.scored(Q.Term("apple")).collect())
+    assert ga == gb
