@@ -3343,6 +3343,37 @@ def dfr_gl2_topk(spark, sf_dir):
     return _topk(s.scored(Q.Term(T_A)))
 
 
+@register(
+    "analyzing_suggest",
+    """
+WITH sugg AS (
+  SELECT array_to_string(
+           list_filter(string_split_regex(lower(p_name), '[^a-z]+'),
+                       x -> x <> ''), chr(31)) AS key,
+         p_name AS suggestion, CAST(p_size AS DOUBLE) AS weight
+  FROM part
+)
+SELECT suggestion, weight FROM sugg
+WHERE starts_with(key, 'small' || chr(31) || 'g')
+ORDER BY (key = 'small' || chr(31) || 'g') DESC, weight DESC,
+         key ASC, suggestion ASC
+LIMIT 10
+""",
+)
+def analyzing_suggest(spark, sf_dir):
+    """AnalyzingSuggester (analyzing/AnalyzingSuggester.java:115): the query
+    'SMALL  G' and the stored part names both run through the simple
+    (letter+lowercase) chain; completions match on the ANALYZED key with a
+    token separator (PRESERVE_SEP), ranked by stored weight descending."""
+    from .search.suggest import suggest_analyzing
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return suggest_analyzing(
+        part, "SMALL  G", k=10, text_col="p_name", weight_col="p_size",
+        analyzer="simple",
+    )
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

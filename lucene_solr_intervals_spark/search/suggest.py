@@ -22,6 +22,7 @@ terms and must stay distributed.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves annotations here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -283,6 +284,85 @@ def suggest_stored(
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+SEP = "\x1f"  # AnalyzingSuggester SEP_LABEL role (token separator byte)
+
+
+def build_analyzing_index(
+    df: DataFrame,
+    text_col: str,
+    weight_col: str,
+    analyzer: str = "simple",
+    preserve_sep: bool = True,
+) -> DataFrame:
+    """AnalyzingSuggester index side (analyzing/AnalyzingSuggester.java:115
+    FST<Weight,Surface>): each stored suggestion is ANALYZED at index time
+    and keyed by its analyzed form (tokens joined by a separator when
+    PRESERVE_SEP, concatenated otherwise); the surface (original) string
+    and weight ride along.  The sorted-FST role maps to a key-sorted
+    relation with a pushdown-able startswith range — one Arrow-batched
+    analysis pass, no per-row Python in the plan beyond it."""
+    from ..analysis.tokenizer import ANALYZERS
+
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    sep = SEP if preserve_sep else ""
+
+    @F.pandas_udf("string")
+    def _key(texts: pd.Series) -> pd.Series:
+        fn = ANALYZERS[analyzer]
+        return texts.map(lambda t: sep.join(fn(t)[0]) if t is not None else "")
+
+    return (
+        df.select(
+            _key(F.col(text_col)).alias("key"),
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("double").alias("weight"),
+        )
+        .where(F.col("key") != "")  # un-analyzable suggestions are dropped
+        .sortWithinPartitions("key")
+    )
+
+
+def suggest_analyzing(
+    source: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    text_col: str | None = None,
+    weight_col: str | None = None,
+    analyzer: str = "simple",
+    preserve_sep: bool = True,
+    exact_first: bool = True,
+) -> DataFrame:
+    """AnalyzingSuggester lookup (AnalyzingSuggester.java:86 class doc):
+    the query is analyzed with the same chain, completions are suggestions
+    whose ANALYZED form starts with the analyzed query, ranked by weight
+    descending (FST cost = MAX - weight), ties broken by analyzed form then
+    surface; EXACT_FIRST returns exact analyzed matches first.  Analysis
+    merges surface forms — "The Ghost" and "ghost" share the key "ghost"
+    under a stop+lowercase chain and both surface for query "gho".
+
+    `source` is either a prebuilt build_analyzing_index relation or a raw
+    stored-field DataFrame (pass text_col/weight_col to analyze inline).
+    An empty analyzed query returns no results (reference limitation list:
+    "Lookups with the empty string return no results")."""
+    from ..analysis.tokenizer import ANALYZERS
+
+    if text_col is not None:
+        source = build_analyzing_index(
+            source, text_col, weight_col, analyzer, preserve_sep
+        )
+    sep = SEP if preserve_sep else ""
+    qkey = sep.join(ANALYZERS[analyzer](query)[0])
+    if not qkey:
+        return source.select("suggestion", "weight").limit(0)
+    hits = source.where(F.col("key").startswith(qkey))
+    order = [F.desc("weight"), F.asc("key"), F.asc("suggestion")]
+    if exact_first:
+        order = [F.desc((F.col("key") == qkey).cast("int"))] + order
+    return hits.orderBy(*order).limit(k).select("suggestion", "weight")
 
 
 _FUZZY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789_"

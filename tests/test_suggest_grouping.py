@@ -250,3 +250,53 @@ def test_block_join_grouped_hits(spark):
     ).collect()
     order = sorted({(r["parent_rank"], r["parent"]) for r in avg})
     assert order == [(1, "p3"), (2, "p2")]
+
+
+def test_analyzing_suggester(spark):
+    """AnalyzingSuggester (AnalyzingSuggester.java:86): analyzed-key prefix
+    match, weight-descending, EXACT_FIRST, surface-form merging under the
+    stop+lowercase chain, empty analyzed query -> no results."""
+    from lucene_solr_intervals_spark.search.suggest import (
+        build_analyzing_index,
+        suggest_analyzing,
+    )
+
+    rows = [
+        ("The Ghost", 5.0),
+        ("ghost", 3.0),
+        ("Ghost Story", 9.0),
+        ("guitar", 2.0),
+        ("a the of", 1.0),  # analyzes to nothing: dropped at build
+    ]
+    df = spark.createDataFrame(rows, ["title", "views"])
+    aux = build_analyzing_index(df, "title", "views", analyzer="stop").persist()
+
+    # "The Ghost" and "ghost" merge on key "ghost"; "gho" completes all 3
+    got = [(r["suggestion"], r["weight"]) for r in
+           suggest_analyzing(aux, "gho", k=10, analyzer="stop").collect()]
+    assert got == [("Ghost Story", 9.0), ("The Ghost", 5.0), ("ghost", 3.0)]
+
+    # EXACT_FIRST: exact analyzed matches outrank the heavier completion
+    got = [(r["suggestion"], r["weight"]) for r in
+           suggest_analyzing(aux, "the GHOST", k=10, analyzer="stop").collect()]
+    assert got == [("The Ghost", 5.0), ("ghost", 3.0), ("Ghost Story", 9.0)]
+    # ... and without it, pure weight order
+    got = [(r["suggestion"], r["weight"]) for r in
+           suggest_analyzing(aux, "the GHOST", k=10, analyzer="stop",
+                             exact_first=False).collect()]
+    assert got == [("Ghost Story", 9.0), ("The Ghost", 5.0), ("ghost", 3.0)]
+
+    # multi-token prefix with PRESERVE_SEP: "ghost s" -> key "ghost\x1fs"
+    got = [r["suggestion"] for r in
+           suggest_analyzing(aux, "ghost s", k=10, analyzer="stop").collect()]
+    assert got == ["Ghost Story"]
+
+    # stop-analyzed empty query returns no results (reference limitation)
+    assert suggest_analyzing(aux, "the", k=10, analyzer="stop").collect() == []
+
+    # inline (no prebuilt aux) path agrees
+    inline = [(r["suggestion"], r["weight"]) for r in
+              suggest_analyzing(df, "gho", k=10, text_col="title",
+                                weight_col="views", analyzer="stop").collect()]
+    assert inline == [("Ghost Story", 9.0), ("The Ghost", 5.0), ("ghost", 3.0)]
+    aux.unpersist()
