@@ -136,6 +136,65 @@ def ivf_assignments(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int | None = None,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means training for the IVF coarse quantizer (the
+    assignment-iteration + mean-aggregate loop; faiss-style IVF training,
+    here over the same ivf_assignments job the index uses).
+
+    Deterministic: init = `n_centroids` id-evenly-spaced data vectors
+    (spread beats first-k when ids correlate with content); each iteration
+    is ONE assignment pass (broadcast centroids, map-side-combinable
+    argmax) + ONE elementwise mean aggregate; only the k x dim centroid
+    matrix ever reaches the driver.  Centroid means are L2-normalized
+    (spherical) so argmax-dot assignment == cosine assignment regardless of
+    data norms; a cluster that empties keeps its previous centroid.
+    Default n_centroids ~ sqrt(n) (the standard IVF sizing)."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    if n_centroids is None:
+        n_centroids = max(2, int(round(n ** 0.5)))
+    n_centroids = min(n_centroids, n)
+    w = Window.orderBy(F.col(id_col))
+    step = max(1, n // n_centroids)
+    init_rows = (
+        embeddings.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col))
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .where(F.col("rn") % step == 0)
+        .orderBy("rn")
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def _norm(v: list[float]) -> list[float]:
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v] if s > 0 else list(v)
+
+    cents = [(i, _norm([float(x) for x in r[1]])) for i, r in enumerate(init_rows)]
+    for _ in range(iters):
+        assigned = ivf_assignments(embeddings, cents, id_col, vec_col)
+        rows = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (c, _norm([by_cid[c][p] for p in sorted(by_cid[c])]) if c in by_cid else v)
+            for c, v in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -144,22 +203,26 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN (the second scale path beside LSH): coarse-quantize to
-    sampled centroids, probe the query's top-`nprobe` inverted lists, exact
-    cosine rerank inside them.
+    """IVF-flat ANN (the second scale path beside LSH): coarse-quantize,
+    probe the query's top-`nprobe` inverted lists, exact cosine rerank
+    inside them.
 
-    Centroids here are SAMPLED data vectors (the ids in `centroid_ids`) —
-    deterministic and oracle-replayable; a k-means refinement would iterate
-    the same assignment job + a mean-aggregate, changing nothing about the
-    query-time plan.  Recall trade: neighbors quantized into unprobed lists
-    are missed; raise nprobe (cost grows ~nprobe/n_centroids of the scan)."""
-    rows = (
-        embeddings.where(F.col(id_col).isin(list(centroid_ids)))
-        .select(F.col(id_col).cast("long"), F.col(vec_col))
-        .collect()
-    )
-    centroids = sorted((int(r[0]), list(r[1])) for r in rows)
+    Pass `centroids` from kmeans_centroids for the trained quantizer (the
+    production path — planted-cluster recall beats sampling at equal
+    nprobe, tests/test_ivf_ann.py); the default SAMPLED data vectors (ids
+    in `centroid_ids`) stay as the deterministic oracle-replayable mode.
+    Training changes nothing about the query-time plan.  Recall trade:
+    neighbors quantized into unprobed lists are missed; raise nprobe (cost
+    grows ~nprobe/n_centroids of the scan)."""
+    if centroids is None:
+        rows = (
+            embeddings.where(F.col(id_col).isin(list(centroid_ids)))
+            .select(F.col(id_col).cast("long"), F.col(vec_col))
+            .collect()
+        )
+        centroids = sorted((int(r[0]), list(r[1])) for r in rows)
     assigned = ivf_assignments(embeddings, centroids, id_col, vec_col)
     # query-side probe order: dot desc, centroid id asc (same tie-break)
     qdots = sorted(
