@@ -985,3 +985,112 @@ def _stem_keep_flat(texts, keep_offsets):
 
 # exact + stemmed at the same position (the KeywordRepeat trick)
 register_flat_analyzer("en_stem_keep", _stem_keep_flat)
+
+
+# ---------------------------------------------- snowball language chains
+# Spanish / Italian / Portuguese / Dutch analyzers: unicode-letter tokenize
+# -> lowercase -> language stop set -> Snowball stem (the *_stem chains) —
+# the reference's per-language analyzer pipelines (es/SpanishAnalyzer role
+# etc.) with SnowballFilter.java:53 as the stemming stage
+# (analysis/snowball.py).  The letter class must include accented letters,
+# so these chains run in the CHAR domain: a codepoint LUT marks separators
+# (non-alphabetic) for the BMP through U+3000; codepoints past the LUT are
+# treated as letters (exact for every Latin script; approximate only for
+# exotic non-letter symbols beyond U+3000).
+
+_UALPHA_SEP = _vnp.ones(0x3001, dtype=bool)
+_UALPHA_SEP[[_cp for _cp in range(0x3001) if chr(_cp).isalpha()]] = False
+
+
+def uletter_tokenize(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    stem=None,
+) -> tuple[list[str], list[int], int]:
+    """Scalar twin of the char-domain unicode-letter flat path: maximal
+    runs of alphabetic codepoints, lowercase, stop holes, optional stem."""
+    if text is None:
+        return [], [], 0
+    import itertools
+
+    def _is_tok(ch: str) -> bool:
+        cp = ord(ch)
+        return cp >= 0x3001 or not _UALPHA_SEP[cp]
+
+    raw = ["".join(g) for k, g in itertools.groupby(text, key=_is_tok) if k]
+    terms, positions, doclen = _analyze(raw, True, stopwords)
+    if stem is not None:
+        terms = [stem(t) for t in terms]
+    return terms, positions, doclen
+
+
+def _stem_dict(stem_fn):
+    """SnowballFilter as a DICTIONARY pass (the _stem_dictionary pattern,
+    generalized): stem each distinct term once per batch, scatter back."""
+
+    def post(terms):
+        if terms.size == 0:
+            return terms
+        import pandas as _pd
+
+        inv, uniq = _pd.factorize(terms)
+        return _vnp.asarray(
+            [stem_fn(t) for t in uniq.tolist()], dtype=object
+        )[inv]
+
+    return post
+
+
+# Standard snowball stop sets (public function-word lists).
+SPANISH_STOP_WORDS = frozenset(
+    "de la que el en y a los del se las por un para con no una su al lo "
+    "como más pero sus le ya o este sí porque esta entre cuando muy sin "
+    "sobre también me hasta hay donde quien desde todo nos durante todos "
+    "uno les ni contra otros ese eso ante ellos e esto mí antes algunos "
+    "qué unos yo otro otras otra él tanto esa estos mucho quienes nada "
+    "muchos cual poco ella estar estas algunas algo nosotros".split()
+)
+ITALIAN_STOP_WORDS = frozenset(
+    "ad al allo ai agli alla alle con col coi da dal dallo dai dagli "
+    "dalla dalle di del dello dei degli della delle in nel nello nei "
+    "negli nella nelle su sul sullo sui sugli sulla sulle per tra contro "
+    "io tu lui lei noi voi loro mio mia miei mie tuo tua tuoi tue suo "
+    "sua suoi sue nostro nostra nostri nostre vostro vostra vostri "
+    "vostre e è che chi ci anche se come dove ma non più quale quanto "
+    "quanti quanta quante quello questo questi qui sono ho ha una uno un".split()
+)
+PORTUGUESE_STOP_WORDS = frozenset(
+    "de a o que e do da em um para é com não uma os no se na por mais as "
+    "dos como mas foi ao ele das tem à seu sua ou ser quando muito há "
+    "nos já está eu também só pelo pela até isso ela entre era depois "
+    "sem mesmo aos ter seus quem nas me esse eles estão você tinha foram "
+    "essa num nem suas meu às minha têm numa pelos elas".split()
+)
+DUTCH_STOP_WORDS = frozenset(
+    "de en van ik te dat die in een hij het niet zijn is was op aan met "
+    "als voor had er maar om hem dan zou of wat mijn men dit zo door "
+    "over ze zich bij ook tot je mij uit der daar haar naar heb hoe "
+    "heeft hebben deze u want nog zal me zij nu ge geen omdat iets "
+    "worden toch al waren veel meer doen toen moet ben zonder kan hun "
+    "dus alles onder ja eens hier wie werd altijd doch wordt wezen "
+    "kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest "
+    "andere".split()
+)
+
+from .snowball import STEMMERS as SNOWBALL_STEMMERS  # noqa: E402
+
+for _lang, _stops in (
+    ("es", SPANISH_STOP_WORDS),
+    ("it", ITALIAN_STOP_WORDS),
+    ("pt", PORTUGUESE_STOP_WORDS),
+    ("nl", DUTCH_STOP_WORDS),
+):
+    _stemf = SNOWBALL_STEMMERS[_lang]
+    ANALYZERS[_lang] = lambda s, _st=_stops: uletter_tokenize(s, _st)
+    ANALYZERS[f"{_lang}_stem"] = lambda s, _st=_stops, _f=_stemf: uletter_tokenize(
+        s, _st, _f
+    )
+    _FLAT_FAST[_lang] = ("char", _UALPHA_SEP, True, _stops, None)
+    _FLAT_FAST[f"{_lang}_stem"] = (
+        "char", _UALPHA_SEP, True, _stops, _stem_dict(_stemf),
+    )

@@ -3374,6 +3374,40 @@ def analyzing_suggest(spark, sf_dir):
     )
 
 
+@register(
+    "es_stem_docs",
+    """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+) WHERE tok IN ('table', 'value')
+ORDER BY doc_id
+""",
+)
+def es_stem_docs(spark, sf_dir):
+    """Snowball Spanish chain end-to-end (SnowballFilter.java:53 role,
+    analysis/snowball.py spanish_stem): the es_stem analyzer maps the
+    surface forms 'table' -> 'tabl' and 'value' -> 'valu' (final -e
+    removed in RV, residual step 3), so querying the STEMS must match
+    exactly the docs containing the surface tokens — the oracle tokenizes
+    plainly and matches the surfaces.  The stem map is a bijection on the
+    closed documents vocabulary (no cross-term collisions)."""
+    docs = get_docs(spark, sf_dir)
+    key = f"{sf_dir}#es_stem"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            docs, id_col="doc_id", text_col="text", analyzer="es_stem"
+        )
+    s = Searcher(_INDEX_CACHE[key], corpus=docs, mode="sql")
+    q = Q.Boolean(should=(Q.Term("tabl"), Q.Term("valu")))
+    return (
+        s.matching(q)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

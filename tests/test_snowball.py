@@ -1,0 +1,180 @@
+"""Snowball stemmers (ES/IT/PT/NL) and their analyzer chains.
+
+Vocabulary tables per language (hand-verified against the published
+Snowball algorithm specifications, snowballstem.org), region edge cases,
+flat==scalar chain equivalence on accented corpora, stop holes, and an
+end-to-end stemmed-match search (SnowballFilter.java:53 role).
+"""
+
+import pytest
+
+from lucene_solr_intervals_spark.analysis.snowball import (
+    dutch_stem,
+    italian_stem,
+    portuguese_stem,
+    spanish_stem,
+)
+
+ES_VOCAB = [
+    ("caminando", "camin"),       # step 2b gerund
+    ("librería", "libr"),         # ería: step 2b? no — residual chain
+    ("corriendo", "corr"),
+    ("nacional", "nacional"),     # no suffix in regions
+    ("niños", "niñ"),             # residual os, ñ kept
+    ("cantando", "cant"),
+    ("generosas", "gener"),       # osas in R2
+    ("rápidamente", "rapid"),     # amente in R1, accent removed at end
+    ("comiéndoselo", "com"),      # step 0 pronoun + accent fix + gerund
+    ("felicidad", "felic"),       # idad in R2
+    ("lógica", "logic"),          # ica in R2, accent removed
+    ("atacaron", "atac"),         # aron verb suffix
+    ("ponerse", "pon"),           # pronoun se after er
+    ("torcedura", "torcedur"),    # residual a only
+    ("mano", "man"),              # residual o in RV
+    ("sol", "sol"),               # too short for any region
+]
+
+IT_VOCAB = [
+    ("abbandonata", "abbandon"),  # ata verb suffix + final-vowel step
+    ("pronunciare", "pronunc"),   # are + preceding i
+    ("nazionale", "nazional"),    # final e in RV
+    ("lavorazione", "lavor"),     # azione in R2
+    ("felicità", "felic"),        # ità in R2
+    ("bellissimo", "bellissim"),
+    ("mangiando", "mang"),        # ando + i-removal
+    ("rapidamente", "rapid"),     # amente in R1
+    ("mangiandolo", "mang"),      # step 0 pronoun after ando
+]
+
+PT_VOCAB = [
+    ("falando", "fal"),
+    ("nacionalidade", "nacional"),  # idade in R2
+    ("rapidamente", "rapid"),
+    ("corações", "coraçõ"),         # nasal a~/o~ round trip + es verb
+    ("felicidade", "felic"),
+    ("lógica", "lógic"),            # pt KEEPS accents (unlike es)
+    ("meninas", "menin"),
+]
+
+NL_VOCAB = [
+    ("lichamelijk", "licham"),      # lijk in R2
+    ("lichamelijkheden", "licham"), # heden -> heid, then heid + en
+    ("opheffen", "opheff"),         # en after valid ending, ff not undoubled
+    ("gevoeligheid", "gevoel"),     # heid + ig
+    ("katten", "kat"),              # en + tt undouble
+    ("bomen", "bom"),
+    ("vrolijkheid", "vrolijk"),     # heid in R2; lijk NOT in R2 after
+    ("aardappelen", "aardappel"),
+]
+
+
+@pytest.mark.parametrize("word,want", ES_VOCAB)
+def test_spanish_vocab(word, want):
+    assert spanish_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", IT_VOCAB)
+def test_italian_vocab(word, want):
+    assert italian_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", PT_VOCAB)
+def test_portuguese_vocab(word, want):
+    assert portuguese_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", NL_VOCAB)
+def test_dutch_vocab(word, want):
+    assert dutch_stem(word) == want
+
+
+def test_region_edge_cases():
+    # words too short for R2 keep suffixes that need R2
+    assert spanish_stem("oso") == "oso"  # 'oso' not in R2 of itself
+    # RV rules: consonant-vowel start -> RV after 3rd letter
+    assert spanish_stem("se") == "se"
+    # accents only removed in Spanish, kept in Portuguese
+    assert spanish_stem("á") == "á" or spanish_stem("á") == "a"
+    # Dutch undouble-vowel step: CVVD with D != I
+    assert dutch_stem("maan") == "man"
+    assert dutch_stem("brood") == "brod"
+
+
+def test_dutch_consonant_marking():
+    # y after vowel / initial y are consonants; i between vowels likewise
+    assert dutch_stem("ya") != ""  # smoke: marking round-trips to lowercase
+    out = dutch_stem("draaien")  # i between vowels -> I (consonant)
+    assert out == "draai"
+
+
+def test_flat_equals_scalar_all_chains():
+    from lucene_solr_intervals_spark.analysis.tokenizer import (
+        ANALYZERS,
+        tokenize_flat,
+    )
+
+    texts = [
+        "Los niños caminando rápidamente por las librerías",
+        "La felicidad de Málaga, ¡qué lógica!",
+        "I bambini mangiando rapidamente nelle città",
+        "A felicidade das crianças nos corações",
+        "De katten en de bomen zijn vrolijkheid",
+        "",
+        "1234 --- !!!",
+        "mixed ASCII and ñ words façade",
+    ]
+    for chain in ("es", "es_stem", "it", "it_stem", "pt", "pt_stem",
+                  "nl", "nl_stem"):
+        flat = tokenize_flat(texts, chain)
+        fn = ANALYZERS[chain]
+        off = 0
+        for di, t in enumerate(texts):
+            terms, positions, doclen = fn(t)
+            n = len(terms)
+            got_terms = list(flat["terms"][off : off + n])
+            got_pos = list(flat["positions"][off : off + n])
+            assert got_terms == terms, (chain, t)
+            assert got_pos == positions, (chain, t)
+            assert flat["doclens"][di] == doclen, (chain, t)
+            assert (flat["doc_idx"][off : off + n] == di).all()
+            off += n
+        assert off == flat["terms"].size, chain
+
+
+def test_stop_holes_and_doclen():
+    from lucene_solr_intervals_spark.analysis.tokenizer import ANALYZERS
+
+    # 'los'/'las'/'por' are stopwords: positions keep holes
+    terms, positions, doclen = ANALYZERS["es_stem"](
+        "Los niños caminando por las librerías"
+    )
+    assert terms == ["niñ", "camin", "libr"]
+    assert positions == [1, 2, 5]
+    assert doclen == 3
+
+
+def test_stemmed_search_end_to_end(spark):
+    """Different surface forms of one lemma match through the stemmed
+    index; unstemmed chain keeps them distinct."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search import queries as Q
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    docs = [
+        (0, "los niños cantando"),
+        (1, "el niño canta rápidamente"),
+        (2, "las niñas cantaron ayer"),
+        (3, "nada que ver aquí"),
+    ]
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    idx = build_index(corpus, analyzer="es_stem")
+    s = Searcher(idx, corpus=corpus, mode="sql")
+    got = sorted(
+        r["doc_id"] for r in s.matching(Q.Term(spanish_stem("cantando"))).collect()
+    )
+    assert spanish_stem("cantando") == spanish_stem("cantaron") == "cant"
+    assert got == [0, 1, 2]
+    niño_stem = spanish_stem("niños")
+    got = sorted(r["doc_id"] for r in s.matching(Q.Term(niño_stem)).collect())
+    assert got == [0, 1, 2]
+    idx.unpersist()
