@@ -163,8 +163,9 @@ def test_fast_shape_dispatch():
     assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2, scorer="intervals")) == (
         "sloppy2", "x", "y", 2,
     )
-    # classic-scorer sloppy phrase takes the SloppyPhraseScorer kernel
-    assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2)) is None
+    # classic-scorer sloppy phrase takes the VECTORIZED SloppyPhraseScorer
+    # walk when no repeats (r6: classic_sloppy_2)
+    assert VK.fast_shape(Q.Phrase(("x", "y"), slop=2)) == ("csloppy2", "x", "y", 2)
     assert VK.fast_shape(
         Q.Phrase(("x", "x"), slop=2, scorer="intervals")
     ) is None  # repeated term
