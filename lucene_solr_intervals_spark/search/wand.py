@@ -79,6 +79,72 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[sel], scores[sel]
 
 
+def _pruned_term_topk(
+    r, w: np.float32, cache: np.ndarray, norms: np.ndarray, base: int,
+    k: int, codec, tomb_arr,
+):
+    """Exact single-term top-k with BLOCK-MAX pruning (the batch-retrieval
+    analog of _wand_skip_kernel, specialized to one term): blocks are
+    decoded in upper-bound order and decoding stops as soon as the next
+    block's bound falls strictly below the exact k-th score — for a
+    dense term only O(k/128 + 1) of its blocks are ever read, which is
+    what breaks the per-posting memory-traffic pin the r5/r6 batch-scaling
+    diagnosis found (the decode+score intermediates, ~10x the stream
+    bytes, used to be materialized for EVERY posting).
+
+    Rank-safe: a block's bound uses (block_max_tf, block_max_nb), the same
+    monotone-in-float32 bound _wand_skip_kernel relies on; ties with the
+    k-th score keep decoding (doc-id tie-break could still change the set).
+    Returns (ids, scores) sorted by (-score, id), <= k rows."""
+    from ..codecs.varbyte import decode_selected_blocks
+
+    mt = np.frombuffer(r["block_max_tf"], dtype=np.int32).astype(np.float32)
+    nbm = np.frombuffer(r["block_max_nb"], dtype=np.int32)
+    ub = (w * mt / (mt + cache[nbm])).astype(np.float32)
+    order = np.argsort(-ub, kind="stable")
+    id_offs = np.frombuffer(r["block_id_offs"], dtype=np.int64)
+    tf_offs = np.frombuffer(r["block_tf_offs"], dtype=np.int64)
+    block_last = np.frombuffer(r["block_last"], dtype=np.int64)
+    prev_last = np.concatenate([[np.int64(0)], block_last[:-1]])
+    n_vals = int(r["df"])
+    n_blocks = ub.size
+    best_ids = np.empty(0, dtype=np.int64)
+    best_sc = np.empty(0, dtype=np.float32)
+    sel = np.zeros(n_blocks, dtype=bool)
+    pos = 0
+    chunk = max(2, (k + 127) // 128)
+    while pos < n_blocks:
+        if best_sc.size >= k and ub[order[pos]] < best_sc[k - 1]:
+            break
+        take = order[pos : pos + chunk]
+        pos += chunk
+        sel[:] = False
+        sel[take] = True
+        gaps, counts = decode_selected_blocks(
+            r["doc_ids"], id_offs, n_vals, sel, codec=codec
+        )
+        if gaps.size == 0:
+            continue
+        tf_sel, _ = decode_selected_blocks(r["tfs"], tf_offs, n_vals, sel, codec=codec)
+        sel_idx = np.nonzero(sel)[0]
+        csum = np.cumsum(gaps.astype(np.int64))
+        starts = np.cumsum(counts) - counts
+        cs_before = np.where(starts > 0, csum[np.maximum(starts - 1, 0)], 0)
+        blk_base = prev_last[sel_idx] - cs_before
+        ids_i = csum + np.repeat(blk_base, counts)
+        tf32 = tf_sel.astype(np.float32)
+        sc_i = (w * tf32 / (tf32 + cache[norms[ids_i - base]])).astype(np.float32)
+        if tomb_arr is not None:
+            dead = np.isin(ids_i, tomb_arr)
+            sc_i[dead] = np.float32(-1.0)
+        best_ids, best_sc = _topk(
+            np.concatenate([best_ids, ids_i]),
+            np.concatenate([best_sc, sc_i]),
+            k,
+        )
+    return best_ids, best_sc
+
+
 def _wand_skip_kernel(
     rows: list,
     weights: dict[str, np.float32],
@@ -760,7 +826,13 @@ class SegmentSearcher:
             .applyInPandas(_run, schema)
         )
 
-    def search_many(self, term_queries: list[str], k: int = 10, mode: str = "wand") -> DataFrame:
+    def search_many(
+        self,
+        term_queries: list[str],
+        k: int = 10,
+        mode: str = "wand",
+        prune_df: int | None = None,
+    ) -> DataFrame:
         """Batch top-k: score MANY single-term queries in ONE Spark job.
 
         The throughput shape for analytical/offline retrieval (and the
@@ -800,6 +872,17 @@ class SegmentSearcher:
 
         codec = self.codec
 
+        # prune_df opt-in: rows above it take the per-row block-max pruned
+        # decode (_pruned_term_topk — reads O(k/128+1) blocks when block
+        # bounds separate).  Default OFF: on flat tf/norm distributions
+        # (this engine's bench corpus) every block's bound ties the k-th
+        # score, nothing can be skipped rank-safely, and the per-row
+        # Python (~0.1-1.7 ms/row) only subtracts from the one-pass
+        # batched kernel (measured 921 -> 255 q/s on the 1M-doc battery).
+        # On zipf-like real corpora with skewed tf the pruned path wins;
+        # callers choose with search_many(..., prune_df=2048).
+        SMALL_DF = prune_df if prune_df is not None else (1 << 62)
+
         def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
                 {"query_term": "object", "doc_id": "int64", "score": "float32"}
@@ -808,44 +891,82 @@ class SegmentSearcher:
                 return empty
             base = int(npdf["doc_base"].iloc[0])
             norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
-            # batched decode: ONE codec pass over all rows' streams (both
-            # registry codecs decode concatenations), then a segmented
-            # gap-cumsum (row starts reset) — no per-row decode
-            counts = pdf["df"].to_numpy(dtype=np.int64)
-            offsets = np.zeros(counts.size + 1, dtype=np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            gaps = codec.decode(b"".join(pdf["doc_ids"])).astype(np.int64)
-            csum = np.cumsum(gaps)
-            seg_base = np.zeros(gaps.size, dtype=np.int64)
-            starts = offsets[:-1][counts > 0]
-            seg_base[starts[1:]] = csum[starts[1:] - 1]
-            np.maximum.accumulate(seg_base, out=seg_base)
-            ids_cat = csum - seg_base
-            tfs_cat = codec.decode(b"".join(pdf["tfs"])).astype(np.float32)
             tombs = tombstones
             if "tomb" in npdf.columns:
                 tv = npdf["tomb"].iloc[0]
                 if tv is not None and len(tv):
                     tombs = frozenset(tombs) | {int(x) for x in tv}
-            # per-row weight from the in-plan global df (idf * (k1+1))
-            w_rows = (
+            tomb_arr = (
+                np.fromiter(tombs, dtype=np.int64) if tombs else None
+            )
+            w_all = (
                 idf32(pdf["df_total"].to_numpy(dtype=np.int64), n_docs)
                 * np.float32(2.2)
             ).astype(np.float32)
-            w_cat = np.repeat(w_rows, counts)
-            nb = norms[ids_cat - base]
-            sc_cat = (w_cat * tfs_cat / (tfs_cat + cache[nb])).astype(np.float32)
-            if tombs:
-                dead = np.isin(ids_cat, np.fromiter(tombs, dtype=np.int64))
-                sc_cat[dead] = np.float32(-1.0)  # never reaches top-k
             out_t, out_d, out_s = [], [], []
             terms_col = pdf["term"].tolist()
-            for i in range(counts.size):
-                a, b2 = offsets[i], offsets[i + 1]
-                ids_k, sc_k = _topk(ids_cat[a:b2], sc_cat[a:b2], k)
-                out_t.extend([terms_col[i]] * ids_k.size)
-                out_d.append(ids_k)
-                out_s.append(sc_k)
+
+            big = pdf["df"].to_numpy(dtype=np.int64) > SMALL_DF
+            big_idx = np.flatnonzero(big)
+            if big_idx.size:
+                # column-array row access: pdf.iloc is ~0.5 ms/row on wide
+                # binary frames and would dominate the pruning win
+                cols = {
+                    c: pdf[c].to_numpy()
+                    for c in ("df", "doc_ids", "tfs", "block_max_tf",
+                              "block_max_nb", "block_id_offs",
+                              "block_tf_offs", "block_last")
+                }
+                for i in big_idx:
+                    r = {c: v[i] for c, v in cols.items()}
+                    ids_k, sc_k = _pruned_term_topk(
+                        r, w_all[i], cache, norms, base, k, codec, tomb_arr
+                    )
+                    out_t.extend([terms_col[int(i)]] * ids_k.size)
+                    out_d.append(ids_k)
+                    out_s.append(sc_k)
+
+            small = pdf[~big] if big_idx.size else pdf
+            if not small.empty:
+                # batched decode: ONE codec pass over all rows' streams
+                # (the registry codecs decode concatenations), then a
+                # segmented gap-cumsum; arithmetic is in-place — the
+                # per-posting intermediate traffic is the measured
+                # memory-bandwidth pin of this phase, so every avoided
+                # copy shows up in the scaling ratio.  The id chain must
+                # stay int64: the cumsum runs over the CONCATENATION (it
+                # is reset per row by seg_base afterwards), so its running
+                # value is sum-of-max-doc-ids across rows, far past 2^31.
+                counts = small["df"].to_numpy(dtype=np.int64)
+                offsets = np.zeros(counts.size + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
+                ids_cat = codec.decode(b"".join(small["doc_ids"])).astype(np.int64)
+                np.cumsum(ids_cat, out=ids_cat)
+                seg_base = np.zeros(ids_cat.size, dtype=np.int64)
+                starts = offsets[:-1][counts > 0]
+                seg_base[starts[1:]] = ids_cat[starts[1:] - 1]
+                np.maximum.accumulate(seg_base, out=seg_base)
+                ids_cat -= seg_base
+                tfs_cat = codec.decode(b"".join(small["tfs"])).astype(np.float32)
+                np.subtract(ids_cat, base, out=seg_base)  # reuse as index
+                denom = cache[norms[seg_base]]
+                denom += tfs_cat
+                w_cat = np.repeat(
+                    w_all[~big] if big_idx.size else w_all, counts
+                )
+                np.multiply(w_cat, tfs_cat, out=tfs_cat)
+                tfs_cat /= denom
+                sc_cat = tfs_cat
+                if tombs:
+                    dead = np.isin(ids_cat, tomb_arr)
+                    sc_cat[dead] = np.float32(-1.0)  # never reaches top-k
+                small_terms = small["term"].tolist()
+                for i in range(counts.size):
+                    a, b2 = offsets[i], offsets[i + 1]
+                    ids_k, sc_k = _topk(ids_cat[a:b2], sc_cat[a:b2], k)
+                    out_t.extend([small_terms[i]] * ids_k.size)
+                    out_d.append(ids_k)
+                    out_s.append(sc_k)
             if not out_t:
                 return empty
             return pd.DataFrame(

@@ -356,3 +356,53 @@ def test_norms_never_broadcast(spark, index_dir):
                     assert "BroadcastExchange" not in lines[j], lines[j]
                     d = dj
                 j -= 1
+
+
+def test_search_many_pruned_path_rank_safe(spark, tmp_path):
+    """Heavy terms (df >> 256 per segment) route through the block-max
+    pruned per-term decode (_pruned_term_topk); ranks and scores must
+    equal the exhaustive single-query path exactly, with and without
+    tombstones."""
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+    from lucene_solr_intervals_spark.streaming.nrt import delete_by_doc_ids
+
+    corpus = generate_corpus(spark, 3000)
+    d = str(tmp_path / "prune_idx")
+    build_segments(corpus, d, n_segments=2, id_col="doc_id",
+                   text_col="content", n_docs_hint=3000)
+    ss = SegmentSearcher(spark, d)
+    terms = ["get_index", "merge_posting", "scan_segment", "read_term",
+             "flush_segment"]
+    # confirm at least one term actually exercises the pruned branch
+    dfs = ss._dfs(terms)
+    assert max(dfs.values()) > 512, dfs
+    batch = {}
+    for r in ss.search_many(terms, k=10, prune_df=256).collect():
+        batch.setdefault(r["query_term"], []).append(
+            (r["rank"], r["doc_id"], round(float(r["score"]), 6))
+        )
+    for t in terms:
+        single = [
+            (i + 1, r["doc_id"], round(float(r["score"]), 6))
+            for i, r in enumerate(ss.search([t], k=10, mode="exhaustive").collect())
+        ]
+        assert sorted(batch.get(t, [])) == single, t
+
+    # tombstones: kill half the current top-10 of the heaviest term
+    heavy = max(dfs, key=lambda t: dfs[t])
+    top = [r["doc_id"] for r in ss.search([heavy], k=10).collect()]
+    delete_by_doc_ids(d, [int(x) for x in top[:5]])
+    ss2 = SegmentSearcher(spark, d)
+    batch2 = [
+        (r["rank"], r["doc_id"], round(float(r["score"]), 6))
+        for r in ss2.search_many([heavy], k=10, prune_df=256).collect()
+        if r["query_term"] == heavy
+    ]
+    single2 = [
+        (i + 1, r["doc_id"], round(float(r["score"]), 6))
+        for i, r in enumerate(ss2.search([heavy], k=10, mode="exhaustive").collect())
+    ]
+    assert sorted(batch2) == single2
+    assert not set(top[:5]) & {d_ for _, d_, _ in batch2}
