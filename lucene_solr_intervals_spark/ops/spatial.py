@@ -67,9 +67,13 @@ def distance_filter(
         df, lat - dlat, lat + dlat, lon - dlon, lon + dlon, lat_col, lon_col
     )
     dist = haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
-    # filter on the exact distance; the column is rounded for display only
+    # distance_km keeps FULL float64 precision: pre-rounding here caused a
+    # double-rounding defect (round(round(x,4),2) != round(x,2) exactly at
+    # .xx5 boundaries — surfaced by the sf1 scale point, doc 6684 at
+    # 748.98496 -> 748.985 -> 748.99 vs the oracle's 748.98); display
+    # rounding is the consumer's concern
     return boxed.withColumn("_d", dist).where(F.col("_d") <= radius_km).select(
-        *df.columns, F.round(F.col("_d"), 4).alias("distance_km")
+        *df.columns, F.col("_d").alias("distance_km")
     )
 
 

@@ -2,13 +2,17 @@
 
 Mirrors the driver's compare: row count + schema + order-insensitive
 value hash (floats via f"{v:.6g}", columns sorted by name).
+
+REPLAY_SF_DIR overrides the data directory (e.g. a synthesized sf1 from
+tools/make_sf.py for the 10x-scale correctness point).
 """
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("REPLAY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
