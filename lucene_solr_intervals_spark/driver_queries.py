@@ -3408,6 +3408,62 @@ def es_stem_docs(spark, sf_dir):
     )
 
 
+@register(
+    "custom_score_topk",
+    _PRELUDE
+    + _hits_cte([T_A])
+    + f"""
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT h.doc_id,
+         h.score * (1.0 + CAST(h.doc_id % 7 AS DOUBLE) * 0.1) * 2.0 AS score
+  FROM hits h
+)
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def custom_score_topk(spark, sf_dir):
+    """CustomScoreQuery (queries/CustomScoreQuery.java:51,182): the BM25
+    subquery score multiplied by a ValueSource over stored fields (the
+    default CustomScoreProvider product), boost 2.0 — value source = a
+    native column expression, so the customization stays JVM-side."""
+    s = searcher(spark, sf_dir)
+    q = Q.CustomScore(
+        Q.Term(T_A), value_exprs=("1.0 + CAST(doc_id % 7 AS DOUBLE) * 0.1",),
+        boost=2.0,
+    )
+    return _topk(s.scored(q))
+
+
+@register(
+    "date_math_facet",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def date_math_facet(spark, sf_dir):
+    """Date-math range facet (solr DateMathParser.java:95 + facet.range):
+    the window [NOW/DAY-7DAYS, NOW/DAY) is resolved by ops/datemath.py
+    against a pinned NOW (2024-01-10T13:45:00Z) — the oracle embeds the
+    resolved literals; parse_date_math itself is formula-pinned by
+    tests/test_datemath.py."""
+    from datetime import datetime
+
+    from .ops.datemath import date_range_facets
+
+    now = datetime(2024, 1, 10, 13, 45, 0)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = date_range_facets(ev, "ts", "NOW/DAY-7DAYS", "NOW/DAY", 1, now)
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("day")
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

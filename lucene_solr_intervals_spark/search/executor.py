@@ -536,6 +536,27 @@ class Searcher:
         if isinstance(q, Q.ComplexPhrase):
             return self._scored_raw(self._rewrite_complex_phrase(q))
 
+        if isinstance(q, Q.CustomScore):
+            # CustomScoreQuery.java:182 customScore: subQueryScore * each
+            # valSrcScore; value sources are SQL exprs over corpus columns
+            if self.corpus is None:
+                raise ValueError("CustomScore requires Searcher(corpus=...)")
+            scored = self._scored_raw(q.sub)
+            vs = self.corpus.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                *[
+                    F.expr(e).cast("double").alias(f"_vs{i}")
+                    for i, e in enumerate(q.value_exprs)
+                ],
+            )
+            out = scored.join(vs, "doc_id", "left")
+            score = F.col("score")
+            for i in range(len(q.value_exprs)):
+                score = score * F.coalesce(F.col(f"_vs{i}"), F.lit(1.0))
+            return out.select(
+                "doc_id", (score * F.lit(float(q.boost))).alias("score")
+            )
+
         if isinstance(q, Q.Boosting):
             # BoostingQuery.java:60-68: context contributes NO score of its
             # own; matching it multiplies the match score by context_boost
@@ -637,6 +658,9 @@ class Searcher:
         if isinstance(q, Q.Boosting):
             # the context only rescales scores; matching set == match's
             return self.matching(q.match)
+        if isinstance(q, Q.CustomScore):
+            # value sources only rescale scores; matching set == sub's
+            return self.matching(q.sub)
         if isinstance(q, Q.Boolean):
             if q.min_should_match > len(q.should):
                 # unsatisfiable minNrShouldMatch -> empty (see _scored_boolean)

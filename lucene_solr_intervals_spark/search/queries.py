@@ -119,6 +119,22 @@ class Boosting(Query):
 
 
 @dataclass(frozen=True)
+class CustomScore(Query):
+    """CustomScoreQuery (lucene/queries/src/java/org/apache/lucene/queries/
+    CustomScoreQuery.java:51): score `sub` normally, then customize with
+    value sources over stored fields — the default CustomScoreProvider
+    (:182 customScore) MULTIPLIES the subquery score by each value-source
+    score.  A ValueSource maps to a native SQL expression over the corpus
+    columns (the FunctionQuery mapping), so the whole customization stays
+    JVM-side; a doc missing from the corpus join contributes 1.0 (the
+    provider's behavior for a value source with no value)."""
+
+    sub: Query
+    value_exprs: tuple[str, ...] = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadTerm(Query):
     """PayloadTermQuery (lucene/core/src/java/org/apache/lucene/search/
     payloads/PayloadTermQuery.java:55): a TermQuery whose score is combined
