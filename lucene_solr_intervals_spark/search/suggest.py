@@ -314,6 +314,12 @@ def build_analyzing_index(
         fn = ANALYZERS[analyzer]
         return texts.map(lambda t: sep.join(fn(t)[0]) if t is not None else "")
 
+    # nondeterministic marker: stops Catalyst from DUPLICATING the analysis
+    # UDF when a later filter (the startswith lookup) is pushed through the
+    # projection — the inline path then analyzes each suggestion exactly
+    # once (PLANS_r6.md; the persisted-index path never re-analyzes at all)
+    _key = _key.asNondeterministic()
+
     return (
         df.select(
             _key(F.col(text_col)).alias("key"),
