@@ -63,6 +63,23 @@ def _longest_suffix(w: str, suffixes) -> str | None:
     return best
 
 
+def _longest_suffix_in(w: str, suffixes, limit: int) -> str | None:
+    """`among` under `setlimit tomark pV`: candidates must lie ENTIRELY
+    inside the region starting at `limit` — a longer suffix crossing the
+    boundary cannot even match, so a shorter in-region one wins (this is
+    how the reference strips 'ía' from a word whose 'aría' starts before
+    RV).  Pinned by the generated-stemmer parity sweep."""
+    best = None
+    for s in suffixes:
+        if (
+            w.endswith(s)
+            and len(w) - len(s) >= limit
+            and (best is None or len(s) > len(best))
+        ):
+            best = s
+    return best
+
+
 # --------------------------------------------------------------- Spanish
 
 _ES_V = "aeiouáéíóúü"
@@ -106,14 +123,12 @@ _ES_DEACCENT = str.maketrans("áéíóú", "aeiou")
 def spanish_stem(word: str) -> str:
     """Snowball Spanish (the reference's tartarus SpanishStemmer role)."""
     w = word
-    if len(w) < 2:
-        return w
     rv = _rv_start(w, _ES_V)
     r1 = _r1_start(w, _ES_V)
     r2 = _r1_start(w, _ES_V, r1)
 
-    # step 0: attached pronoun
-    p = _longest_suffix(w, _ES_PRON)
+    # step 0: attached pronoun (among inside the RV limit)
+    p = _longest_suffix_in(w, _ES_PRON, rv)
     if p:
         base = w[: -len(p)]
         pre = _longest_suffix(base, tuple(_ES_PRE_A) + _ES_PRE_B + ("yendo",))
@@ -208,22 +223,25 @@ def spanish_stem(word: str) -> str:
     # step 2a: verb suffixes beginning y (only if step 1 removed nothing)
     step2_done = False
     if not step1_done:
-        s = _longest_suffix(w, _ES_2A)
-        # suffix and the preceding u both inside RV (Snowball limit)
-        if s and in_rv(s) and len(w) - len(s) - 1 >= rv and w[: -len(s)].endswith("u"):
+        s = _longest_suffix_in(w, _ES_2A, rv)
+        # the u is tested AFTER the RV limit restores (generated
+        # SpanishStemmer r_y_verb_suffix: limit_backward reset before
+        # eq_s_b("u")) — it need not lie in RV
+        if s and w[: -len(s)].endswith("u"):
             w = w[: -len(s)]
             step2_done = True
         # step 2b: other verb suffixes (only if 2a removed nothing)
         if not step2_done:
-            s = _longest_suffix(w, _ES_2B + _ES_2B_GU)
-            if s and in_rv(s):
+            s = _longest_suffix_in(w, _ES_2B + _ES_2B_GU, rv)
+            if s:
                 w = w[: -len(s)]
-                if s in _ES_2B_GU and w.endswith("gu") and len(w) - 1 >= rv:
+                # gu tested outside the restored limit (r_verb_suffix)
+                if s in _ES_2B_GU and w.endswith("gu"):
                     w = w[:-1]  # drop the u of gu
 
     # step 3: residual suffix
-    s = _longest_suffix(w, ("os", "a", "o", "á", "í", "ó", "e", "é"))
-    if s and in_rv(s):
+    s = _longest_suffix_in(w, ("os", "a", "o", "á", "í", "ó", "e", "é"), rv)
+    if s:
         if s in ("e", "é"):
             w = w[:-1]
             if w.endswith("gu") and len(w) - 1 >= rv:
@@ -253,10 +271,10 @@ _PT_2 = (
     "ias", "arias", "erias", "irias", "arás", "aras", "erás", "eras",
     "irás", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
     "ires", "asses", "esses", "isses", "astes", "estes", "istes", "is",
-    "ais", "iais", "ariais", "eriais", "iriais", "áveis", "íeis",
+    "ais", "eis", "áveis", "íeis",
     "aríeis", "eríeis", "iríeis", "áreis", "areis", "éreis", "ereis",
-    "íreis", "ireis", "ásseis", "ésseis", "ísseis", "ásteis", "ésteis",
-    "ísteis", "ados", "idos", "ámos", "amos", "íamos", "aríamos",
+    "íreis", "ireis", "ásseis", "ésseis", "ísseis",
+    "ados", "idos", "ámos", "amos", "íamos", "aríamos",
     "eríamos", "iríamos", "áramos", "éramos", "íramos", "ávamos",
     "emos", "aremos", "eremos", "iremos", "ássemos", "êssemos",
     "íssemos", "imos", "armos", "ermos", "irmos", "eu", "iu", "ou",
@@ -268,8 +286,6 @@ def portuguese_stem(word: str) -> str:
     """Snowball Portuguese.  Nasalised vowels enter as a~/o~ internally
     (the spec's vowel-followed-by-consonant treatment) and are restored."""
     w = word.replace("ã", "a~").replace("õ", "o~")
-    if len(w) < 2:
-        return word
     rv = _rv_start(w, _PT_V)
     r1 = _r1_start(w, _PT_V)
     r2 = _r1_start(w, _PT_V, r1)
@@ -285,7 +301,7 @@ def portuguese_stem(word: str) -> str:
 
     altered = False
     all_s1 = _PT_S1_DEL_R2 + (
-        "logia", "logias", "uça~o", "uço~es", "ência", "ências", "amente",
+        "logía", "logías", "ución", "uciones", "ência", "ências", "amente",
         "mente", "idade", "idades", "iva", "ivo", "ivas", "ivos", "ira",
         "iras",
     )
@@ -295,11 +311,11 @@ def portuguese_stem(word: str) -> str:
             if in_r2(s):
                 w = w[: -len(s)]
                 altered = True
-        elif s in ("logia", "logias"):
+        elif s in ("logía", "logías"):
             if in_r2(s):
                 w = w[: -len(s)] + "log"
                 altered = True
-        elif s in ("uça~o", "uço~es"):
+        elif s in ("ución", "uciones"):
             if in_r2(s):
                 w = w[: -len(s)] + "u"
                 altered = True
@@ -348,8 +364,8 @@ def portuguese_stem(word: str) -> str:
                 altered = True
 
     if not altered:
-        s = _longest_suffix(w, _PT_2)
-        if s and in_rv(s):
+        s = _longest_suffix_in(w, _PT_2, rv)
+        if s:
             w = w[: -len(s)]
             altered = True
 
@@ -359,13 +375,13 @@ def portuguese_stem(word: str) -> str:
             w = w[:-1]
     else:
         # step 4: residual suffix
-        s = _longest_suffix(w, ("os", "a", "i", "o", "á", "í", "ó"))
-        if s and in_rv(s):
+        s = _longest_suffix_in(w, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if s:
             w = w[: -len(s)]
 
     # step 5 (always)
-    s = _longest_suffix(w, ("e", "é", "ê"))
-    if s and in_rv(s):
+    s = _longest_suffix_in(w, ("e", "é", "ê"), rv)
+    if s:
         w = w[:-1]
         for pre in ("gu", "ci"):  # the u/i must be in RV; g/c need not
             if w.endswith(pre) and len(w) - 1 >= rv:
@@ -389,7 +405,8 @@ _IT_PRON = (
     "veli", "velo", "vene",
 )
 _IT_S1_DEL_R2 = (
-    "anza", "anze", "ico", "ica", "ici", "iche", "ismo", "ismi", "abile",
+    "anza", "anze", "ico", "ica", "ici", "ice", "iche", "ichi", "ismo",
+    "ismi", "abile",
     "abili", "ibile", "ibili", "ista", "iste", "isti", "istà", "istè",
     "istì", "oso", "osa", "osi", "ose", "mente", "atrice", "atrici",
     "ante", "anti",
@@ -410,19 +427,31 @@ _IT_2 = (
 
 
 def _it_mark_consonant_ui(w: str) -> str:
-    """Put u/i BETWEEN VOWELS (and u after q) into upper case — treated as
-    consonants by the region/vowel logic (spec prelude)."""
+    """Prelude marking, SEQUENTIAL like the reference (tartarus
+    ItalianStemmer r_prelude): first one left-to-right pass replacing
+    'qu' -> 'qU'; then a scan that, at each VOWEL position, upper-cases a
+    following u/i when that u/i is itself followed by a vowel.  Earlier
+    replacements are visible to later tests (a 'qU' consonant breaks an
+    i-between-vowels pattern; an 'I' breaks a following 'u' pattern)."""
     chars = list(w)
-    for j in range(1, len(chars)):
-        if chars[j] == "u" and chars[j - 1] == "q":
-            chars[j] = "U"
-    for j in range(1, len(chars) - 1):
-        if (
-            chars[j] in "ui"
-            and chars[j - 1] in _IT_V
-            and chars[j + 1] in _IT_V
-        ):
-            chars[j] = chars[j].upper()
+    n = len(chars)
+    j = 0
+    while j + 1 < n:
+        if chars[j] == "q" and chars[j + 1] == "u":
+            chars[j + 1] = "U"
+            j += 2
+        else:
+            j += 1
+    j = 0
+    while j < n:
+        if chars[j] in _IT_V:
+            if (
+                j + 2 < n
+                and chars[j + 1] in "ui"
+                and chars[j + 2] in _IT_V
+            ):
+                chars[j + 1] = chars[j + 1].upper()
+        j += 1
     return "".join(chars)
 
 
@@ -430,8 +459,6 @@ def italian_stem(word: str) -> str:
     """Snowball Italian."""
     w = word.translate(_IT_ACUTE)
     w = _it_mark_consonant_ui(w)
-    if len(w) < 2:
-        return word
     rv = _rv_start(w, _IT_V)
     r1 = _r1_start(w, _IT_V)
     r2 = _r1_start(w, _IT_V, r1)
@@ -445,8 +472,8 @@ def italian_stem(word: str) -> str:
     def in_rv(suf):
         return len(w) - len(suf) >= rv
 
-    # step 0: attached pronoun
-    p = _longest_suffix(w, _IT_PRON)
+    # step 0: attached pronoun (among inside the RV limit)
+    p = _longest_suffix_in(w, _IT_PRON, rv)
     if p:
         base = w[: -len(p)]
         pre = _longest_suffix(base, ("ando", "endo", "ar", "er", "ir"))
@@ -520,8 +547,8 @@ def italian_stem(word: str) -> str:
                         w = w[:-2]
 
     if not step1_done:
-        s = _longest_suffix(w, _IT_2)
-        if s and in_rv(s):
+        s = _longest_suffix_in(w, _IT_2, rv)
+        if s:
             w = w[: -len(s)]
 
     # step 3a: final vowel, then a preceding i, both in RV
@@ -543,17 +570,29 @@ _NL_DEACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
 
 
 def _nl_mark(w: str) -> str:
-    """Initial y, y after a vowel, and i between vowels become upper case —
-    consonant markers (spec prelude)."""
+    """Prelude marking, SEQUENTIAL like the reference (tartarus
+    DutchStemmer r_prelude): initial y -> Y; then a left-to-right scan
+    that, at each VOWEL position, upper-cases a following 'i' when that i
+    is itself followed by a vowel, or a following 'y' unconditionally.
+    Earlier replacements are visible later: in 'oiy' the i is marked I
+    (y counts as a vowel at test time), after which the y no longer
+    follows a vowel and stays lowercase."""
     chars = list(w)
+    n = len(chars)
     if chars and chars[0] == "y":
         chars[0] = "Y"
-    for j in range(1, len(chars)):
-        if chars[j] == "y" and chars[j - 1] in _NL_V:
-            chars[j] = "Y"
-    for j in range(1, len(chars) - 1):
-        if chars[j] == "i" and chars[j - 1] in _NL_V and chars[j + 1] in _NL_V:
-            chars[j] = "I"
+    j = 0
+    while j < n:
+        if chars[j] in _NL_V:
+            if (
+                j + 2 < n
+                and chars[j + 1] == "i"
+                and chars[j + 2] in _NL_V
+            ):
+                chars[j + 1] = "I"
+            elif j + 1 < n and chars[j + 1] == "y":
+                chars[j + 1] = "Y"
+        j += 1
     return "".join(chars)
 
 

@@ -178,3 +178,26 @@ def test_stemmed_search_end_to_end(spark):
     got = sorted(r["doc_id"] for r in s.matching(Q.Term(niño_stem)).collect())
     assert got == [0, 1, 2]
     idx.unpersist()
+
+
+def test_reference_generated_stemmer_goldens():
+    """1600 word->stem pairs produced by COMPILING AND RUNNING the
+    reference's own generated stemmers (org/tartarus/snowball/ext/
+    {Spanish,Italian,Portuguese,Dutch}Stemmer.java, executed via javac +
+    a 2-line util shim at fixture-generation time) — bit parity of every
+    pair.  The full sweep at generation time covered ~31k words per run
+    with zero mismatches across all four languages, pinning the
+    RV-limited among semantics, the sequential prelude marking, and the
+    exact generated suffix tables."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "snowball_golden.json")
+    with open(path, encoding="utf-8") as f:
+        golden = json.load(f)
+    fns = {"spanish": spanish_stem, "italian": italian_stem,
+           "portuguese": portuguese_stem, "dutch": dutch_stem}
+    for lang, table in golden.items():
+        fn = fns[lang]
+        bad = [(w, want, fn(w)) for w, want in table.items() if fn(w) != want]
+        assert not bad, (lang, bad[:5])
