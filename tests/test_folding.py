@@ -105,3 +105,25 @@ def test_latin1_accents_reference_transcription():
     ]
     for src, want in cases:
         assert fold_ascii(src) == want, (src, want, fold_ascii(src))
+
+
+def test_reference_switch_golden_table():
+    """Every codepoint of the declared blocks vs the OUTPUT OF THE
+    REFERENCE'S OWN foldToASCII (ASCIIFoldingFilter.java:162 extracted
+    verbatim and compiled at fixture-generation time; a 3k random-string
+    sweep also matched 0-diff).  Values where the reference has no case
+    pass through unchanged."""
+    import json
+    import os
+
+    from lucene_solr_intervals_spark.analysis.folding import fold_ascii
+
+    path = os.path.join(os.path.dirname(__file__), "data", "folding_golden.json")
+    with open(path, encoding="utf-8") as f:
+        golden = json.load(f)
+    bad = []
+    for hexcp, want in golden.items():
+        ch = chr(int(hexcp, 16))
+        if fold_ascii(ch) != want:
+            bad.append((hexcp, want, fold_ascii(ch)))
+    assert not bad, bad[:10]
