@@ -105,3 +105,65 @@ def test_custom_score_query(spark):
     m = sorted(r["doc_id"] for r in s.matching(q).collect())
     assert m == [0, 1, 3]
     idx.unpersist()
+
+
+def test_reference_parse_math_transcription():
+    """DateMathParserTest.java:180 testParseMath — every golden in the
+    reference's suite, transcribed (UTC, Locale.ROOT): rounding to each
+    unit, +-1 of each unit, add/sub cancellation, the complex chains, and
+    the 'tricky' month-clamping cases (:252-258)."""
+    base = datetime(2001, 7, 4, 12, 8, 56, 235000)
+
+    def d(s):
+        fmt = "%Y-%m-%dT%H:%M:%S.%f"
+        return datetime.strptime(s, fmt)
+
+    cases = [
+        ("", "2001-07-04T12:08:56.235"),
+        ("/SECOND", "2001-07-04T12:08:56.000"),
+        ("/MINUTE", "2001-07-04T12:08:00.000"),
+        ("/HOUR", "2001-07-04T12:00:00.000"),
+        ("/DAY", "2001-07-04T00:00:00.000"),
+        ("/MONTH", "2001-07-01T00:00:00.000"),
+        ("/YEAR", "2001-01-01T00:00:00.000"),
+        ("+1MILLISECOND", "2001-07-04T12:08:56.236"),
+        ("+1SECOND", "2001-07-04T12:08:57.235"),
+        ("+1MINUTE", "2001-07-04T12:09:56.235"),
+        ("+1HOUR", "2001-07-04T13:08:56.235"),
+        ("+1DAY", "2001-07-05T12:08:56.235"),
+        ("+1MONTH", "2001-08-04T12:08:56.235"),
+        ("+1YEAR", "2002-07-04T12:08:56.235"),
+        ("-1MILLISECOND", "2001-07-04T12:08:56.234"),
+        ("-1SECOND", "2001-07-04T12:08:55.235"),
+        ("-1MINUTE", "2001-07-04T12:07:56.235"),
+        ("-1HOUR", "2001-07-04T11:08:56.235"),
+        ("-1DAY", "2001-07-03T12:08:56.235"),
+        ("-1MONTH", "2001-06-04T12:08:56.235"),
+        ("-1YEAR", "2000-07-04T12:08:56.235"),
+        ("+1MILLISECOND-1MILLISECOND", "2001-07-04T12:08:56.235"),
+        ("+1YEAR-1YEAR", "2001-07-04T12:08:56.235"),
+        ("-1MONTH+1MONTH", "2001-07-04T12:08:56.235"),
+        ("+1MILLISECOND-1YEAR", "2000-07-04T12:08:56.236"),
+        ("+1SECOND-1YEAR", "2000-07-04T12:08:57.235"),
+        ("+1MONTH-1YEAR", "2000-08-04T12:08:56.235"),
+        ("-1YEAR+1MILLISECOND", "2000-07-04T12:08:56.236"),
+        ("-1YEAR+1MONTH", "2000-08-04T12:08:56.235"),
+        ("-1YEAR+1MILLISECOND/MONTH", "2000-07-01T00:00:00.000"),
+        ("-1YEAR+1SECOND/DAY", "2000-07-04T00:00:00.000"),
+        ("-1YEAR+1HOUR/HOUR", "2000-07-04T13:00:00.000"),
+        ("-1YEAR+1DAY/SECOND", "2000-07-05T12:08:56.000"),
+        ("-1YEAR+1MONTH/SECOND", "2000-08-04T12:08:56.000"),
+    ]
+    for expr, want in cases:
+        assert parse_date_math("NOW" + expr, base) == d(want), expr
+
+    # "tricky" month clamping (:252-258)
+    tricky = datetime(2006, 1, 31, 17, 9, 59, 999000)
+    assert parse_date_math("NOW+1MONTH", tricky) == d("2006-02-28T17:09:59.999")
+    assert parse_date_math("NOW+25MONTH", tricky) == d("2008-02-29T17:09:59.999")
+    assert parse_date_math("NOW/MONTH+35DAYS/MONTH", tricky) == d(
+        "2006-02-01T00:00:00.000"
+    )
+    assert parse_date_math("NOW+3MILLIS/MINUTE", tricky) == d(
+        "2006-01-31T17:10:00.000"
+    )
