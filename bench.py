@@ -43,9 +43,9 @@ import time
 
 import pandas as pd
 
-# the tree the round-5 driver bench measured (commit just before the r5
+# the tree the round-6 driver bench measured (commit just before the r6
 # artifacts were recorded)
-CONTROL_COMMIT = "71787b9"
+CONTROL_COMMIT = "59dd864"
 
 
 def _cpu_probe() -> float:
@@ -126,13 +126,28 @@ def main() -> None:
     ):
         repo = os.path.dirname(os.path.abspath(__file__))
         probe_control = _cpu_probe()
+        # both trees run best-of-two in interleaved slots (C,X,C,X) so the
+        # headline ratio compares like with like — a single-sample control
+        # vs best-of-two current would bias the ratio in current's favor,
+        # and interleaving decorrelates the load waves from the tree
         control = _run_control(repo)
-        probe_current = _cpu_probe()
-        # second CURRENT pass in its own slot: the battery is measured
-        # best-of-two so a single load wave landing on one slot cannot
-        # become the round's headline (waves were observed to inflate one
-        # battery 1.3-1.4x while an adjacent slot ran clean)
         current_alt = _run_battery_subprocess(repo)
+        control2 = _run_control(repo)
+        probe_current = _cpu_probe()
+        def _ok(c):
+            return isinstance(c, dict) and isinstance(
+                c.get("value"), (int, float)
+            )
+
+        if _ok(control) and _ok(control2):
+            if control2["value"] < control["value"]:
+                control, control2 = control2, control
+            control["slower_control_pass"] = {
+                "value": control2["value"],
+                "queries": control2.get("queries", {}),
+            }
+        elif _ok(control2):
+            control = control2
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(

@@ -267,6 +267,8 @@ def for_decode(buf: bytes) -> np.ndarray:
     pos = 0
     n = b.size
     while pos < n:
+        if pos + 2 > n:
+            raise ValueError("for128: truncated or misaligned stream")
         w = bb[pos]
         c = bb[pos + 1] or BLOCK
         hdr_off.append(pos)

@@ -799,13 +799,30 @@ SELECT doc_id, score FROM (
 """,
 )
 def search_after_page2(spark, sf_dir):
-    """searchAfter keyset pagination (IndexSearcher.java:234-250): page 2."""
+    """searchAfter keyset pagination (IndexSearcher.java:234-250): page 2.
+
+    Scale path, no global window: page 1's bottom is a TakeOrdered
+    (orderBy().limit(10) -> <=10 rows to the driver, exactly the ScoreDoc
+    handle a real searchAfter caller holds), then page 2 is the keyset
+    predicate strictly-after that handle -- the same plan shape as the
+    engine API executor.search_after."""
     s = searcher(spark, sf_dir)
     scored = s.scored(Q.Term(T_C)).withColumn("score", F.round("score", 4))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    page1 = ranked.limit(10).collect()
+    if len(page1) < 10:  # no page 2
+        return ranked.where(F.lit(False)).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "score"
+        )
+    last = page1[-1]
+    after_s, after_d = float(last["score"]), int(last["doc_id"])
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        scored.where(
+            (F.col("score") < F.lit(after_s))
+            | ((F.col("score") == F.lit(after_s)) & (F.col("doc_id") > F.lit(after_d)))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "score")
     )
 
@@ -3472,61 +3489,64 @@ def date_math_facet(spark, sf_dir):
 # recent CORRECTNESS_r*.json: never-verified first, then stale-green
 # (verified only in an older round), then a rotating tail of current-green.
 _CHECK_PRIORITY = [
-    # round 6: exactly the 50 queries whose latest green row is
-    # CORRECTNESS_r04 (everything in CORRECTNESS_r05 is one-round fresh
-    # and rotates out).  ZERO new registrations share this window — new
-    # round-6 queries land past slot 50, are verified locally via
-    # tools/replay_contract.py + pytest, and rotate into the r7 window.
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "block_join_parents",
-    "bm25_term_topk",
-    "bm25_term_topk_common",
-    "bool_and_not",
-    "bool_and_topk",
-    "bool_min_should_match",
-    "bool_or_topk",
-    "boosting_query_topk",
-    "complex_phrase_docs",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    "embedding_near_pairs",
-    "events_hourly_window",
-    "events_sessionize",
-    "facet_queries",
-    "fielded_bool_topk",
-    "fielded_intervals_leaves",
-    "geo_distance_docs",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "multifield_parser_topk",
-    "multimodal_features",
-    "nb_classify_lang",
-    "ngram_phrase_topk",
-    "nonoverlapping_intervals",
-    "ordered_near",
-    "payload_term_topk",
-    "percolate_queries",
-    "phrase_topk",
-    "pivot_facet",
-    "quality_score",
-    "query_elevation_topk",
-    "sharded_count",
-    "simhash_near_pairs",
-    "simhash_signatures",
-    "simple_query_parser_topk",
-    "spell_suggest",
-    "stats_over_hits",
-    "suggest_infix_pruned",
-    "surround_query_docs",
-    "sweet_spot_topk",
-    "taxonomy_drill_sideways",
-    "taxonomy_facet_drilldown",
-    "taxonomy_sum_associations",
-    "token_stats",
-    "unordered_near",
-    "xml_query_docs",
+    # round 7: the 6 queries registered in round 6 past slot 100 (never
+    # driver-checked; judge-replayed green) come FIRST, then 44 of the 50
+    # whose latest green row is CORRECTNESS_r05.  The 6 deferred to r8
+    # (match_all_count, total_hits, numeric_range_docs, term_range_docs,
+    # prefix_docs, wildcard_docs) are trivial scans pinned by goldens AND
+    # covered by the committed full-replay artifacts (CORRECTNESS_sf1_r7).
+    # search_after_page2 stays in-window because its plan is rewritten
+    # this round (keyset pagination, no global window).
+    "analyzing_suggest",
+    "block_join_grouped_hits",
+    "custom_score_topk",
+    "date_math_facet",
+    "dfr_gl2_topk",
+    "es_stem_docs",
+    "analyzing_parser_docs",
+    "block_join_children",
+    "chargram_phrase_docs",
+    "classic_bool_topk",
+    "common_grams_topk",
+    "common_terms_topk",
+    "decontaminate_train",
+    "dedup_components",
+    "dfr_inl2_topk",
+    "dismax_topk",
+    "doc_lm_score",
+    "edge_ngram_prefix_docs",
+    "expand_topn",
+    "facet_by_source",
+    "facet_range_histogram",
+    "folded_match_docs",
+    "freetext_suggest",
+    "fuzzy_docs",
+    "fuzzy_suggest",
+    "group_top2_per_source",
+    "html_strip_topk",
+    "interval_range_filter",
+    "lm_dirichlet_topk",
+    "min_freq_filter",
+    "more_like_this",
+    "multimodal_decoded_meta",
+    "multiphrase_docs",
+    "ngram_jaccard_pairs",
+    "prefix_scoring_topk",
+    "query_parser_topk",
+    "query_time_join",
+    "query_time_join_scored",
+    "rescore_topk",
+    "search_after_page2",
+    "shingle_phrase_topk",
+    "sloppy_phrase_topk",
+    "sort_by_field_topk",
+    "standard_parser_topk",
+    "suggest_infix",
+    "suggest_prefix",
+    "suggest_stored_pruned",
+    "synonym_expand_topk",
+    "term_vector_doc",
+    "terms_component",
 ]
 
 

@@ -140,9 +140,13 @@ def date_range_facets(
     lo = parse_date_math(start, now)
     hi = parse_date_math(end, now)
     gap_s = gap_days * 86400
+    # Naive-datetime epoch computed against the naive 1970 origin, NOT
+    # .timestamp() (which interprets naive datetimes in the host's local
+    # timezone).  The session factory pins spark.sql.session.timeZone=UTC,
+    # so this epoch and Spark's unix_timestamp agree on any host.
+    lo_epoch = int((lo - datetime(1970, 1, 1)).total_seconds())
     bucket = F.floor(
-        (F.unix_timestamp(F.col(ts_col)) - F.lit(int(lo.timestamp())))
-        / F.lit(gap_s)
+        (F.unix_timestamp(F.col(ts_col)) - F.lit(lo_epoch)) / F.lit(gap_s)
     )
     return (
         df.where(
@@ -152,7 +156,7 @@ def date_range_facets(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.timestamp_seconds(
-                F.col("bucket") * gap_s + F.lit(int(lo.timestamp()))
+                F.col("bucket") * gap_s + F.lit(lo_epoch)
             ).alias("bucket_start"),
             "n",
         )

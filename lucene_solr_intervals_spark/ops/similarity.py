@@ -155,22 +155,29 @@ def kmeans_centroids(
     (spherical) so argmax-dot assignment == cosine assignment regardless of
     data norms; a cluster that empties keeps its previous centroid.
     Default n_centroids ~ sqrt(n) (the standard IVF sizing)."""
-    from pyspark.sql import Window
-
     n = embeddings.count()
     if n_centroids is None:
         n_centroids = max(2, int(round(n ** 0.5)))
     n_centroids = min(n_centroids, n)
-    w = Window.orderBy(F.col(id_col))
     step = max(1, n // n_centroids)
+    # Seed selection with NO global window (a row_number over the whole
+    # embeddings set funnels every vector through one task — the exact
+    # single-partition pattern this codebase avoids).  Ids are modded
+    # directly: a plain filter runs map-side, and the orderBy().limit()
+    # is a TakeOrdered (per-partition top-k + driver merge of <=k rows).
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
+    )
     init_rows = (
-        embeddings.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col))
-        .withColumn("rn", F.row_number().over(w) - 1)
-        .where(F.col("rn") % step == 0)
-        .orderBy("rn")
+        base.where(F.col("vec_id") % step == 0)
+        .orderBy("vec_id")
         .limit(n_centroids)
         .collect()
     )
+    if len(init_rows) < n_centroids:
+        # sparse / non-dense id space: deterministic fallback, still
+        # window-free — smallest n_centroids ids (TakeOrdered again)
+        init_rows = base.orderBy("vec_id").limit(n_centroids).collect()
 
     def _norm(v: list[float]) -> list[float]:
         s = sum(x * x for x in v) ** 0.5

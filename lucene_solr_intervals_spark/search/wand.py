@@ -907,6 +907,17 @@ class SegmentSearcher:
             terms_col = pdf["term"].tolist()
 
             big = pdf["df"].to_numpy(dtype=np.int64) > SMALL_DF
+            # the pruned per-term decode needs the block-max sidecar; on an
+            # index built without block metadata route everything through
+            # the batched small path instead of KeyError-ing in the task
+            # (mirrors the interactive wand guard at ~line 306)
+            _meta_cols = ("block_max_tf", "block_max_nb", "block_id_offs",
+                          "block_tf_offs", "block_last")
+            if big.any():
+                if any(c not in pdf.columns for c in _meta_cols):
+                    big[:] = False
+                else:
+                    big &= pdf["block_max_tf"].notna().to_numpy()
             big_idx = np.flatnonzero(big)
             if big_idx.size:
                 # column-array row access: pdf.iloc is ~0.5 ms/row on wide

@@ -23,6 +23,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin the session timezone: date-math resolves bounds driver-side
+        # with naive datetimes (ops/datemath.py) and compares the Python
+        # epoch against Spark timestamp literals — on a non-UTC host the
+        # two would disagree by the UTC offset unless both sides are UTC.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
