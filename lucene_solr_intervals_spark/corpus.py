@@ -49,8 +49,17 @@ VOCAB = _vocab()
 _PUNCT = ["(", ")", "{", "}", ";", "=", "->", ".", ",", ":"]
 
 
-def make_row(doc_id: int) -> tuple[str, str, str, str, str]:
-    """One deterministic corpus row (pure function of doc_id)."""
+N_ORGS = 20
+
+
+def make_row(doc_id: int, distribution: str = "uniform") -> tuple[str, str, str, str, str]:
+    """One deterministic corpus row (pure function of doc_id).
+
+    distribution="zipf" switches to the skewed mode (see _make_row_zipf):
+    zipfian df AND per-doc tf with org-correlated burstiness — the shape of
+    every real corpus, and the one the block-max pruning path exists for."""
+    if distribution == "zipf":
+        return _make_row_zipf(doc_id)
     rng = np.random.default_rng(42 ^ (doc_id * 2654435761 % (1 << 63)))
     repo = f"org{doc_id % 20:02d}/repo{(doc_id // 20) % 50:03d}"
     ext = _EXT_LIST[doc_id % 4]
@@ -72,6 +81,53 @@ def make_row(doc_id: int) -> tuple[str, str, str, str, str]:
     return repo, path, commit, EXTS[ext], content
 
 
+N_TOPICS = 20
+TOPIC_RUN = 1024  # docs per contiguous topic run (= 8 postings blocks)
+
+
+def _make_row_zipf(doc_id: int) -> tuple[str, str, str, str, str]:
+    """Skewed corpus row: zipfian document frequencies AND zipfian
+    within-doc tf, with *topical locality* — each term "belongs" to one
+    topic (term_idx % N_TOPICS) and bursts only inside that topic's runs.
+
+    Why this shape: the index keeps the caller's doc ids (id_col), so
+    postings blocks are 128-doc ranges of RAW doc-id order.  Topics rotate
+    in contiguous TOPIC_RUN-doc stripes of that order — the crawl-order
+    clustering every real corpus has — so a term's high-tf postings
+    concentrate into 1/N_TOPICS of the blocks while every other block holds
+    only tf<=6 background occurrences.  That is exactly the skew the
+    reference's skip lists (Lucene41SkipWriter.java:69) and this engine's
+    block-max sidecars exist to exploit: on the uniform corpus every
+    block's bound ties the k-th score and pruning cannot win by
+    construction; on this one it must.
+
+    Deterministic per doc_id like the uniform mode (same seed discipline),
+    so any partitioning yields byte-identical rows."""
+    rng = np.random.default_rng(42 ^ (doc_id * 2654435761 % (1 << 63)))
+    repo = f"org{doc_id % N_ORGS:02d}/repo{(doc_id // N_ORGS) % 50:03d}"
+    ext = _EXT_LIST[doc_id % 4]
+    path = f"src/pkg{doc_id % 7}/mod{doc_id % 13}/file{doc_id}.{ext}"
+    commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+    topic = (doc_id // TOPIC_RUN) % N_TOPICS
+    # heavy-tailed distinct-term count (doc length / norm skew)
+    n_distinct = 30 + min(int(rng.pareto(1.5) * 40.0), 400)
+    # zipfian df: which terms appear follows a zipf over the vocabulary
+    idx = np.minimum(rng.zipf(1.2, size=n_distinct) - 1, VOCAB_SIZE - 1)
+    idx = np.unique(idx)
+    # background tf: mostly 1, occasionally 2-6
+    tf = np.minimum(rng.zipf(2.5, size=idx.size), 6)
+    # burst: terms whose home topic is this doc's topic go heavy-tailed
+    home = (idx % N_TOPICS) == topic
+    if home.any():
+        tf[home] = np.minimum(rng.zipf(1.3, size=int(home.sum())), 120)
+    tokens = np.repeat(idx, tf)
+    rng.shuffle(tokens)
+    parts = [VOCAB[i] for i in tokens]
+    if doc_id % PROBE_EVERY == 0:
+        parts[10:10] = PROBE_PHRASE
+    return repo, path, commit, EXTS[ext], " ".join(parts)
+
+
 CORPUS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -84,17 +140,24 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
-def generate_corpus(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+def generate_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    distribution: str = "uniform",
+) -> DataFrame:
     """Distributed deterministic corpus: spark.range + Arrow-batched generator.
 
     Rows depend only on doc_id, so the result is identical at any
     parallelism level — the N vs 4N scaling runs see the same input.
+    distribution="zipf" -> skewed df/tf with topical locality (see
+    _make_row_zipf); "uniform" -> the flat F1 fixture shape.
     """
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
 
     def _gen(batches):
         for pdf in batches:
-            rows = [make_row(int(i)) for i in pdf["id"]]
+            rows = [make_row(int(i), distribution) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["id"].astype("int64"),

