@@ -46,8 +46,6 @@ from ..codecs.varbyte import (
     BLOCK_SIZE,
     block_meta,
     pack_doc_ids,
-    pack_offsets,
-    pack_positions,
     pack_tfs,
     unpack_doc_ids,
     unpack_positions,
@@ -882,31 +880,42 @@ def _merge_group(
     new_seg = int(pdf["new_seg"].iloc[0])
     all_ids = np.concatenate([unpack_doc_ids(b, codec) for b in pdf["doc_ids"]])
     all_tfs = np.concatenate([unpack_tfs(b, codec) for b in pdf["tfs"]])
-    all_pos: list[np.ndarray] = []
-    for pos_buf, tf_buf in zip(pdf["positions"], pdf["tfs"]):
-        all_pos.extend(unpack_positions(pos_buf, unpack_tfs(tf_buf, codec), codec))
     has_offsets = "offsets" in pdf.columns and all(
         len(b) > 0 for b in pdf["offsets"]
     )
-    all_s: list[np.ndarray] = []
-    all_e: list[np.ndarray] = []
-    if has_offsets:
-        from ..codecs.varbyte import unpack_offsets_flat
-
-        for off_buf, tf_buf in zip(pdf["offsets"], pdf["tfs"]):
-            tfv = unpack_tfs(tf_buf, codec)
-            fs, fe, doffs = unpack_offsets_flat(off_buf, tfv, codec)
-            for i in range(tfv.size):
-                all_s.append(fs[doffs[i] : doffs[i + 1]])
-                all_e.append(fe[doffs[i] : doffs[i + 1]])
+    keep = None
     if tombstones:
-        keep = ~np.isin(all_ids, np.fromiter(tombstones, dtype=np.int64))
+        drop = np.isin(all_ids, np.fromiter(tombstones, dtype=np.int64))
+        if drop.any():
+            keep = ~drop
+    # Positions/offsets streams: per-doc delta encoding restarts at every
+    # doc and every block is self-delimiting (codecs/forpack.py stream
+    # layout), so whole-stream CONCATENATION is a valid stream for the
+    # merged posting — the ttf-sized payload is never decoded or re-packed
+    # (Lucene's SegmentMerger bulk-copy fast path, SegmentMerger.java
+    # mergeTerms; doc_ids/tfs below stay 128-block-aligned re-packs so the
+    # WAND block metadata keeps its exact-offset contract).
+    if keep is None:
+        positions_buf = b"".join(pdf["positions"])
+        offsets_buf = b"".join(pdf["offsets"]) if has_offsets else b""
+    else:
+        # liveDocs reclaim: whole docs drop, and a doc's position deltas
+        # are self-contained — filter the RAW delta stream with one
+        # repeat-mask, no per-doc Python and no cumsum round-trip.
+        from ..codecs.varbyte import vb_decode, vb_encode
+
+        dec = codec.decode if codec is not None else vb_decode
+        enc = codec.encode if codec is not None else vb_encode
+        flat_pos = np.concatenate([dec(b) for b in pdf["positions"]])
+        pos_mask = np.repeat(keep, all_tfs)
+        positions_buf = enc(flat_pos[pos_mask].astype(np.uint64))
+        offsets_buf = b""
+        if has_offsets:
+            flat_off = np.concatenate([dec(b) for b in pdf["offsets"]])
+            off_mask = np.repeat(keep, 2 * all_tfs)
+            offsets_buf = enc(flat_off[off_mask].astype(np.uint64))
         all_ids = all_ids[keep]
         all_tfs = all_tfs[keep]
-        all_pos = [p for p, k in zip(all_pos, keep) if k]
-        if has_offsets:
-            all_s = [x for x, k in zip(all_s, keep) if k]
-            all_e = [x for x, k in zip(all_e, keep) if k]
         if all_ids.size == 0:
             return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
     # block meta must be recomputed (block boundaries move); max-norm-byte
@@ -930,13 +939,13 @@ def _merge_group(
                 "ttf": int(all_tfs.sum()),
                 "doc_ids": pack_doc_ids(all_ids, codec),
                 "tfs": pack_tfs(all_tfs, codec),
-                "positions": pack_positions(all_pos, codec),
+                "positions": positions_buf,
                 "block_last": last_b,
                 "block_max_tf": max_b,
                 "block_max_nb": max_nb.tobytes(),
                 "block_id_offs": id_offs.tobytes(),
                 "block_tf_offs": tf_offs.tobytes(),
-                "offsets": pack_offsets(all_s, all_e, codec) if has_offsets else b"",
+                "offsets": offsets_buf,
             }
         ],
         columns=[f.name for f in POSTINGS_SCHEMA.fields],
