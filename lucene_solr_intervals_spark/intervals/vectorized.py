@@ -273,6 +273,108 @@ def classic_sloppy_2(
     return docs[sel], n_match[sel], freq[sel]
 
 
+def classic_sloppy_k(
+    keys_list: list, slop: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SloppyPhraseScorer walk for a K-DISTINCT-term phrase, vectorized
+    across docs (generalizes classic_sloppy_2's segment trick; repeats
+    still take the per-doc transcription in search/sloppy.py because
+    collision groups serialize the walk).
+
+    keys_list[j] is slot j's offset-ADJUSTED sorted key array:
+    doc*stride + (pos - offset_j + C), C = max offset.
+
+    Same walk as SloppyPhraseScorer.java:117-147 phraseFreq with k
+    PhrasePositions: the popped minimum pp consumes its positions while
+    <= next (the queue top, ties consumed — the crossing test is strictly
+    `>`); during that run `end` (the global max) cannot change because
+    every consumed position <= next <= end, so the tracked minimum
+    matchLength is end - (largest consumed position <= next) and exactly
+    one match is scored per segment.  On the cross, end absorbs the
+    crossing position (advancePP's `if (pp.position > end)`), the crossing
+    pointer re-enters the queue, and the new pp/next re-derive as the two
+    smallest current positions (ties broken by offset == slot order, the
+    PhraseQueue key).  Exhaustion of the advancing pointer ends the walk
+    after the current segment's score.  Each segment is one numpy step
+    over all still-active docs, grouped by which slot is advancing.
+    Equality with the transcribed walk is property-pinned in
+    tests/test_classic_sloppy_vectorized.py.
+
+    Returns (docs, n_matches, sloppy_freq) for docs with >= 1 match.
+    """
+    k = len(keys_list)
+    empty = _EMPTY, _EMPTY, np.empty(0, dtype=np.float64)
+    if any(ks.size == 0 for ks in keys_list):
+        return empty
+    docs = None
+    for ks in keys_list:
+        d = ks // stride
+        d = d[np.concatenate([[True], d[1:] != d[:-1]])]
+        docs = d if docs is None else np.intersect1d(docs, d)
+    if docs.size == 0:
+        return empty
+    n = docs.size
+    SENT = np.iinfo(np.int64).max
+    hi = np.empty((k, n), dtype=np.int64)
+    V = np.empty((k, n), dtype=np.int64)  # current key per slot (doc-based)
+    for t, ks in enumerate(keys_list):
+        lo_t = np.searchsorted(ks, docs * stride, side="left")
+        hi[t] = np.searchsorted(ks, (docs + 1) * stride, side="left")
+        V[t] = ks[lo_t]
+    cur = np.argmin(V, axis=0)  # first occurrence == smallest offset on ties
+    end = V.max(axis=0)
+    Vm = V.copy()
+    Vm[cur, np.arange(n)] = SENT
+    nxt = Vm.min(axis=0)
+    n_match = np.zeros(n, dtype=np.int64)
+    freq = np.zeros(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+    while active.any():
+        ai = np.flatnonzero(active)
+        cai = cur[ai]
+        ml = np.empty(ai.size, dtype=np.int64)
+        nxt_i = np.empty(ai.size, dtype=np.int64)
+        exhausted = np.empty(ai.size, dtype=bool)
+        for t in range(k):
+            m = cai == t
+            if not m.any():
+                continue
+            rows = ai[m]
+            ks = keys_list[t]
+            # largest advancing position <= next (ties consumed); the
+            # current position is itself <= next, so pred stays inside
+            # this doc's range
+            pred = np.searchsorted(ks, nxt[rows], side="right") - 1
+            ml[m] = end[rows] - ks[pred]
+            nxt_i[m] = pred + 1
+            exhausted[m] = pred + 1 >= hi[t, rows]
+        hit = ml <= slop
+        np.add.at(n_match, ai[hit], 1)
+        np.add.at(freq, ai[hit], 1.0 / (ml[hit] + 1.0))
+        cont = ~exhausted
+        rows = ai[cont]
+        if rows.size:
+            tsel = cai[cont]
+            ni = nxt_i[cont]
+            newv = np.empty(rows.size, dtype=np.int64)
+            for t in range(k):
+                m2 = tsel == t
+                if m2.any():
+                    ks = keys_list[t]
+                    newv[m2] = ks[np.minimum(ni[m2], ks.size - 1)]
+            V[tsel, rows] = newv
+            end[rows] = np.maximum(end[rows], newv)
+            Vr = V[:, rows]
+            newcur = np.argmin(Vr, axis=0)
+            cur[rows] = newcur
+            Vm = Vr.copy()
+            Vm[newcur, np.arange(rows.size)] = SENT
+            nxt[rows] = Vm.min(axis=0)
+        active[ai[exhausted]] = False
+    sel = n_match > 0
+    return docs[sel], n_match[sel], freq[sel]
+
+
 # --------------------------------------------------------------- dispatch
 
 
@@ -296,16 +398,26 @@ def fast_shape(q) -> tuple | None:
             if getattr(q, "scorer", "classic") == "intervals":
                 return ("sloppy2", q.terms[0], q.terms[1], q.slop)
             return ("csloppy2", q.terms[0], q.terms[1], q.slop)
+        if (
+            q.slop > 0
+            and len(q.terms) > 2
+            and len(set(q.terms)) == len(q.terms)
+            and getattr(q, "scorer", "classic") == "classic"
+        ):
+            # k distinct terms never collide -> the repeat-free walk
+            # vectorizes (classic_sloppy_k); repeats keep the per-doc
+            # transcription (collision groups serialize the walk)
+            return ("csloppyk", tuple(q.terms), q.slop)
         return None
     if isinstance(q, Q.MultiPhrase) and q.slop > 0:
-        # two singleton distinct slots degenerate to the 2-term phrase walk
-        if (
-            len(q.slots) == 2
-            and all(len(s) == 1 for s in q.slots)
-            and set(q.slots[0]) != set(q.slots[1])
-        ):
-            (a,), (b,) = tuple(q.slots[0]), tuple(q.slots[1])
-            return ("csloppy2", a, b, q.slop)
+        # singleton all-distinct slots degenerate to the k-term phrase walk
+        if all(len(s) == 1 for s in q.slots) and len(
+            {next(iter(s)) for s in q.slots}
+        ) == len(q.slots):
+            terms = tuple(next(iter(s)) for s in q.slots)
+            if len(terms) == 2:
+                return ("csloppy2", terms[0], terms[1], q.slop)
+            return ("csloppyk", terms, q.slop)
         return None
     if isinstance(q, Q.NGramPhrase):
         return ("phrase_off", q.kept_slots(), len(q.terms))
@@ -446,6 +558,16 @@ def run_shape(
         docs = ordered_near_k([term_keys.get(t, _EMPTY) for t in terms], slop, stride)
         ones = np.ones(docs.size, dtype=np.int64)
         return docs, ones, ones.astype(np.float64)
+    if kind == "csloppyk":
+        terms, slop = shape[1], shape[2]
+        kk = len(terms)
+        # slot j adjust = C - j with C = max offset = k-1 (csloppy2's +1/+0
+        # generalized); executor stride reserves len(terms) + 2 slack
+        keys = [
+            term_keys.get(t, _EMPTY) + np.int64(kk - 1 - j)
+            for j, t in enumerate(terms)
+        ]
+        return classic_sloppy_k(keys, slop, stride)
     a = term_keys.get(shape[1], _EMPTY)
     b = term_keys.get(shape[2], _EMPTY)
     slop = shape[3]

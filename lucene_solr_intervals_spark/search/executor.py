@@ -957,8 +957,10 @@ class Searcher:
 
         query = q  # closure capture (dataclasses pickle fine)
         shape = VK.fast_shape(q)
-        if freq_mode == "classic_sloppy" and (shape is None or shape[0] != "csloppy2"):
-            shape = None  # repeats / k-term / multi-term slots: Python walk
+        if freq_mode == "classic_sloppy" and (
+            shape is None or shape[0] not in ("csloppy2", "csloppyk")
+        ):
+            shape = None  # repeats / multi-term slots: Python walk
 
         if freq_mode == "classic_sloppy" and shape is None:
             # SloppyPhraseScorer walk per doc (search/sloppy.py); MultiPhrase

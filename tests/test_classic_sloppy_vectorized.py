@@ -95,12 +95,15 @@ def test_fast_shape_routing():
     assert fast_shape(Q.Phrase(("a", "b"), slop=2))[0] == "csloppy2"
     # repeats keep the transcribed Python walk (LUCENE-3412 territory)
     assert fast_shape(Q.Phrase(("a", "a"), slop=2)) is None
-    # k-term keeps the walk
-    assert fast_shape(Q.Phrase(("a", "b", "c"), slop=2)) is None
+    assert fast_shape(Q.Phrase(("a", "b", "a"), slop=2)) is None
+    # k distinct terms -> the k-pointer vectorized walk
+    assert fast_shape(Q.Phrase(("a", "b", "c"), slop=2))[0] == "csloppyk"
     # intervals-scorer phrase keeps the intervals-module kernel
     assert fast_shape(Q.Phrase(("a", "b"), slop=2, scorer="intervals"))[0] == "sloppy2"
-    # MultiPhrase: two singleton distinct slots degenerate to the pair walk
+    assert fast_shape(Q.Phrase(("a", "b", "c"), slop=2, scorer="intervals")) is None
+    # MultiPhrase: singleton all-distinct slots degenerate to the term walk
     assert fast_shape(Q.MultiPhrase((("a",), ("b",)), slop=3))[0] == "csloppy2"
+    assert fast_shape(Q.MultiPhrase((("a",), ("b",), ("c",)), slop=3))[0] == "csloppyk"
     assert fast_shape(Q.MultiPhrase((("a", "x"), ("b",)), slop=3)) is None
 
 
@@ -179,3 +182,109 @@ def test_golden_corpus_two_term_subqueries(searchers):
                 want = _walk(A, B, slop)
                 got = _kernel_multi({d: (A, B)}, slop).get(d, (0, 0.0))
                 assert got == (want[0], round(want[1], 9)), (d, terms, slop)
+
+
+# ------------------------------------------------------- k-term kernel
+
+
+def _kernel_k(doc_positions, slop, k):
+    """doc_positions: {doc: [P0..Pk-1]} -> {doc: (n, freq)}; slot j keys
+    adjusted by C - j, C = k - 1 (csloppy2's +1/+0 generalized)."""
+    from lucene_solr_intervals_spark.intervals.vectorized import classic_sloppy_k
+
+    keys = []
+    for j in range(k):
+        arr = []
+        for d, plists in doc_positions.items():
+            arr += [d * STRIDE + p + (k - 1 - j) for p in plists[j]]
+        keys.append(np.array(sorted(arr), dtype=np.int64))
+    docs, nm, fr = classic_sloppy_k(keys, slop, STRIDE)
+    return {int(d): (int(n), round(float(f), 9)) for d, n, f in zip(docs, nm, fr)}
+
+
+def _walk_k(plists, slop):
+    terms = [f"t{j}" for j in range(len(plists))]
+    return sloppy_slots_freq(
+        [frozenset((t,)) for t in terms],
+        {t: list(p) for t, p in zip(terms, plists)},
+        slop,
+    )
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.lists(st.integers(0, 60), min_size=0, max_size=6, unique=True),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    slop=st.integers(0, 10),
+)
+@settings(max_examples=300, deadline=None)
+def test_kernel_k3_equals_walk_property(data, slop):
+    want = {}
+    doc_positions = {}
+    for d, plists in enumerate(data):
+        plists = [sorted(p) for p in plists]
+        doc_positions[d] = plists
+        if all(plists):
+            n, f = _walk_k(plists, slop)
+            if n:
+                want[d] = (n, round(f, 9))
+    assert _kernel_k(doc_positions, slop, 3) == want
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.lists(st.integers(0, 80), min_size=1, max_size=5, unique=True),
+            min_size=4,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    slop=st.integers(0, 14),
+)
+@settings(max_examples=200, deadline=None)
+def test_kernel_k45_equals_walk_property(data, slop):
+    want = {}
+    doc_positions = {}
+    k = len(data[0])
+    data = [p for p in data if len(p) == k]
+    for d, plists in enumerate(data):
+        plists = [sorted(p) for p in plists]
+        doc_positions[d] = plists
+        n, f = _walk_k(plists, slop)
+        if n:
+            want[d] = (n, round(f, 9))
+    assert _kernel_k(doc_positions, slop, k) == want
+
+
+def test_end_to_end_k3_kernel_equals_forced_walk(searchers, monkeypatch):
+    """3-term classic sloppy phrase: kernel == forced per-doc walk, packed
+    path too (the round-7 vectorization of the k-term no-repeats case)."""
+    import lucene_solr_intervals_spark.intervals.vectorized as VK
+
+    s, ss = searchers
+    queries = [
+        Q.Phrase(("table", "hash", "join"), slop=sl) for sl in (1, 2, 4, 8)
+    ] + [
+        Q.Phrase(("hash", "table", "merge"), slop=6),
+        Q.MultiPhrase((("table",), ("hash",), ("join",)), slop=5),
+    ]
+    for q in queries:
+        assert VK.fast_shape(q)[0] == "csloppyk", q
+        fast = {(r["doc_id"], round(float(r["score"]), 5))
+                for r in s.scored(q).collect()}
+        packed = {(r["doc_id"], round(float(r["score"]), 5))
+                  for r in ss.search_intervals(q, k=20).collect()}
+        with monkeypatch.context() as m:
+            m.setattr(VK, "fast_shape", lambda _q: None)
+            walk = {(r["doc_id"], round(float(r["score"]), 5))
+                    for r in s.scored(q).collect()}
+        assert fast == walk, q
+        assert packed == fast, q
