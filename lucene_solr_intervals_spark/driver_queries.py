@@ -3532,6 +3532,51 @@ def get_index_mapping(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return _INDEX_CACHE[key]
 
 
+@register(
+    "edismax_topk",
+    _PRELUDE
+    + f"""
+, stok AS (SELECT doc_id, lower(source) AS term FROM documents),
+sdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM stok GROUP BY term),
+-- each clause term lives in exactly one field (text vocab has no 'srcNN',
+-- source has no text words), so the per-clause DisjunctionMax reduces to
+-- that field's BM25 score; source field: dl = 1, avgdl = 1
+clause_hits AS (
+  SELECT tfp.doc_id, tfp.term AS clause, {_SCORE} AS score
+  FROM tfp JOIN dfp USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+  WHERE tfp.term IN ('{T_A}', '{T_C}')
+  UNION ALL
+  SELECT s.doc_id, s.term AS clause,
+         ln(1 + (cs.n - sdf.df + 0.5)/(sdf.df + 0.5)) * 2.2 * 1.0
+           / (1.0 + 1.2*(0.25 + 0.75*1.0/1.0)) AS score
+  FROM stok s JOIN sdf USING (term) CROSS JOIN cs
+  WHERE s.term = 'src17'
+)
+SELECT doc_id, round(sum(score), 4) AS score
+FROM clause_hits
+WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{T_B}')
+GROUP BY doc_id
+HAVING count(DISTINCT clause) >= 2
+ORDER BY 2 DESC, doc_id ASC LIMIT 10
+""",
+)
+def edismax_topk(spark, sf_dir):
+    """eDisMax end to end (ExtendedDismaxQParser.java:64): the user string
+    'vector src17 merge -window' parsed with qf=(text, source), mm=2 —
+    per-term cross-field DisjunctionMax clauses, minimum-should-match over
+    the optional clauses, prohibited clause excluded; each leaf scores
+    with ITS field's stats."""
+    from .search.edismax import EDisMaxParser
+
+    idx = get_index_2field(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    p = EDisMaxParser(
+        {"text": 1.0, "source": 1.0}, tie=0.1, mm="2", default_field="text"
+    )
+    q = p.parse(f"{T_A} src17 {T_C} -{T_B}")
+    return _topk(s.scored(q))
+
+
 def get_index_phonetic(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """PhoneticFilter end-to-end (phonetic/PhoneticFilter.java:33, Soundex
     in replace mode): misspell 'vector' as 'vektor' in odd doc_ids (both
@@ -3632,14 +3677,17 @@ _CHECK_PRIORITY = [
     # covered by the committed full-replay artifacts (CORRECTNESS_sf1_r7).
     # search_after_page2 stays in-window because its plan is rewritten
     # this round (keyset pagination, no global window).
-    # The 3 queries REGISTERED in round 7 (word_delimiter / mapping
-    # charfilter / phonetic) are never-driver-checked and go first; they
-    # displace the last 3 r5-greens of this list (synonym_expand_topk,
-    # term_vector_doc, terms_component) to the r8 window — all three are
-    # golden-pinned and covered by the committed CORRECTNESS_sf1_r7 replay.
+    # The 4 queries REGISTERED in round 7 (word_delimiter / mapping
+    # charfilter / phonetic / edismax) are never-driver-checked and go
+    # first; they displace the last 4 r5-greens of this list
+    # (suggest_stored_pruned, synonym_expand_topk, term_vector_doc,
+    # terms_component) to the r8 window — all four are golden-pinned and
+    # covered by the committed CORRECTNESS_sf1_r7 replay (the first three;
+    # edismax landed after that run and is sf0.01-replayed below).
     "word_delimiter_topk",
     "mapping_charfilter_topk",
     "phonetic_topk",
+    "edismax_topk",
     "analyzing_suggest",
     "block_join_grouped_hits",
     "custom_score_topk",
