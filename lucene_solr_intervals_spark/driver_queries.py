@@ -3533,6 +3533,53 @@ def get_index_mapping(spark: SparkSession, sf_dir: str) -> InvertedIndex:
 
 
 @register(
+    "compound_subword_docs",
+    """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS tok
+  FROM documents
+) WHERE tok = 'agg'
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def compound_subword_docs(spark, sf_dir):
+    """DictionaryCompoundWordTokenFilter end-to-end
+    (compound/DictionaryCompoundWordTokenFilter.java:74): fuse every
+    adjacent 'key agg' pair into the compound 'keyagg' and index through a
+    ws+compound chain with dictionary {key, agg} — decomposition recovers
+    both subwords at the compound's position, so the per-doc tf of 'agg'
+    equals the PLAIN corpus's tf (each original occurrence is either left
+    standalone or fused exactly once; regexp fusion is left-to-right
+    non-overlapping, same as the count the oracle takes)."""
+    key = f"{sf_dir}#compound"
+    if key not in _INDEX_CACHE:
+        from .analysis.compound import register_compound_analyzer
+        from .analysis.tokenizer import ANALYZERS
+
+        if "compound_drv" not in ANALYZERS:
+            register_compound_analyzer(
+                "compound_drv", {"key", "agg"}, min_word=5, min_sub=3
+            )
+        fused = get_docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace("text", r"\bkey agg\b", "keyagg")
+        )
+        _INDEX_CACHE[key] = build_index(
+            fused, id_col="doc_id", text_col="text", analyzer="compound_drv",
+        )
+    idx = _INDEX_CACHE[key]
+    return (
+        idx.postings.where(F.col("term") == "agg")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("tf").cast("long").alias("tf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "edismax_topk",
     _PRELUDE
     + f"""
@@ -3677,17 +3724,19 @@ _CHECK_PRIORITY = [
     # covered by the committed full-replay artifacts (CORRECTNESS_sf1_r7).
     # search_after_page2 stays in-window because its plan is rewritten
     # this round (keyset pagination, no global window).
-    # The 4 queries REGISTERED in round 7 (word_delimiter / mapping
-    # charfilter / phonetic / edismax) are never-driver-checked and go
-    # first; they displace the last 4 r5-greens of this list
-    # (suggest_stored_pruned, synonym_expand_topk, term_vector_doc,
-    # terms_component) to the r8 window — all four are golden-pinned and
-    # covered by the committed CORRECTNESS_sf1_r7 replay (the first three;
-    # edismax landed after that run and is sf0.01-replayed below).
+    # The 5 queries REGISTERED in round 7 (word_delimiter / mapping
+    # charfilter / phonetic / edismax / compound) are never-driver-checked
+    # and go first; they displace the last 5 r5-greens of this list
+    # (suggest_prefix, suggest_stored_pruned, synonym_expand_topk,
+    # term_vector_doc, terms_component) to the r8 window — all five are
+    # golden-pinned and covered by the committed CORRECTNESS_sf1_r7 replay
+    # (the first three; edismax/compound landed after that run and are
+    # sf0.01-replayed via tools/replay_contract.py).
     "word_delimiter_topk",
     "mapping_charfilter_topk",
     "phonetic_topk",
     "edismax_topk",
+    "compound_subword_docs",
     "analyzing_suggest",
     "block_join_grouped_hits",
     "custom_score_topk",
