@@ -29,6 +29,8 @@ top-k here is rank-identical to the reference.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1076,45 +1078,75 @@ class SegmentSearcher:
 
             small = pdf[~big] if big_idx.size else pdf
             if not small.empty:
-                # batched decode: ONE codec pass over all rows' streams
-                # (the registry codecs decode concatenations), then a
-                # segmented gap-cumsum; arithmetic is in-place — the
-                # per-posting intermediate traffic is the measured
-                # memory-bandwidth pin of this phase, so every avoided
-                # copy shows up in the scaling ratio.  The id chain must
-                # stay int64: the cumsum runs over the CONCATENATION (it
-                # is reset per row by seg_base afterwards), so its running
-                # value is sum-of-max-doc-ids across rows, far past 2^31.
+                # batched decode: one codec pass per CHUNK of rows (the
+                # registry codecs decode concatenations), then a segmented
+                # gap-cumsum; arithmetic is in-place.  Per-posting
+                # intermediate traffic is the measured memory-bandwidth pin
+                # of this phase, so (a) every avoided copy shows up in the
+                # scaling ratio — ids are .view()ed not .astype()d, the
+                # idf weight is a per-row scalar slice multiply instead of
+                # an np.repeat array, the norm->denom gather goes through a
+                # doc-sized precomputed table — and (b) rows are processed
+                # in bounded chunks so the 4 passes after decode run over
+                # cache-resident arrays instead of streaming DRAM five
+                # times (the fused-accumulation answer to the r6 scaling
+                # diagnosis).  The id chain must stay int64: the cumsum
+                # runs over the chunk concatenation (reset per row by
+                # seg_base afterwards), so its running value is
+                # sum-of-max-doc-ids across rows, far past 2^31.
                 counts = small["df"].to_numpy(dtype=np.int64)
                 offsets = np.zeros(counts.size + 1, dtype=np.int64)
                 np.cumsum(counts, out=offsets[1:])
-                ids_cat = codec.decode(b"".join(small["doc_ids"])).astype(np.int64)
-                np.cumsum(ids_cat, out=ids_cat)
-                seg_base = np.zeros(ids_cat.size, dtype=np.int64)
-                starts = offsets[:-1][counts > 0]
-                seg_base[starts[1:]] = ids_cat[starts[1:] - 1]
-                np.maximum.accumulate(seg_base, out=seg_base)
-                ids_cat -= seg_base
-                tfs_cat = codec.decode(b"".join(small["tfs"])).astype(np.float32)
-                np.subtract(ids_cat, base, out=seg_base)  # reuse as index
-                denom = cache[norms[seg_base]]
-                denom += tfs_cat
-                w_cat = np.repeat(
-                    w_all[~big] if big_idx.size else w_all, counts
-                )
-                np.multiply(w_cat, tfs_cat, out=tfs_cat)
-                tfs_cat /= denom
-                sc_cat = tfs_cat
-                if tombs:
-                    dead = np.isin(ids_cat, tomb_arr)
-                    sc_cat[dead] = np.float32(-1.0)  # never reaches top-k
+                w_small = w_all[~big] if big_idx.size else w_all
                 small_terms = small["term"].tolist()
-                for i in range(counts.size):
-                    a, b2 = offsets[i], offsets[i + 1]
-                    ids_k, sc_k = _topk(ids_cat[a:b2], sc_cat[a:b2], k)
-                    out_t.extend([small_terms[i]] * ids_k.size)
-                    out_d.append(ids_k)
-                    out_s.append(sc_k)
+                id_bufs = small["doc_ids"].tolist()
+                tf_bufs = small["tfs"].tolist()
+                dbd = cache[norms]  # per-doc denom base, one gather per task
+                # chunk-level vector passes (NOT per-row: with a zipf
+                # vocabulary most rows are tiny, and per-row numpy dispatch
+                # measured 5-10% slower than chunked passes end to end);
+                # the chunk bound keeps live intermediates L3-sized
+                CHUNK = int(os.environ.get("LSI_BATCH_CHUNK", str(1 << 20)))
+                n_rows = counts.size
+                row = 0
+                while row < n_rows:
+                    row_end = row + 1
+                    total = int(counts[row])
+                    while row_end < n_rows and total + counts[row_end] <= CHUNK:
+                        total += int(counts[row_end])
+                        row_end += 1
+                    rel = offsets[row : row_end + 1] - offsets[row]
+                    ids_cat = codec.decode(
+                        b"".join(id_bufs[row:row_end])
+                    ).view(np.int64)
+                    np.cumsum(ids_cat, out=ids_cat)
+                    seg_base = np.zeros(ids_cat.size, dtype=np.int64)
+                    starts = rel[:-1][counts[row:row_end] > 0]
+                    seg_base[starts[1:]] = ids_cat[starts[1:] - 1]
+                    np.maximum.accumulate(seg_base, out=seg_base)
+                    ids_cat -= seg_base
+                    tfs_cat = codec.decode(
+                        b"".join(tf_bufs[row:row_end])
+                    ).astype(np.float32)
+                    np.subtract(ids_cat, base, out=seg_base)  # reuse as index
+                    denom = dbd[seg_base]
+                    denom += tfs_cat
+                    for i in range(row, row_end):
+                        # scalar multiply keeps the canonical f32 op order
+                        # (w*tf first) bit-identical to _exact_scores
+                        tfs_cat[rel[i - row] : rel[i - row + 1]] *= w_small[i]
+                    tfs_cat /= denom
+                    sc_cat = tfs_cat
+                    if tombs:
+                        dead = np.isin(ids_cat, tomb_arr)
+                        sc_cat[dead] = np.float32(-1.0)  # never reaches top-k
+                    for i in range(row, row_end):
+                        a, b2 = rel[i - row], rel[i - row + 1]
+                        ids_k, sc_k = _topk(ids_cat[a:b2], sc_cat[a:b2], k)
+                        out_t.extend([small_terms[i]] * ids_k.size)
+                        out_d.append(ids_k)
+                        out_s.append(sc_k)
+                    row = row_end
             if not out_t:
                 return empty
             return pd.DataFrame(
