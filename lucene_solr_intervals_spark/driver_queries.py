@@ -3533,6 +3533,51 @@ def get_index_mapping(spark: SparkSession, sf_dir: str) -> InvertedIndex:
 
 
 @register(
+    "hunspell_stem_topk",
+    _PRELUDE
+    + _hits_cte([T_C, T_B])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def hunspell_stem_topk(spark, sf_dir):
+    """HunspellStemFilter end-to-end (hunspell/HunspellStemFilter.java:48,
+    Stemmer.java:296): pluralize 'merge' -> 'merges' in odd doc_ids and
+    index through a ws+Hunspell chain whose dictionary is just 'merge/S'
+    with SFX S 0 s — the stemmer maps both surface forms to 'merge'
+    (1 token -> 1 stem, everything else passes through), so tf / doc
+    length / df are exactly the plain corpus's and BM25 over the
+    corrupted index equals the plain-text oracle."""
+    key = f"{sf_dir}#hunspell"
+    if key not in _INDEX_CACHE:
+        from .analysis.hunspell import (
+            HunspellDictionary,
+            register_hunspell_analyzer,
+        )
+        from .analysis.tokenizer import ANALYZERS
+
+        if "hunspell_drv" not in ANALYZERS:
+            d = HunspellDictionary(
+                "SET UTF-8\nSFX S Y 1\nSFX S 0 s .\n", "1\nmerge/S\n"
+            )
+            register_hunspell_analyzer("hunspell_drv", d)
+        plural = get_docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.regexp_replace("text", rf"\b{T_C}\b", f"{T_C}s"),
+            ).otherwise(F.col("text")),
+        )
+        _INDEX_CACHE[key] = build_index(
+            plural, id_col="doc_id", text_col="text", analyzer="hunspell_drv",
+        )
+    s = Searcher(_INDEX_CACHE[key], corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term(T_C), Q.Term(T_B)))
+    return _topk(s.scored(q))
+
+
+@register(
     "compound_subword_docs",
     """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
@@ -3724,19 +3769,21 @@ _CHECK_PRIORITY = [
     # covered by the committed full-replay artifacts (CORRECTNESS_sf1_r7).
     # search_after_page2 stays in-window because its plan is rewritten
     # this round (keyset pagination, no global window).
-    # The 5 queries REGISTERED in round 7 (word_delimiter / mapping
-    # charfilter / phonetic / edismax / compound) are never-driver-checked
-    # and go first; they displace the last 5 r5-greens of this list
-    # (suggest_prefix, suggest_stored_pruned, synonym_expand_topk,
-    # term_vector_doc, terms_component) to the r8 window — all five are
-    # golden-pinned and covered by the committed CORRECTNESS_sf1_r7 replay
-    # (the first three; edismax/compound landed after that run and are
+    # The 6 queries REGISTERED in round 7 (word_delimiter / mapping
+    # charfilter / phonetic / edismax / compound / hunspell) are
+    # never-driver-checked and go first; they displace the last 6
+    # r5-greens of this list (suggest_infix, suggest_prefix,
+    # suggest_stored_pruned, synonym_expand_topk, term_vector_doc,
+    # terms_component) to the r8 window — all six are golden-pinned and
+    # covered by the committed CORRECTNESS_sf1_r7 replay (the first three;
+    # edismax/compound/hunspell landed after that run and are
     # sf0.01-replayed via tools/replay_contract.py).
     "word_delimiter_topk",
     "mapping_charfilter_topk",
     "phonetic_topk",
     "edismax_topk",
     "compound_subword_docs",
+    "hunspell_stem_topk",
     "analyzing_suggest",
     "block_join_grouped_hits",
     "custom_score_topk",
