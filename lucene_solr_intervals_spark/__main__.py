@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="content")
     b.add_argument("--id-col", default=None)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--bloom", action="store_true",
+                   help="write per-segment term-dictionary bloom sidecars "
+                        "(miss terms then schedule zero tasks)")
     b.add_argument("--codec", default="varbyte",
                    help="postings codec name (codecs.registry: varbyte, plain32, for128)")
 
@@ -121,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             resume=args.resume,
             codec=args.codec,
+            bloom=args.bloom,
         )
         print(json.dumps(manifest["metrics"]))
     elif args.cmd == "merge":

@@ -578,6 +578,7 @@ def build_segments(
     n_docs_hint: int | None = None,
     keep_offsets: bool = False,
     codec: str = "varbyte",
+    bloom: bool = False,
 ) -> dict:
     """Tokenize + invert + pack the corpus into `n_segments` parquet segments.
 
@@ -696,9 +697,12 @@ def build_segments(
         "analyzer": analyzer,
         "offsets": keep_offsets,
         "codec": codec,
+        "bloom": bloom,
         "segments": segments,
         "metrics": {"build_wall_sec": wall, "docs_per_sec": n_total / wall if wall else 0},
     }
+    if bloom:
+        write_blooms(spark, index_dir, [s["seg"] for s in segments])
     _write_manifest(index_dir, manifest)
     return manifest
 
@@ -753,6 +757,52 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "postings")).where(
         F.col("term") != DOCS_MARKER
     )
+
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("nbits", T.LongType()),
+        T.StructField("bits", T.BinaryType()),
+    ]
+)
+
+
+def write_blooms(spark: SparkSession, index_dir: str, seg_ids: list[int]) -> None:
+    """Per-segment term-dictionary bloom sidecar
+    (BloomFilteringPostingsFormat.java:63 role — see codecs/bloom.py).
+    One row per segment under blooms/; built from the postings' term
+    column in the same seg grouping the build uses, folded to the
+    smallest power-of-two at sane saturation (kilobytes per segment)."""
+    from ..codecs.bloom import build_bloom, fold_bloom
+
+    def _mk(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        nbits, bits = build_bloom(pdf["term"].tolist())
+        nbits, bits = fold_bloom(nbits, bits)
+        return pd.DataFrame([{"seg": seg, "nbits": nbits, "bits": bits}])
+
+    blooms = (
+        load_postings(spark, index_dir)
+        .where(F.col("seg").isin(list(seg_ids)))
+        .select("seg", "term")
+        .groupBy("seg")
+        .applyInPandas(_mk, BLOOM_SCHEMA)
+    )
+    if len(seg_ids) == 1:
+        # merge/NRT path: atomic per-partition rename, concurrent-safe
+        _stage_partition(blooms, os.path.join(index_dir, "blooms"), seg_ids[0])
+    else:
+        blooms.write.mode("overwrite").partitionBy("seg").parquet(
+            os.path.join(index_dir, "blooms")
+        )
+
+
+def load_blooms(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = os.path.join(index_dir, "blooms")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
 
 
 def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1093,6 +1143,10 @@ def merge_segments(
     )
     _stage_partition(norms_new, os.path.join(index_dir, "norms"), new_seg)
     docs_new.unpersist()
+    if manifest.get("bloom"):
+        # bloom sidecar for the merged segment (atomic rename, like the
+        # data partitions — readers only see it once the manifest commits)
+        write_blooms(spark, index_dir, [new_seg])
 
     import contextlib
 

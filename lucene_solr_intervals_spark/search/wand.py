@@ -641,6 +641,56 @@ class SegmentSearcher:
         from ..codecs.registry import get_codec
 
         self.codec = get_codec(self.manifest.get("codec", "varbyte"))
+        self._blooms: dict | None = None  # lazy per-segment term blooms
+
+    def _load_blooms(self) -> dict:
+        """Per-segment term-dictionary blooms (BloomFilteringPostingsFormat
+        role, codecs/bloom.py) — kilobytes per segment, loaded once per
+        snapshot; {} when the index carries no bloom sidecar."""
+        if self._blooms is None:
+            blooms: dict = {}
+            if self.manifest.get("bloom"):
+                from ..index.segment import load_blooms
+
+                df = load_blooms(self.spark, self.index_dir)
+                if df is not None:
+                    live = set(self.live)
+                    blooms = {
+                        int(r["seg"]): (
+                            int(r["nbits"]),
+                            np.frombuffer(bytes(r["bits"]), dtype=np.uint8),
+                        )
+                        for r in df.collect()
+                        if int(r["seg"]) in live
+                    }
+            self._blooms = blooms
+        return self._blooms
+
+    def candidate_segs(self, terms: list[str]) -> list[int] | None:
+        """Segments that MAY contain any query term; None = no blooms, no
+        pruning.  A bloom negative is definitive (miss terms schedule zero
+        tasks); segments lacking a bloom row always stay candidates."""
+        blooms = self._load_blooms()
+        if not blooms:
+            return None
+        from ..codecs.bloom import murmurhash64
+
+        # hash each term ONCE (64-bit); per segment only mask + bit test
+        hashes = np.fromiter(
+            (murmurhash64(t.encode("utf-8")) for t in terms),
+            dtype=np.uint64, count=len(terms),
+        )
+        cands = []
+        for s in self.live:
+            entry = blooms.get(s)
+            if entry is None:
+                cands.append(s)
+                continue
+            nbits, bits = entry
+            h = (hashes & np.uint64(nbits - 1)).astype(np.int64)
+            if bool(((bits[h >> 3] >> (h & 7)) & 1).any()):
+                cands.append(s)
+        return cands
 
     # queried-term stats memo: bounded by the observed query workload (a
     # search service's working set), NOT the vocabulary — the full term
@@ -997,6 +1047,9 @@ class SegmentSearcher:
             postings = self.postings.join(F.broadcast(terms_df), "term", "left_semi")
         else:
             postings = self.postings.where(F.col("term").isin(terms))
+        cands = self.candidate_segs(terms)
+        if cands is not None and len(cands) < len(self.live):
+            postings = postings.where(F.col("seg").isin(cands))
         stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
         postings = postings.join(F.broadcast(stats), "term")
 
@@ -1180,6 +1233,9 @@ class SegmentSearcher:
         n_docs = self.n_docs
         codec = self.codec
         postings = self.postings.where(F.col("term").isin(terms))
+        cands = self.candidate_segs(terms)
+        if cands is not None and len(cands) < len(self.live):
+            postings = postings.where(F.col("seg").isin(cands))
         stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
         postings = postings.join(F.broadcast(stats), "term")
 
