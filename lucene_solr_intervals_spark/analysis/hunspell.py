@@ -79,6 +79,8 @@ class HunspellDictionary:
         self.fullstrip = False
         self.two_stage = False
         self.aliases: list[frozenset] = []
+        self.iconv = None  # NormalizeCharMap input conversion
+        self.oconv = None  # NormalizeCharMap output conversion
         self._parse_aff(aff_text)
         self.words: dict[str, list[frozenset]] = {}
         self._parse_dic(dic_text)
@@ -119,6 +121,18 @@ class HunspellDictionary:
                 self.complex_prefixes = True
             elif key == "FULLSTRIP":
                 self.fullstrip = True
+            elif key in ("ICONV", "OCONV") and len(parts) == 2 and parts[1].isdigit():
+                # longest-match conversion tables (Dictionary.parseConversions,
+                # applied by cleanInput / newStem) — MappingCharFilter tables
+                from .mapping import NormalizeCharMap
+
+                table = {}
+                for _ in range(int(parts[1])):
+                    sub = lines[i].split()
+                    i += 1
+                    if len(sub) >= 3:
+                        table[sub[1]] = sub[2]
+                setattr(self, key.lower(), NormalizeCharMap(table))
             elif key in ("PFX", "SFX") and len(parts) >= 4 and parts[3].isdigit():
                 flag_text, count = parts[1], int(parts[3])
                 is_suffix = key == "SFX"
@@ -183,9 +197,24 @@ class HunspellStemmer:
 
     # case handling (Stemmer.java:103-160)
     def stem(self, word: str) -> list[str]:
+        return [self._oconv(s) for s in self._stem_clean(word)]
+
+    def _oconv(self, stem: str) -> str:
+        if self.d.oconv is None:
+            return stem
+        from .mapping import mapping_filter
+
+        return mapping_filter(stem, self.d.oconv)[0]
+
+    def _stem_clean(self, word: str) -> list[str]:
         d = self.d
+        if d.iconv is not None:
+            # needsInputCleaning (Stemmer.java:92): ICONV before anything
+            from .mapping import mapping_filter
+
+            word = mapping_filter(word, d.iconv)[0]
         if d.ignore_case:
-            # needsInputCleaning (Stemmer.java:92): case folded up front
+            # needsInputCleaning: case folded up front
             return self._do_stem(word.lower(), False)
         if not word or not word[0].isupper():
             return self._do_stem(word, False)

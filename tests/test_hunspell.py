@@ -181,3 +181,12 @@ def test_register_analyzer(simple):
     assert toks == ["lucene", "lucen", "foo"]
     assert positions == [0, 0, 1]
     assert n == 3
+
+
+def test_iconv_oconv():
+    # TestConv.java vectors (conv.aff/conv.dic)
+    s = load("conv.aff", "conv.dic")
+    for w, exp in [("drink", ["drInk"]), ("drInk", ["drInk"]),
+                   ("drInkAble", ["drInk"]), ("drInkABle", ["drInk"]),
+                   ("drinkABle", ["drInk"])]:
+        assert_stems(s, w, *exp)
