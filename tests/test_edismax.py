@@ -191,3 +191,19 @@ def test_end_to_end_equals_composed_query(searcher2f):
             for r in searcher2f.scored(composed).collect()}
     assert got == want and got  # non-vacuous
     assert {d for d, _ in got} == {0, 1, 2, 4}  # doc 3 has 'row'
+
+
+# ------------------------------------------------------------ fuzz
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=80))
+@settings(max_examples=500, deadline=None)
+def test_parse_never_raises_fuzz(q):
+    """The defining eDisMax property: ANY input yields a query tree."""
+    p = EDisMaxParser(QF, tie=0.2, mm="2<-25%", pf=("text",), pf2=("text",),
+                      ps=1, qs=1, uf=("source",), default_field="text")
+    result = p.parse(q)
+    assert isinstance(result, Q.Query)
