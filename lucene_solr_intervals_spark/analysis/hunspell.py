@@ -24,8 +24,9 @@ Reference transcription:
       original's position; original passes through when nothing stems;
       longestOnly keeps the single longest stem
 
-Compounding (COMPOUNDRULE etc.) and ICONV/OCONV are out of scope, like
-the reference's stemmer ("we aren't decompounding (yet)").
+Compounding (COMPOUNDRULE etc.) is out of scope, like the reference's
+stemmer ("we aren't decompounding (yet)").  ICONV/OCONV conversion
+tables ARE implemented (see _parse_conv below and apply at stem time).
 """
 
 from __future__ import annotations

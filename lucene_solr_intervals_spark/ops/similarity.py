@@ -104,6 +104,18 @@ def embedding_near_pairs(
     )
 
 
+def _surrogate_long_id(id_col: str):
+    """ANSI-safe long key for an arbitrary id column: numeric-looking ids
+    try_cast to their own value (a plain cast THROWS under Spark 4 ANSI
+    mode on 'doc-0042'); everything else gets a deterministic nonnegative
+    xxhash64 spread key.  Used for k-means seeding and IVF argmax
+    grouping, where the key only needs to be stable and well-spread."""
+    return F.coalesce(
+        F.col(id_col).try_cast("long"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(2**62)),
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -123,7 +135,8 @@ def ivf_assignments(
         [(int(c), [float(x) for x in v]) for c, v in centroids], ["cid", "cvec"]
     )
     pair = embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+        _surrogate_long_id(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
     ).crossJoin(F.broadcast(cdf))
     dot = _dot(F.col("embedding"), F.col("cvec"))
     return (
@@ -165,8 +178,13 @@ def kmeans_centroids(
     # single-partition pattern this codebase avoids).  Ids are modded
     # directly: a plain filter runs map-side, and the orderBy().limit()
     # is a TakeOrdered (per-partition top-k + driver merge of <=k rows).
+    # Non-numeric ids (strings, uuids) try_cast to NULL long (ANSI-safe —
+    # a plain cast THROWS under Spark 4 ANSI mode); xxhash64 gives
+    # them a deterministic spread key instead so the `% step` stratified
+    # pick still works (round-7 ADVICE: the bare cast dropped every row
+    # for string ids and the fallback then ordered nulls first).
     base = embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
+        _surrogate_long_id(id_col).alias("vec_id"), F.col(vec_col)
     )
     init_rows = (
         base.where(F.col("vec_id") % step == 0)

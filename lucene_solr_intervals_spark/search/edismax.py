@@ -247,9 +247,17 @@ class EDisMaxParser:
             c = clauses[i]
             i += 1
             if c.is_bare_word() and c.val in ("AND", "OR", "NOT", "TO"):
-                if c.val == "AND" and should:
-                    # a AND b: promote the clause to the left
-                    must.append(should.pop())
+                if c.val == "AND":
+                    # a AND b: promote the clause to the left (if it is
+                    # still optional — '+a AND b' / 'a AND b AND c' leave
+                    # the left already required) and ALWAYS arm the
+                    # pending connective so the right operand is required
+                    # too (round-7 ADVICE: the old `and should` guard
+                    # left the right operand optional whenever the left
+                    # was already MUST, diverging from the reference
+                    # ExtendedDismaxQParser under mm).
+                    if should:
+                        must.append(should.pop())
                     mode = "AND"
                 elif c.val == "NOT":
                     mode = "NOT"
