@@ -247,8 +247,12 @@ def register_compound_analyzer(
     only_longest: bool = False,
     lower: bool = True,
 ) -> None:
-    """ws + lowercase + CompoundWordTokenFilter chain on the analyzer SPI."""
-    from .tokenizer import register_analyzer
+    """ws + lowercase + CompoundWordTokenFilter chain on the analyzer SPI.
+
+    Batched flat path: compound_stream is a stateless term -> terms map,
+    so whole batches decompose once per UNIQUE term (analysis/termmap.py)."""
+    from .termmap import make_term_map_analyzer, probe_stateless
+    from .tokenizer import register_analyzer, register_flat_analyzer
     from .worddelimiter import _ws_offsets_raw
 
     dict_set = {w.lower() for w in dictionary} if dictionary is not None else None
@@ -272,4 +276,19 @@ def register_compound_analyzer(
             return terms, positions, starts, ends, len(terms)
         return terms, positions, len(terms)
 
-    register_analyzer(name, lambda s: _run(s, False), lambda s: _run(s, True))
+    scalar = lambda s: _run(s, False)  # noqa: E731
+    scalar_off = lambda s: _run(s, True)  # noqa: E731
+    register_flat_analyzer(
+        name,
+        make_term_map_analyzer(
+            lambda uniq: probe_stateless(
+                uniq,
+                lambda toks: compound_stream(
+                    toks, dict_set, tree, min_word, min_sub, max_sub, only_longest
+                ),
+            ),
+            lower=lower,
+            scalar_fns=(scalar, scalar_off),
+        ),
+    )
+    register_analyzer(name, scalar, scalar_off)

@@ -383,8 +383,14 @@ def register_hunspell_analyzer(
     name: str, dictionary: HunspellDictionary,
     dedup: bool = True, longest_only: bool = False, lower: bool = True,
 ) -> None:
-    """ws + HunspellStemFilter chain on the analyzer SPI."""
-    from .tokenizer import register_analyzer
+    """ws + HunspellStemFilter chain on the analyzer SPI.
+
+    Batched flat path: hunspell_stem_stream is a stateless term -> terms
+    map, so whole batches stem once per UNIQUE term (analysis/termmap.py
+    — the affix recursion never runs twice for the same surface form in
+    a batch)."""
+    from .termmap import make_term_map_analyzer, probe_stateless
+    from .tokenizer import register_analyzer, register_flat_analyzer
     from .worddelimiter import _ws_offsets_raw
 
     stemmer = HunspellStemmer(dictionary)
@@ -406,4 +412,19 @@ def register_hunspell_analyzer(
             return terms, positions, starts, ends, len(terms)
         return terms, positions, len(terms)
 
-    register_analyzer(name, lambda s: _run(s, False), lambda s: _run(s, True))
+    scalar = lambda s: _run(s, False)  # noqa: E731
+    scalar_off = lambda s: _run(s, True)  # noqa: E731
+    register_flat_analyzer(
+        name,
+        make_term_map_analyzer(
+            lambda uniq: probe_stateless(
+                uniq,
+                lambda toks: hunspell_stem_stream(
+                    toks, stemmer, dedup, longest_only
+                ),
+            ),
+            lower=lower,
+            scalar_fns=(scalar, scalar_off),
+        ),
+    )
+    register_analyzer(name, scalar, scalar_off)

@@ -622,8 +622,12 @@ def register_phonetic_analyzer(
 ) -> None:
     """ws + PhoneticFilter chain on the analyzer SPI.  Codes are indexed
     verbatim (they are already uppercase letters+digits); with inject the
-    original (lowercased) stacks at the same position."""
-    from .tokenizer import register_analyzer
+    original (lowercased) stacks at the same position.
+
+    Batched flat path: phonetic_stream is a stateless term -> terms map,
+    so whole batches encode once per UNIQUE term (analysis/termmap.py)."""
+    from .termmap import make_term_map_analyzer, probe_stateless
+    from .tokenizer import register_analyzer, register_flat_analyzer
     from .worddelimiter import _ws_offsets_raw
 
     enc = ENCODERS[encoder]
@@ -643,4 +647,16 @@ def register_phonetic_analyzer(
             return terms, positions, starts, ends, len(terms)
         return terms, positions, len(terms)
 
-    register_analyzer(name, lambda s: _run(s, False), lambda s: _run(s, True))
+    scalar = lambda s: _run(s, False)  # noqa: E731
+    scalar_off = lambda s: _run(s, True)  # noqa: E731
+    register_flat_analyzer(
+        name,
+        make_term_map_analyzer(
+            lambda uniq: probe_stateless(
+                uniq, lambda toks: phonetic_stream(toks, enc, inject)
+            ),
+            lower=base_lower,
+            scalar_fns=(scalar, scalar_off),
+        ),
+    )
+    register_analyzer(name, scalar, scalar_off)

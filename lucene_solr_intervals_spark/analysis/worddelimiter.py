@@ -419,14 +419,27 @@ def register_word_delimiter_analyzer(
     pre-registered chains (see analysis/__init__ wiring in tokenizer):
       word_delimiter      index/query-side parts only (combinations=0)
       word_delimiter_cat  index-side with CATENATE_WORDS|CATENATE_NUMBERS
-    matching the javadoc's recommended index-vs-query configuration."""
-    from .tokenizer import register_analyzer
+    matching the javadoc's recommended index-vs-query configuration.
 
-    register_analyzer(
-        name,
-        lambda s: word_delimiter_analyze(s, flags, prot_words, lowercase),
-        lambda s: word_delimiter_analyze(s, flags, prot_words, lowercase, True),
+    The batched flat path runs WDF as a DICTIONARY pass (one state-machine
+    probe per unique term per Arrow batch — analysis/termmap.py); the
+    scalar transcription stays the semantics owner on the ANALYZERS SPI."""
+    from .termmap import make_term_map_analyzer, probe_wdf
+    from .tokenizer import register_analyzer, register_flat_analyzer
+
+    scalar = lambda s: word_delimiter_analyze(s, flags, prot_words, lowercase)  # noqa: E731
+    scalar_off = lambda s: word_delimiter_analyze(  # noqa: E731
+        s, flags, prot_words, lowercase, True
     )
+    register_flat_analyzer(
+        name,
+        make_term_map_analyzer(
+            lambda uniq: probe_wdf(uniq, flags, prot_words),
+            lower=lowercase,
+            scalar_fns=(scalar, scalar_off),
+        ),
+    )
+    register_analyzer(name, scalar, scalar_off)
 
 
 register_word_delimiter_analyzer("word_delimiter", DEFAULT_FLAGS)

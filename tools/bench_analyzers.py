@@ -60,19 +60,58 @@ def main() -> None:
         if name not in ANALYZERS:
             reg()
 
+    # round-8 term-map chains (analysis/termmap.py): bench on a
+    # delimiter/morphology-rich corpus so the filters do real work
+    import lucene_solr_intervals_spark.analysis.worddelimiter  # noqa: F401
+    from lucene_solr_intervals_spark.analysis.compound import (
+        register_compound_analyzer,
+    )
+    from lucene_solr_intervals_spark.analysis.hunspell import (
+        HunspellDictionary,
+        register_hunspell_analyzer,
+    )
+    from lucene_solr_intervals_spark.analysis.phonetic import (
+        register_phonetic_analyzer,
+    )
+
+    if "bench_phonetic" not in ANALYZERS:
+        register_phonetic_analyzer("bench_phonetic", "double_metaphone", inject=True)
+        register_compound_analyzer(
+            "bench_compound", words[:200] + ["soft", "ball", "team"], min_sub=3
+        )
+        register_hunspell_analyzer(
+            "bench_hunspell",
+            HunspellDictionary(
+                "SET UTF-8\nSFX A Y 2\nSFX A 0 s . \nSFX A y ies y\n"
+                "PFX B Y 1\nPFX B 0 re . \n",
+                "4\n" + "\n".join(f"{w}/AB" for w in words[:300]) + "\n",
+            ),
+        )
+    wdf_words = words + [
+        f"{a}-{b}" for a, b in zip(words[:150], words[150:300])
+    ] + [w.capitalize() + "Case42" for w in words[:100]] + ["O'Neil's", "j2se"]
+    texts_rich = [
+        " ".join(rng.choice(wdf_words) for _ in range(120)) for _ in range(20000)
+    ]
+    term_map_chains = [
+        "word_delimiter", "word_delimiter_cat", "bench_phonetic",
+        "bench_compound", "bench_hunspell",
+    ]
+
     chains = [
         "code", "code_stop", "simple", "stop", "fr", "de", "ws", "en_stem",
         "en_stem_keep", "keyword", "fr_fold",
         "bench_syn", "bench_shingle", "bench_cgrams", "bench_edge",
         "bench_ngram2",
-    ]
+    ] + term_map_chains
     out = {"batch_docs": 20000, "tokens_per_doc": 120, "chains": {}}
     tokenize_flat(texts[:200], "code")  # warm imports
     for name in chains:
+        corpus = texts_rich if name in term_map_chains else texts
         best = None
         for _ in range(3):
             t0 = time.time()
-            flat = tokenize_flat(texts, name)
+            flat = tokenize_flat(corpus, name)
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         emitted = int(flat["terms"].size)
@@ -81,10 +120,12 @@ def main() -> None:
             "input_tokens_per_sec": int(n_tok / best),
             "emitted_tokens": emitted,
         }
+        if name in term_map_chains:
+            rec["corpus"] = "delimiter-rich"
         # fallback comparison where a scalar twin exists
         if name in ANALYZERS:
             t0 = time.time()
-            _flat_fallback(texts[:2000], ANALYZERS[name], False)
+            _flat_fallback(corpus[:2000], ANALYZERS[name], False)
             fb = (time.time() - t0) * 10  # scaled to the full batch
             rec["per_doc_fallback_sec_est"] = round(fb, 3)
             rec["speedup_vs_fallback"] = round(fb / best, 1)
