@@ -3753,6 +3753,52 @@ def word_delimiter_topk(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+def get_index_cjk(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """CJKBigramFilter end-to-end (cjk/CJKBigramFilter.java:48):
+    deterministically replace 'vector'->'学生' and 'merge'->'試験' (an
+    isolated 2-char Han word emits exactly ONE <DOUBLE> bigram token) and
+    index through the cjk chain with the code word class.  The
+    replacement is 1:1 per token — tf / doc length / df of the bigram
+    terms equal the plain terms' — so BM25 over bigrams equals BM25 over
+    the ORIGINAL text, which is the DuckDB oracle.  No other Han occurs
+    in the fixture corpus, so the bigrams are collision-free."""
+    key = f"{sf_dir}#cjk"
+    if key not in _INDEX_CACHE:
+        from .analysis.cjk import register_cjk_analyzer
+        from .analysis.tokenizer import ANALYZERS
+
+        if "cjk_code_drv" not in ANALYZERS:
+            register_cjk_analyzer("cjk_code_drv", word_chars="code")
+        seeded = get_docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace("text", r"\bvector\b", "学生")
+        ).withColumn(
+            "text", F.regexp_replace("text", r"\bmerge\b", "試験")
+        )
+        _INDEX_CACHE[key] = build_index(
+            seeded, id_col="doc_id", text_col="text", analyzer="cjk_code_drv",
+        )
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "cjk_bigram_topk",
+    _PRELUDE
+    + _hits_cte([T_A, T_C])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def cjk_bigram_topk(spark, sf_dir):
+    """Han-bigram BM25 over the CJK-seeded corpus must equal plain-term
+    BM25 over the original corpus (each isolated 2-char Han replacement
+    emits exactly one bigram token — 1:1 with the replaced word)."""
+    idx = get_index_cjk(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term("学生"), Q.Term("試験")))
+    return _topk(s.scored(q))
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;
