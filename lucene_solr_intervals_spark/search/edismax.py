@@ -19,9 +19,18 @@ Subset implemented (documented deviations):
     field:value with a `uf` allow-list (disallowed fields re-attach the
     raw text as a term, reference :752-760), special-char escaping.
   * uppercase AND/OR/NOT connectives in the flat form (a AND b -> both
-    MUST, NOT x -> MUST_NOT); parenthesized sub-expressions are NOT
-    parsed — parens are escaped into terms, which is exactly the
-    reference's escaped-fallback behavior when the lucene parse fails.
+    MUST, NOT x -> MUST_NOT).
+  * STRUCTURED FIRST PASS (reference parse():183-187 — parseOriginalQuery
+    before parseEscapedQuery): the full string is first handed to the
+    classic lucene parser (search/parser.py), so parenthesized groups,
+    ranges, wildcards, fuzzy and explicit phrase slop carry their real
+    lucene semantics; default-field leaves are aliased onto the qf
+    DisjunctionMax exactly like the reference's IMPOSSIBLE_FIELD_NAME
+    alias trick.  Any lex/parse/alias failure falls back to the escaped
+    dialect (never throws).  Deviations: the structured pass is skipped
+    when `uf` restricts user fields (the escaped path enforces the
+    allow-list) and when a bare TO appears outside a range (the real
+    parser raises there; ours would read it as a term).
   * qf with per-field boosts -> per-term DisjunctionMax(tie); pf/pf2/pf3
     word-gram phrase boosts with ps slop; qs slop for explicit phrases;
     mm applied to the optional clauses of the main query.
@@ -236,10 +245,139 @@ class EDisMaxParser:
 
     def parse(self, user_query: str) -> Q.Query:
         clauses = split_into_clauses(user_query or "", uf=self.uf)
+        main = None
+        if "*" in self.uf:
+            try:
+                main = self._parse_structured(user_query or "", clauses)
+            except Exception:
+                main = None  # reference: lucene parse failed -> escaped
+        if main is None:
+            main = self._parse_escaped(clauses)
+        normal_toks = self._normal_toks(clauses)
+        boosts = self._phrase_boosts(normal_toks)
+        if not boosts:
+            return main
+        # reference parse():189 — main query MUST, phrase boosts SHOULD,
+        # scores add (coord disabled: BooleanQuery(true))
+        return Q.Boolean(must=(main,), should=tuple(boosts))
+
+    def _normal_toks(self, clauses) -> list[str]:
+        """pf/pf2/pf3 input: non-fielded, non-phrase, non-required clause
+        words (addPhraseFieldQueries' normalClauses), shared by both parse
+        paths."""
+        out: list[str] = []
+        for c in clauses:
+            if c.is_bare_word() and c.val in ("AND", "OR", "NOT", "TO"):
+                continue
+            if c.is_phrase or c.must or c.field is not None:
+                continue
+            out.extend(self.analyze(c.val))
+        return out
+
+    # ------------------------------------------------ structured first pass
+    def _parse_structured(self, s: str, clauses) -> Q.Query | None:
+        """parseOriginalQuery (ExtendedDismaxQParser.java:140-220 flow):
+        run the classic lucene parser over the full string, then alias
+        default-field leaves onto the qf DisjunctionMax.  Returns None /
+        raises to select the escaped fallback."""
+        from .parser import QueryParser, tokenize_query
+
+        # lex completeness: the classic tokenizer silently stops at
+        # characters outside its grammar (lone ']' etc.) — a partial lex
+        # would DROP query text, so demand full coverage
+        toks = tokenize_query(s)
+        if "TO" in toks:
+            # a stray TO outside a range (ranges lex as ONE token) makes
+            # the real lucene parser raise -> escaped; ours would silently
+            # read it as a term
+            return None
+        if "".join("".join(t.split()) for t in toks) != "".join(s.split()):
+            return None
+        parser = QueryParser(analyzer=str.lower)
+        q = parser.parse(s)
+        if parser.i != len(parser.toks):
+            return None  # trailing unconsumed tokens (stray ')') would be
+            # silently dropped — the real parser raises here -> escaped
+        q = self._alias(q)
+        if isinstance(q, Q.Boolean):
+            msm = (
+                calculate_min_should_match(len(q.should), self.mm)
+                if (self.mm is not None and q.should)
+                else 0
+            )
+            return Q.Boolean(
+                must=q.must, should=q.should, must_not=q.must_not,
+                min_should_match=msm, boost=q.boost,
+            )
+        msm = (
+            calculate_min_should_match(1, self.mm)
+            if self.mm is not None
+            else 0
+        )
+        return Q.Boolean(should=(q,), min_should_match=msm)
+
+    def _alias(self, q: Q.Query) -> Q.Query:
+        """Rewrite default-field leaves onto the qf dismax (the reference's
+        IMPOSSIBLE_FIELD_NAME alias), re-analyzing term/phrase text with
+        the chain analyzer; explicitly-fielded leaves keep their field."""
+        from dataclasses import replace
+
+        if isinstance(q, Q.Boolean):
+            return Q.Boolean(
+                must=tuple(self._alias(x) for x in q.must),
+                should=tuple(self._alias(x) for x in q.should),
+                must_not=tuple(self._alias(x) for x in q.must_not),
+                min_should_match=q.min_should_match,
+                boost=q.boost,
+            )
+        if isinstance(q, Q.DisjunctionMax):
+            return replace(q, subs=tuple(self._alias(x) for x in q.subs))
+        if isinstance(q, Q.Term):
+            toks = self.analyze(q.term)
+            if not toks:
+                raise ValueError(f"analyzer dropped term {q.term!r}")
+            return self._alias_text(q.field, toks, False, 0, q.boost)
+        if isinstance(q, Q.Phrase):
+            toks = [t for w in q.terms for t in self.analyze(w)]
+            if not toks:
+                raise ValueError("analyzer dropped phrase")
+            slop = q.slop if q.slop else self.qs
+            return self._alias_text(q.field, toks, True, slop, q.boost)
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Fuzzy, Q.TermRange)):
+            if q.field is not None:
+                return q
+            subs = tuple(
+                replace(
+                    q,
+                    field=self._leaf_field(f),
+                    boost=q.boost * b,
+                )
+                for f, b in sorted(self.qf.items())
+            )
+            if len(subs) == 1:
+                return subs[0]
+            return Q.DisjunctionMax(subs, tie_breaker=self.tie)
+        return q
+
+    def _alias_text(
+        self, field: str | None, toks: list[str], phrase: bool, slop: int,
+        boost: float,
+    ) -> Q.Query:
+        from dataclasses import replace
+
+        if field is not None:
+            out = self._field_query(field, 1.0, toks, phrase, slop)
+        else:
+            out = self._dismax(toks, phrase, slop)
+        if out is None:
+            raise ValueError("empty aliased clause")
+        return out if boost == 1.0 else replace(out, boost=out.boost * boost)
+
+    # --------------------------------------------------- escaped fallback
+    def _parse_escaped(self, clauses) -> Q.Query:
         must: list[Q.Query] = []
         should: list[Q.Query] = []
         must_not: list[Q.Query] = []
-        normal_toks: list[str] = []  # pf input: non-fielded non-phrase words
         mode = None  # pending connective: None | 'AND' | 'NOT'
         i = 0
         n = len(clauses)
@@ -275,8 +413,6 @@ class EDisMaxParser:
                 )
             else:
                 q = self._dismax(toks, c.is_phrase, self.qs if c.is_phrase else 0)
-                if not c.is_phrase and not c.must and c.field is None:
-                    normal_toks.extend(toks)
             if q is None:
                 mode = None
                 continue
@@ -290,16 +426,10 @@ class EDisMaxParser:
         msm = 0
         if self.mm is not None and should:
             msm = calculate_min_should_match(len(should), self.mm)
-        main = Q.Boolean(
+        return Q.Boolean(
             must=tuple(must), should=tuple(should), must_not=tuple(must_not),
             min_should_match=msm,
         )
-        boosts = self._phrase_boosts(normal_toks)
-        if not boosts:
-            return main
-        # reference parse():189 — main query MUST, phrase boosts SHOULD,
-        # scores add (coord disabled: BooleanQuery(true))
-        return Q.Boolean(must=(main,), should=tuple(boosts))
 
     def _phrase_boosts(self, toks: list[str]) -> list[Q.Query]:
         out: list[Q.Query] = []
