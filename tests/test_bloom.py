@@ -112,3 +112,44 @@ def test_merge_writes_bloom(spark, bloom_index):
     assert ss.candidate_segs([f"zzz_gone_{i}" for i in range(1)]) in ([], None) or \
         len(ss.candidate_segs(["zzz_gone_0"])) <= len(ss.live)
     assert ss.search(["common"], k=10).count() == 10
+
+
+# ------------------------------------------------- round-8 batched hashing
+def test_batch_hash_equals_scalar():
+    import random
+
+    from lucene_solr_intervals_spark.codecs.bloom import (
+        murmurhash64,
+        murmurhash64_batch,
+    )
+
+    rng = random.Random(8)
+    terms = [""]
+    for _ in range(500):
+        n = rng.randint(0, 40)
+        terms.append(
+            "".join(rng.choice("abcdefghijklmnop0123456789_é中ß") for _ in range(n))
+        )
+    got = murmurhash64_batch(terms)
+    want = [murmurhash64(t.encode("utf-8")) for t in terms]
+    assert got.tolist() == want
+
+
+def test_batch_build_bloom_equals_scalar_membership():
+    from lucene_solr_intervals_spark.codecs.bloom import (
+        build_bloom,
+        might_contain,
+        murmurhash64,
+    )
+    import numpy as np
+
+    terms = [f"term_{i}" for i in range(5000)]
+    nbits, bits = build_bloom(terms)
+    # every inserted term must test positive
+    assert all(might_contain(nbits, bits, t) for t in terms)
+    # the bitset is exactly the scalar construction
+    ref = np.zeros(nbits >> 3, dtype=np.uint8)
+    for t in terms:
+        h = murmurhash64(t.encode("utf-8")) & (nbits - 1)
+        ref[h >> 3] |= np.uint8(1 << (h & 7))
+    assert bits == ref.tobytes()
