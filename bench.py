@@ -67,6 +67,7 @@ def _run_battery_subprocess(cwd: str) -> dict | None:
     try:
         env = dict(os.environ)
         env["BENCH_NO_CONTROL"] = "1"
+        env["BENCH_NO_ZIPF"] = "1"  # the zipf pair runs once, in the main pass
         env.pop("BENCH_OUT", None)
         out = subprocess.run(
             [sys.executable, "bench.py"], cwd=cwd, env=env,
@@ -98,6 +99,59 @@ def _run_control(repo: str) -> dict | None:
     except Exception as e:
         return {"err": repr(e)[:500]}
     return _run_battery_subprocess(ctl_dir)
+
+
+def _zipf_pruning_pair(spark) -> dict:
+    """Pruned-vs-exhaustive search_many on the 1M-doc zipf corpus with a
+    rank-identity assert — the skew where block-max skip data earns its
+    keep (flat corpora can't rank-safely skip anything)."""
+    from lucene_solr_intervals_spark.corpus import VOCAB, generate_corpus
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+
+    docs = int(os.environ.get("BENCH_ZIPF_DOCS", "1000000"))
+    segs, codec, prune_df = 64, "for128", 2048
+    idx = f"/tmp/lsi_bench_zipf_{docs}_{segs}_{codec}"
+    out: dict = {"docs": docs, "segments": segs, "codec": codec,
+                 "prune_df": prune_df}
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        corpus = generate_corpus(spark, docs, distribution="zipf")
+        t0 = time.time()
+        build_segments(
+            corpus, idx, n_segments=segs, id_col="doc_id",
+            text_col="content", analyzer="code", n_docs_hint=docs,
+            codec=codec,
+        )
+        out["build_sec"] = round(time.time() - t0, 3)
+    ss = SegmentSearcher(spark, idx)
+
+    ident_terms = [VOCAB[i] for i in range(256)]
+    key = lambda r: (  # noqa: E731
+        r["query_term"], int(r["doc_id"]), round(float(r["score"]), 4)
+    )
+    a = sorted(map(key, ss.search_many(ident_terms, k=10).collect()))
+    b = sorted(
+        map(key, ss.search_many(ident_terms, k=10, prune_df=prune_df).collect())
+    )
+    out["rank_identity"] = {"identical": a == b, "rows": len(a)}
+    assert a == b, "pruned path diverged from exhaustive ranking"
+
+    batch = [VOCAB[i] for i in range(2000)]
+    ss.search_many(batch, k=10).count()  # warm-up (untimed)
+    times: dict[str, float] = {}
+    for _ in range(2):  # interleaved best-of-two per mode
+        for mode, prune in (("exhaustive", None), ("pruned", prune_df)):
+            t0 = time.time()
+            ss.search_many(batch, k=10, prune_df=prune).count()
+            dt = time.time() - t0
+            if mode not in times or dt < times[mode]:
+                times[mode] = dt
+    out["qps_exhaustive"] = round(len(batch) / times["exhaustive"], 1)
+    out["qps_pruned"] = round(len(batch) / times["pruned"], 1)
+    out["pruned_speedup"] = round(
+        out["qps_pruned"] / out["qps_exhaustive"], 3
+    )
+    return out
 
 
 def main() -> None:
@@ -326,6 +380,19 @@ def main() -> None:
         shutil.rmtree(index_dir, ignore_errors=True)
         spark.stop()
         return
+
+    # ---- phase 5: zipf pruning pair — the block-max pruning win
+    # (BENCH/pruning_ab_r7.json) regression-guarded every round.  The 1M-doc
+    # zipf index is deterministic, so it is built ONCE per box and reused
+    # (/tmp cache keyed by docs/segments/codec); qps pair + rank identity
+    # land in extras, NOT in the battery total, so round-over-round totals
+    # stay comparable and the pinned control (which lacks this phase) isn't
+    # penalized.  Auxiliary subprocess runs skip it (BENCH_NO_ZIPF).
+    if os.environ.get("BENCH_NO_ZIPF", "") != "1":
+        try:
+            extras["zipf_pruning"] = _zipf_pruning_pair(spark)
+        except Exception as e:  # the guard must never fail the battery
+            extras["zipf_pruning"] = {"err": repr(e)[:300]}
 
     timed("df_term_top10", lambda: s.search(Q.Term("merge"), k=10).collect())
     timed(

@@ -3753,6 +3753,50 @@ def word_delimiter_topk(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+def get_index_pattern(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """PatternReplaceCharFilter end-to-end (pattern/PatternReplaceCharFilter
+    .java:43): deterministically corrupt standalone 'window' to 'win_dow'
+    (one code token — '_' is a word char — so the corruption is 1:1) and
+    index through a PatternReplaceCharFilter{(win)_(dow) -> $1$2} + code
+    chain: the group-ref replacement must restore the plain text, making
+    plain tokenization of the ORIGINAL text the DuckDB oracle."""
+    key = f"{sf_dir}#prcf"
+    if key not in _INDEX_CACHE:
+        from .analysis.pattern import register_pattern_replace_analyzer
+        from .analysis.tokenizer import ANALYZERS
+
+        if "pattern_drv" not in ANALYZERS:
+            register_pattern_replace_analyzer(
+                "pattern_drv", r"(win)_(dow)", "$1$2", base="code"
+            )
+        corrupted = get_docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace("text", r"\bwindow\b", "win_dow")
+        )
+        _INDEX_CACHE[key] = build_index(
+            corrupted, id_col="doc_id", text_col="text", analyzer="pattern_drv",
+        )
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "pattern_replace_topk",
+    _PRELUDE
+    + _hits_cte([T_B, T_C])
+    + """
+SELECT doc_id, round(sum(score), 4) AS score FROM hits GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 10
+""",
+)
+def pattern_replace_topk(spark, sf_dir):
+    """BM25 over the pattern-restored index must equal BM25 over the plain
+    index bit-for-bit (the oracle tokenizes the ORIGINAL text; the $1$2
+    group replacement restores it)."""
+    idx = get_index_pattern(spark, sf_dir)
+    s = Searcher(idx, corpus=get_docs(spark, sf_dir), mode="sql")
+    q = Q.Boolean(should=(Q.Term(T_B), Q.Term(T_C)))
+    return _topk(s.scored(q))
+
+
 def get_index_cjk(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """CJKBigramFilter end-to-end (cjk/CJKBigramFilter.java:48):
     deterministically replace 'vector'->'学生' and 'merge'->'試験' (an
