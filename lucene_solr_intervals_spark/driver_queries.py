@@ -3851,79 +3851,67 @@ def cjk_bigram_topk(spark, sf_dir):
 # recent CORRECTNESS_r*.json: never-verified first, then stale-green
 # (verified only in an older round), then a rotating tail of current-green.
 _CHECK_PRIORITY = [
-    # round 7: the 6 queries registered in round 6 past slot 100 (never
-    # driver-checked; judge-replayed green) come FIRST, then 44 of the 50
-    # whose latest green row is CORRECTNESS_r05.  The 6 deferred to r8
-    # (match_all_count, total_hits, numeric_range_docs, term_range_docs,
-    # prefix_docs, wildcard_docs) are trivial scans pinned by goldens AND
-    # covered by the committed full-replay artifacts (CORRECTNESS_sf1_r7).
-    # search_after_page2 stays in-window because its plan is rewritten
-    # this round (keyset pagination, no global window).
-    # The 6 queries REGISTERED in round 7 (word_delimiter / mapping
-    # charfilter / phonetic / edismax / compound / hunspell) are
-    # never-driver-checked and go first; they displace the last 6
-    # r5-greens of this list (suggest_infix, suggest_prefix,
-    # suggest_stored_pruned, synonym_expand_topk, term_vector_doc,
-    # terms_component) to the r8 window — all six are golden-pinned and
-    # covered by the committed CORRECTNESS_sf1_r7 replay (the first three;
-    # edismax/compound/hunspell landed after that run and are
-    # sf0.01-replayed via tools/replay_contract.py).
-    "word_delimiter_topk",
-    "mapping_charfilter_topk",
-    "phonetic_topk",
-    "edismax_topk",
-    "compound_subword_docs",
-    "hunspell_stem_topk",
-    "analyzing_suggest",
-    "block_join_grouped_hits",
-    "custom_score_topk",
-    "date_math_facet",
-    "dfr_gl2_topk",
-    "es_stem_docs",
-    "analyzing_parser_docs",
-    "block_join_children",
-    "chargram_phrase_docs",
-    "classic_bool_topk",
-    "common_grams_topk",
-    "common_terms_topk",
-    "decontaminate_train",
-    "dedup_components",
-    "dfr_inl2_topk",
-    "dismax_topk",
-    "doc_lm_score",
-    "edge_ngram_prefix_docs",
-    "expand_topn",
-    "facet_by_source",
-    "facet_range_histogram",
-    "folded_match_docs",
-    "freetext_suggest",
-    "fuzzy_docs",
-    "fuzzy_suggest",
-    "group_top2_per_source",
-    "html_strip_topk",
-    "interval_range_filter",
-    "lm_dirichlet_topk",
-    "min_freq_filter",
-    "more_like_this",
-    "multimodal_decoded_meta",
-    "multiphrase_docs",
-    "ngram_jaccard_pairs",
-    "prefix_scoring_topk",
-    "query_parser_topk",
-    "query_time_join",
-    "query_time_join_scored",
-    "rescore_topk",
-    "search_after_page2",
-    "shingle_phrase_topk",
-    "sloppy_phrase_topk",
-    "sort_by_field_topk",
-    "standard_parser_topk",
+    # round 8 rotation: the r7 window (50 names, all green in
+    # CORRECTNESS_r07.json) rotates OUT; in come (1) the two queries
+    # REGISTERED this round (pattern_replace_topk, cjk_bigram_topk —
+    # never driver-checked, sf0.01-replayed green via
+    # tools/replay_contract.py), then (2) the 12 queries whose latest
+    # green row is CORRECTNESS_r05 (the six suggest/synonym/term-vector
+    # names displaced in r7 plus the six trivial scans deferred since
+    # r7 — all golden-pinned and covered by the committed sf1 replays),
+    # then (3) the alphabetically-first 36 of the 50 r6-greens (their
+    # rows are now two rounds stale against a moving tree).  The 14
+    # remaining r6 names spill past slot 50 and rotate in next round.
+    "pattern_replace_topk",
+    "cjk_bigram_topk",
+    "match_all_count",
+    "numeric_range_docs",
+    "prefix_docs",
     "suggest_infix",
     "suggest_prefix",
     "suggest_stored_pruned",
     "synonym_expand_topk",
+    "term_range_docs",
     "term_vector_doc",
     "terms_component",
+    "total_hits",
+    "wildcard_docs",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "block_join_parents",
+    "bm25_term_topk",
+    "bm25_term_topk_common",
+    "bool_and_not",
+    "bool_and_topk",
+    "bool_min_should_match",
+    "bool_or_topk",
+    "boosting_query_topk",
+    "complex_phrase_docs",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_near_pairs",
+    "events_hourly_window",
+    "events_sessionize",
+    "facet_queries",
+    "fielded_bool_topk",
+    "fielded_intervals_leaves",
+    "geo_distance_docs",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "multifield_parser_topk",
+    "multimodal_features",
+    "nb_classify_lang",
+    "ngram_phrase_topk",
+    "nonoverlapping_intervals",
+    "ordered_near",
+    "payload_term_topk",
+    "percolate_queries",
+    "phrase_topk",
+    "pivot_facet",
+    "quality_score",
+    "query_elevation_topk",
+    "sharded_count",
 ]
 
 

@@ -28,19 +28,21 @@ from lucene_solr_intervals_spark.search.wand import SegmentSearcher
 
 spark = get_spark(app_name="bisect", master="local[8]", shuffle_partitions=16)
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+import os
+docs = spark.read.parquet(os.environ.get("BISECT_SF_DIR", "/root/testdata/sf0.01") + "/documents.parquet")
 docs.count()
 phases = {{}}
 
 t0 = time.time(); idx = build_index(docs, analyzer="code")
 phases["build_documents"] = time.time() - t0
 
-corpus = generate_corpus(spark, 4000).persist(); corpus.count()
+n_corpus = int(os.environ.get("BISECT_CORPUS", "4000"))
+corpus = generate_corpus(spark, n_corpus).persist(); corpus.count()
 import tempfile
 d = tempfile.mkdtemp(prefix="bisect_idx_")
 t0 = time.time()
 build_segments(corpus, d, n_segments=16, id_col="doc_id",
-               text_col="content", analyzer="code", n_docs_hint=4000)
+               text_col="content", analyzer="code", n_docs_hint=n_corpus)
 phases["build_segments"] = time.time() - t0
 
 t0 = time.time()
