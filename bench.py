@@ -43,9 +43,9 @@ import time
 
 import pandas as pd
 
-# the tree the round-6 driver bench measured (commit just before the r6
-# artifacts were recorded)
-CONTROL_COMMIT = "59dd864"
+# the tree the round-7 driver bench measured (r7 final commit) — re-pinned
+# each round so the in-window ratio always answers "did THIS round regress"
+CONTROL_COMMIT = "3ac624f"
 
 
 def _cpu_probe() -> float:
