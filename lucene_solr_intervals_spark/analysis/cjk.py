@@ -126,7 +126,17 @@ def _get_lut(word_chars: str) -> np.ndarray:
             for r in (range(48, 58), range(65, 91), range(97, 123), (95,)):
                 lut[list(r)] = _WORD
         else:
-            alnum = [cp for cp in range(0x10000) if chr(cp).isalnum()]
+            import unicodedata
+
+            # isalnum plus combining marks (UAX29 Extend: a nonspacing
+            # mark continues its word — TestCJKAnalyzer
+            # testNonIdeographicNonLetter's رُوبرت stays one token)
+            alnum = [
+                cp
+                for cp in range(0x10000)
+                if chr(cp).isalnum()
+                or unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me")
+            ]
             lut[alnum] = _WORD
         for cls, ranges in (
             (_HAN, _HAN_RANGES), (_HIRA, _HIRA_RANGES),

@@ -181,12 +181,20 @@ def probe_wdf(uniq, flags: int, prot_words):
     )
 
 
-def term_map_flat(texts, keep_offsets, probe, lower=True, scalar_fns=None):
+def term_map_flat(texts, keep_offsets, probe, lower=True, scalar_fns=None,
+                  cache=None, cache_max=262_144):
     """Assemble the flat tokenize dict for a whole batch from per-UNIQUE
     emissions.  `probe(uniq) -> (off, sub, pi, rel_starts, rel_ends,
     carry)`; `scalar_fns = (fn, offsets_fn)` are the exact fallbacks for
     stream contexts the vector path does not model (a term that swallows
-    its position increment under exotic WDF flag sets — carry != 0)."""
+    its position increment under exotic WDF flag sets — carry != 0).
+
+    `cache` (a per-chain dict, held by the closure make_term_map_analyzer
+    builds) memoizes RAW emissions per term ACROSS batches: consecutive
+    Arrow batches of a corpus share most of their vocabulary, and Spark
+    reuses Python workers, so after warm-up each batch only probes its
+    genuinely new terms.  Bounded by `cache_max` (cleared wholesale when
+    exceeded — the working set re-warms in one batch)."""
     import pandas as pd
 
     from .tokenizer import _flat_fallback
@@ -197,7 +205,35 @@ def term_map_flat(texts, keep_offsets, probe, lower=True, scalar_fns=None):
     if tterms.size == 0:
         return _empty_flat(n_docs, keep_offsets)
     inv, uniq = pd.factorize(tterms)
-    off, sub, pi, rs, re_, carry = probe(uniq.tolist())
+    if cache is None:
+        off, sub, pi, rs, re_, carry = probe(uniq.tolist())
+    else:
+        missing = [u for u in uniq if u not in cache]
+        if missing:
+            if len(cache) + len(missing) > cache_max:
+                cache.clear()
+            moff, msub, mpi, mrs, mre, mcarry = probe(missing)
+            for k, u in enumerate(missing):
+                s, e = int(moff[k]), int(moff[k + 1])
+                cache[u] = (
+                    msub[s:e], mpi[s:e], mrs[s:e], mre[s:e], int(mcarry[k])
+                )
+        entries = [cache[u] for u in uniq]
+        cnt_u = np.fromiter(
+            (e[0].size for e in entries), dtype=np.int64, count=len(entries)
+        )
+        off = np.concatenate(([0], np.cumsum(cnt_u)))
+        if len(entries):
+            sub = np.concatenate([e[0] for e in entries])
+            pi = np.concatenate([e[1] for e in entries])
+            rs = np.concatenate([e[2] for e in entries])
+            re_ = np.concatenate([e[3] for e in entries])
+        else:
+            sub = np.zeros(0, dtype=object)
+            pi = rs = re_ = np.zeros(0, dtype=np.int64)
+        carry = np.fromiter(
+            (e[4] for e in entries), dtype=np.int64, count=len(entries)
+        )
     if carry.any():
         # a term carries posInc past itself with emissions the common
         # context can't replay — exact scalar fallback (never reached by
@@ -268,9 +304,14 @@ def term_map_flat(texts, keep_offsets, probe, lower=True, scalar_fns=None):
 
 def make_term_map_analyzer(probe, lower=True, scalar_fns=None):
     """Bind a batched flat analyzer callable (texts, keep_offsets) -> flat
-    dict for tokenizer.register_flat_analyzer / _CUSTOM_FLAT."""
+    dict for tokenizer.register_flat_analyzer / _CUSTOM_FLAT.  The closure
+    carries a per-process emission cache that persists across Arrow
+    batches (and across tasks in reused Python workers)."""
+    cache: dict = {}
 
     def _fn(texts, keep_offsets):
-        return term_map_flat(texts, keep_offsets, probe, lower, scalar_fns)
+        return term_map_flat(
+            texts, keep_offsets, probe, lower, scalar_fns, cache
+        )
 
     return _fn

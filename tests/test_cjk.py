@@ -200,3 +200,75 @@ def test_register_custom():
 
     flat = tokenize_flat([SENT], "_tmp_cjk_unibi")
     assert flat["terms"][0] == "多" and flat["terms"][1] == "多く"
+
+
+# ------------------------------------------------- TestCJKAnalyzer vectors
+# (lucene/analysis/common/src/test/.../cjk/TestCJKAnalyzer.java; the
+# surrogate case's offsets transcribe to CODEPOINT semantics — Java
+# counts UTF-16 units, this engine counts codepoints)
+def test_analyzer_ja1():
+    terms, pos, starts, ends = _one("一二三四五六七八九十")
+    assert terms == ["一二", "二三", "三四", "四五", "五六", "六七",
+                     "七八", "八九", "九十"]
+    assert starts == list(range(9)) and ends == list(range(2, 11))
+
+
+def test_analyzer_ja2():
+    terms, _, starts, ends = _one("一 二三四 五六七八九 十")
+    assert terms == ["一", "二三", "三四", "五六", "六七", "七八", "八九", "十"]
+    assert starts == [0, 2, 3, 6, 7, 8, 9, 12]
+    assert ends == [1, 4, 5, 8, 9, 10, 11, 13]
+
+
+def test_analyzer_c():
+    terms, _, starts, ends = _one("abc defgh ijklmn opqrstu vwxy z")
+    assert terms == ["abc", "defgh", "ijklmn", "opqrstu", "vwxy", "z"]
+    assert starts == [0, 4, 10, 17, 25, 30]
+    assert ends == [3, 9, 16, 24, 29, 31]
+
+
+def test_analyzer_mix():
+    terms, _, starts, ends = _one("あいうえおabcかきくけこ")
+    assert terms == ["あい", "いう", "うえ", "えお", "abc", "かき", "きく",
+                     "くけ", "けこ"]
+    assert starts == [0, 1, 2, 3, 5, 8, 9, 10, 11]
+    assert ends == [2, 3, 4, 5, 8, 10, 11, 12, 13]
+
+
+def test_analyzer_mix2():
+    terms, _, starts, ends = _one("あいうえおabんcかきくけ こ")
+    assert terms == ["あい", "いう", "うえ", "えお", "ab", "ん", "c",
+                     "かき", "きく", "くけ", "こ"]
+    assert starts == [0, 1, 2, 3, 5, 7, 8, 9, 10, 11, 14]
+    assert ends == [2, 3, 4, 5, 7, 8, 9, 11, 12, 13, 15]
+
+
+def test_analyzer_non_ideographic():
+    terms, _, starts, ends = _one("一 روبرت موير")
+    assert terms == ["一", "روبرت", "موير"]
+    assert starts == [0, 2, 8] and ends == [1, 7, 12]
+
+
+def test_analyzer_non_ideographic_non_letter():
+    # the nonspacing mark U+064F extends its word (UAX29 Extend)
+    terms, _, starts, ends = _one("一 رُوبرت موير")
+    assert terms == ["一", "رُوبرت", "موير"]
+    assert starts == [0, 2, 9] and ends == [1, 8, 13]
+
+
+def test_analyzer_surrogates():
+    # astral Han (U+29B05) — codepoint offsets (Java vector counts UTF-16)
+    terms, _, starts, ends = _one("𩬅艱鍟䇹愯瀛")
+    assert terms == ["𩬅艱", "艱鍟", "鍟䇹", "䇹愯", "愯瀛"]
+    assert starts == [0, 1, 2, 3, 4] and ends == [2, 3, 4, 5, 6]
+
+
+def test_analyzer_single_char():
+    terms, pos, starts, ends = _one("一")
+    assert terms == ["一"] and starts == [0] and ends == [1]
+
+
+def test_analyzer_token_stream():
+    terms, _, starts, ends = _one("一丁丂")
+    assert terms == ["一丁", "丁丂"]
+    assert starts == [0, 1] and ends == [2, 3]
