@@ -27,10 +27,11 @@ Subset implemented (documented deviations):
     lucene semantics; default-field leaves are aliased onto the qf
     DisjunctionMax exactly like the reference's IMPOSSIBLE_FIELD_NAME
     alias trick.  Any lex/parse/alias failure falls back to the escaped
-    dialect (never throws).  Deviations: the structured pass is skipped
-    when `uf` restricts user fields (the escaped path enforces the
-    allow-list) and when a bare TO appears outside a range (the real
-    parser raises there; ours would read it as a term).
+    dialect (never throws).  A `uf`-rejected field prefix is escaped into
+    the rebuilt string BEFORE the classic parse (the reference's
+    rebuildUserQuery), so the allow-list holds on both paths.  Deviation:
+    a bare TO outside a range falls back to the escaped dialect (the
+    real parser raises there; ours would read it as a term).
   * qf with per-field boosts -> per-term DisjunctionMax(tie); pf/pf2/pf3
     word-gram phrase boosts with ps slop; qs slop for explicit phrases;
     mm applied to the optional clauses of the main query.
@@ -81,7 +82,8 @@ def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:
 class Clause:
     """One lexed clause (ExtendedDismaxQParser.Clause)."""
 
-    __slots__ = ("must", "field", "val", "is_phrase", "has_special", "raw")
+    __slots__ = ("must", "field", "val", "is_phrase", "has_special", "raw",
+                 "disallowed")
 
     def __init__(self):
         self.must = ""  # '+', '-' or ''
@@ -90,6 +92,7 @@ class Clause:
         self.is_phrase = False
         self.has_special = False
         self.raw = ""
+        self.disallowed = None  # field prefix rejected by the uf allow-list
 
     def is_bare_word(self) -> bool:
         return not self.must and self.field is None and not self.is_phrase
@@ -125,6 +128,8 @@ def split_into_clauses(s: str, ignore_quote: bool = False,
         if fname is not None and (uf is None or fname in uf or "*" in uf):
             c.field = fname
             pos += len(fname) + 1
+        elif fname is not None:
+            c.disallowed = fname  # reference :752-760 — escaped into a term
         if pos >= end:
             # a bare trailing '+'/'-': the reference appends it as a term
             c.val = s[start:end]
@@ -246,11 +251,12 @@ class EDisMaxParser:
     def parse(self, user_query: str) -> Q.Query:
         clauses = split_into_clauses(user_query or "", uf=self.uf)
         main = None
-        if "*" in self.uf:
-            try:
-                main = self._parse_structured(user_query or "", clauses)
-            except Exception:
-                main = None  # reference: lucene parse failed -> escaped
+        try:
+            main = self._parse_structured(
+                self._rebuild(user_query or "", clauses), clauses
+            )
+        except Exception:
+            main = None  # reference: lucene parse failed -> escaped
         if main is None:
             main = self._parse_escaped(clauses)
         normal_toks = self._normal_toks(clauses)
@@ -273,6 +279,23 @@ class EDisMaxParser:
                 continue
             out.extend(self.analyze(c.val))
         return out
+
+    @staticmethod
+    def _rebuild(s: str, clauses) -> str:
+        """rebuildUserQuery role: the structured pass parses the ORIGINAL
+        string unless the uf allow-list rejected a field prefix — then the
+        string is reassembled from the lexed clauses with the rejected
+        colon escaped, so the classic parser reads it as a term (the
+        reference escapes disallowed fields before its lucene pass)."""
+        if not any(c.disallowed for c in clauses):
+            return s
+        parts = []
+        for c in clauses:
+            raw = c.raw
+            if c.disallowed:
+                raw = raw.replace(f"{c.disallowed}:", f"{c.disallowed}\\:", 1)
+            parts.append(raw)
+        return " ".join(parts)
 
     # ------------------------------------------------ structured first pass
     def _parse_structured(self, s: str, clauses) -> Q.Query | None:

@@ -144,6 +144,18 @@ class QueryParser:
             inner = self._parse_bool()
             assert self._next() == ")", "unbalanced parens"
             return self._with_boost(inner)
+        if (
+            t.endswith(":")
+            and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*:", t)
+            and self._peek() == "("
+        ):
+            # field:(a b ...) — grouped fielded clause (QueryParser.java
+            # Clause production: the field distributes over the group)
+            fname = t[:-1]
+            self._next()
+            inner = self._parse_bool()
+            assert self._next() == ")", "unbalanced parens"
+            return self._distribute_field(inner, fname)
         field = None
         if not (t.startswith('"') or t.startswith("[") or t.startswith("{")):
             maybe_field, rest = _split_field(t)
@@ -201,6 +213,27 @@ class QueryParser:
         if "*" in t or "?" in t:
             return Q.Wildcard(self.analyzer(t), boost=boost, field=field)
         return Q.Term(self.analyzer(t), boost=boost, field=field)
+
+    @classmethod
+    def _distribute_field(cls, q: Q.Query | None, fname: str) -> Q.Query | None:
+        """Apply a group's field to every default-field leaf inside it."""
+        from dataclasses import replace
+
+        if q is None:
+            return None
+        if isinstance(q, Q.Boolean):
+            return Q.Boolean(
+                must=tuple(cls._distribute_field(x, fname) for x in q.must),
+                should=tuple(cls._distribute_field(x, fname) for x in q.should),
+                must_not=tuple(
+                    cls._distribute_field(x, fname) for x in q.must_not
+                ),
+                min_should_match=q.min_should_match,
+                boost=q.boost,
+            )
+        if getattr(q, "field", "absent") is None:
+            return replace(q, field=fname)
+        return q
 
     @staticmethod
     def _with_boost(q: Q.Query | None) -> Q.Query | None:

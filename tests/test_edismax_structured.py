@@ -105,10 +105,36 @@ def test_bare_to_falls_back():
     assert {t.term for t in q.should} == {"alpha", "beta"}
 
 
-def test_restricted_uf_skips_structured():
-    # the escaped path enforces the allow-list; parens become terms
+def test_restricted_uf_still_structured():
+    # uf no longer disables the structured pass: grouping parses...
     q = _p(uf=("text",)).parse("(alpha OR beta) AND gamma")
-    assert not any(isinstance(c, Q.Boolean) for c in q.must)
+    assert any(isinstance(c, Q.Boolean) for c in q.must)
+
+
+def test_restricted_uf_escapes_field_in_structured():
+    # ...while a disallowed field prefix is escaped into plain terms
+    # BEFORE the classic parse (rebuildUserQuery role)
+    def leaves(q):
+        if isinstance(q, Q.Boolean):
+            for c in q.must + q.should + q.must_not:
+                yield from leaves(c)
+        elif isinstance(q, Q.DisjunctionMax):
+            for c in q.subs:
+                yield from leaves(c)
+        else:
+            yield q
+
+    q = _p(uf=("text",)).parse("secret:stuff AND gamma")
+    assert all(getattr(leaf, "field", None) != "secret" for leaf in leaves(q))
+    terms = {getattr(leaf, "term", None) for leaf in leaves(q)}
+    assert {"secret", "stuff", "gamma"} <= terms
+
+
+def test_fielded_group_distributes():
+    q = _p().parse("source:(src17 OR src18) AND alpha")
+    group = q.must[0]
+    assert isinstance(group, Q.Boolean)
+    assert {t.field for t in group.should} == {"source"}
 
 
 def test_pf_boosts_still_apply_with_structured():
