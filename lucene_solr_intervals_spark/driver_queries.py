@@ -3843,6 +3843,153 @@ def cjk_bigram_topk(spark, sf_dir):
     return _topk(s.scored(q))
 
 
+# ------------------------------------------- round 9: substring dedup family
+
+_DUP_SPAN_L = 8
+
+
+def _dup_span_marks_sql(L: int, min_df: int, seed: int = 0) -> str:
+    """CTEs up to `m(doc_id, pos)` — duplicated L-window start positions.
+    Same hash48 fingerprints as ops.dedup.duplicate_span_marks, so even a
+    hash collision affects both engines identically."""
+    return (
+        _PRELUDE
+        + f"""
+, nt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, pos, {D.hash48_sql('gram', seed)} AS h FROM (
+    SELECT doc_id, pos,
+           string_agg(term, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS gram,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM tok
+  ) WHERE pos <= n - {L}
+),
+duph AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= {min_df}),
+m AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM duph))
+"""
+    )
+
+
+def _dup_span_stats_oracle(L: int, min_df: int) -> str:
+    return (
+        _dup_span_marks_sql(L, min_df)
+        + f"""
+, isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w >= {L} THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + {L} AS e
+          FROM isl2 GROUP BY 1, 2),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+               CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(cov.dup_spans, 0) AS dup_spans,
+       coalesce(cov.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+             / greatest(nt.n_tokens, 1), 4) AS dup_ratio
+FROM nt LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+"""
+    )
+
+
+@register("substring_dup_stats", _dup_span_stats_oracle(_DUP_SPAN_L, 2))
+def substring_dup_stats(spark, sf_dir):
+    """Exact-substring dedup, detection half (Lee et al. 2021,
+    arXiv:2107.06499): per-doc token coverage by cross-document duplicated
+    8-token windows (union of overlapping windows, gaps-and-islands)."""
+    return D.duplicate_span_stats(get_docs(spark, sf_dir), L=_DUP_SPAN_L, min_doc_freq=2)
+
+
+def _dup_span_clean_oracle(L: int, min_df: int) -> str:
+    return (
+        _dup_span_marks_sql(L, min_df)
+        + f"""
+, cov AS (SELECT DISTINCT m.doc_id, m.pos + g.o AS cpos
+          FROM m CROSS JOIN generate_series(0, {L - 1}) g(o)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.term FROM tok t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+  WHERE c.doc_id IS NULL
+),
+res AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+               md5(string_agg(term, ' ' ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id)
+SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(res.kept_tokens, 0) AS kept_tokens,
+       coalesce(res.clean_md5, md5('')) AS clean_md5
+FROM nt LEFT JOIN res USING (doc_id) ORDER BY doc_id
+"""
+    )
+
+
+@register("substring_dedup_clean", _dup_span_clean_oracle(_DUP_SPAN_L, 2))
+def substring_dedup_clean(spark, sf_dir):
+    """Exact-substring dedup, removal half: drop every token covered by a
+    duplicated 8-window, md5 the re-assembled text (full reconstruction is
+    value-checked, not just counts)."""
+    return D.remove_duplicate_spans(get_docs(spark, sf_dir), L=_DUP_SPAN_L, min_doc_freq=2)
+
+
+# --------------------------------------- round 9: quantized vectors + tokens
+
+
+def _quantized_cosine_oracle(dim: int = 64, levels: int = 127) -> str:
+    return f"""
+WITH mm AS (
+  SELECT CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx
+  FROM (SELECT unnest(embedding) AS x FROM embeddings)
+),
+p AS (SELECT mn, {levels}.0 / (mx - mn) AS s FROM mm),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qv AS (SELECT list_transform(q.qe,
+           v -> CAST(floor((CAST(v AS DOUBLE) - p.mn) * p.s + 0.5) AS BIGINT)) AS qq
+       FROM q, p),
+ev AS (SELECT vec_id, list_transform(embedding,
+           v -> CAST(floor((CAST(v AS DOUBLE) - p.mn) * p.s + 0.5) AS BIGINT)) AS ee
+       FROM embeddings, p),
+s AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                          i -> ee[i] * qv.qq[i])) AS BIGINT) AS qdot
+      FROM ev, qv)
+SELECT vec_id, qdot FROM s ORDER BY qdot DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("quantized_cosine_topk", _quantized_cosine_oracle())
+def quantized_cosine_topk(spark, sf_dir):
+    """Scalar-quantized (int8-range) brute top-k — Lucene ScalarQuantizer
+    role: global min/max affine codes, INTEGER dot product (engine-exact,
+    4x fewer bytes than float32 at scan time)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    return SIM.quantized_cosine_topk(emb, qvec, k=10)
+
+
+@register(
+    "bpe_token_stats",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')) AS BIGINT) AS bpe_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')), 1), 4)
+         AS chars_per_bpe_token
+FROM documents ORDER BY doc_id
+""",
+)
+def bpe_token_stats(spark, sf_dir):
+    """Token counting for pre-training cost models: whitespace tokens + a
+    BPE-ish (GPT-2-family) regex pre-tokenization, RE2/Java-identical."""
+    return TX.bpe_token_stats(get_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;

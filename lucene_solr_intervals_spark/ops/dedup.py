@@ -448,3 +448,156 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+# ------------------------------------------------------ exact-substring dedup
+
+
+def duplicate_span_marks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    L: int = 8,
+    min_doc_freq: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """(doc_id, pos): start positions of every L-token window whose
+    fingerprint occurs in >= `min_doc_freq` DISTINCT documents — the
+    duplicate-span candidates of exact-substring deduplication
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 §4.1).
+
+    The paper builds one monolithic suffix array; that is a single-machine
+    design.  Re-expressed for Spark: every L-token window is fingerprinted
+    JVM-side (transform+slice over the token array — NO per-doc window
+    shuffle to build the grams) and duplicated windows fall out of ONE
+    groupBy on the fingerprint followed by a semi-join back — two linear
+    shuffles total, no all-pairs, no driver materialization.  A span
+    duplicated across k docs costs k rows, not k^2.
+
+    At 100 TB the fingerprint groupBy is the skew point (boilerplate spans
+    are hot keys); AQE skew-join handles the semi-join side, and the
+    aggregate is a partial-agg count-distinct on a 48-bit key.  hash48 is
+    used (not xxhash64) so the DuckDB oracle computes the IDENTICAL
+    fingerprints — any hash collision affects both sides equally and the
+    value check stays exact; swap hash_fn(..., family="xxhash64") for
+    production throughput.
+    """
+    toks = tokens_col(F.col(text_col))
+    t = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - L),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, L)),
+    )
+    g = (
+        t.where(F.col("n_tokens") >= L)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos", hash48(F.col("gram"), seed).alias("h"))
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_doc_freq)
+        .select("h")
+    )
+    return g.join(dup, "h", "left_semi").select("doc_id", "pos")
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    L: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span coverage: (doc_id, n_tokens, dup_spans,
+    dup_tokens, dup_ratio).  dup_tokens = token positions covered by the
+    UNION of duplicated L-windows (overlapping windows merged via
+    gaps-and-islands — lag + running sum inside one doc_id window, one
+    shuffle)."""
+    marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    isl = marks.withColumn(
+        "brk", F.when(prev.isNull() | (F.col("pos") - prev >= L), 1).otherwise(0)
+    ).withColumn("island", F.sum("brk").over(w))
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("pos") + L - F.min("pos")).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_spans"),
+            F.sum("span_len").cast("long").alias("dup_tokens"),
+        )
+    )
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    L: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """The removal half of exact-substring dedup: drop every token position
+    covered by a duplicated L-window and re-assemble the surviving text.
+    Returns (doc_id, n_tokens, kept_tokens, clean_md5) — clean_md5 is the
+    md5 of the space-joined kept tokens so the full reconstruction is
+    value-checked, not just the counts.
+
+    Positions covered = marks exploded to [pos, pos+L) then distinct — one
+    linear explode (x L), never a range join; removal is a left-anti join
+    on (doc_id, pos)."""
+    marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq)
+    covered = marks.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (L - 1))).alias("pos")
+    ).distinct()
+    toks = tokens_col(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    )
+    kept = exploded.join(covered, ["doc_id", "pos"], "left_anti")
+    res = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return base.join(res, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )

@@ -144,3 +144,30 @@ def doc_lm_score(
         .agg(F.round(F.avg(F.log("p")), 4).alias("lm_score"))
         .orderBy("doc_id")
     )
+
+
+# GPT-2-style pre-tokenizer, RE2/Java-compatible subset: the published
+# pattern's lookahead ((?!\S)) and unicode classes are dropped so Spark
+# (java.util.regex) and DuckDB (RE2) match identically; alternation is
+# first-char-disjoint so leftmost-first == leftmost-longest here.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+"
+WS_SPLIT_PATTERN = r"[ \t\n\r\f]+"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting the way a pre-training cost model does it: whitespace
+    tokens AND a BPE-ish regex pre-tokenization (the GPT-2 pattern family —
+    letter runs / digit runs / punctuation runs with an attached leading
+    space).  chars_per_bpe_token is the usual ~4 chars/token planning
+    number.  Pure column expressions, whole-stage codegen."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ws = F.filter(F.split(F.col(text_col), WS_SPLIT_PATTERN), lambda t: t != "")
+    n_bpe = F.size(toks)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_bpe.cast("long").alias("bpe_tokens"),
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.round(
+            F.length(text_col).cast("double") / F.greatest(n_bpe, F.lit(1)), 4
+        ).alias("chars_per_bpe_token"),
+    )
