@@ -3998,67 +3998,66 @@ def bpe_token_stats(spark, sf_dir):
 # recent CORRECTNESS_r*.json: never-verified first, then stale-green
 # (verified only in an older round), then a rotating tail of current-green.
 _CHECK_PRIORITY = [
-    # round 8 rotation: the r7 window (50 names, all green in
-    # CORRECTNESS_r07.json) rotates OUT; in come (1) the two queries
-    # REGISTERED this round (pattern_replace_topk, cjk_bigram_topk —
-    # never driver-checked, sf0.01-replayed green via
-    # tools/replay_contract.py), then (2) the 12 queries whose latest
-    # green row is CORRECTNESS_r05 (the six suggest/synonym/term-vector
-    # names displaced in r7 plus the six trivial scans deferred since
-    # r7 — all golden-pinned and covered by the committed sf1 replays),
-    # then (3) the alphabetically-first 36 of the 50 r6-greens (their
-    # rows are now two rounds stale against a moving tree).  The 14
-    # remaining r6 names spill past slot 50 and rotate in next round.
-    "pattern_replace_topk",
-    "cjk_bigram_topk",
-    "match_all_count",
-    "numeric_range_docs",
-    "prefix_docs",
-    "suggest_infix",
-    "suggest_prefix",
-    "suggest_stored_pruned",
-    "synonym_expand_topk",
-    "term_range_docs",
-    "term_vector_doc",
-    "terms_component",
-    "total_hits",
-    "wildcard_docs",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "block_join_parents",
-    "bm25_term_topk",
-    "bm25_term_topk_common",
-    "bool_and_not",
-    "bool_and_topk",
-    "bool_min_should_match",
-    "bool_or_topk",
-    "boosting_query_topk",
-    "complex_phrase_docs",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    "embedding_near_pairs",
-    "events_hourly_window",
-    "events_sessionize",
-    "facet_queries",
-    "fielded_bool_topk",
-    "fielded_intervals_leaves",
-    "geo_distance_docs",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "multifield_parser_topk",
-    "multimodal_features",
-    "nb_classify_lang",
-    "ngram_phrase_topk",
-    "nonoverlapping_intervals",
-    "ordered_near",
-    "payload_term_topk",
-    "percolate_queries",
-    "phrase_topk",
-    "pivot_facet",
-    "quality_score",
-    "query_elevation_topk",
-    "sharded_count",
+    # round 9 rotation: the r8 window (50 names, all green in
+    # CORRECTNESS_r08.json) rotates OUT; in come (1) the four queries
+    # REGISTERED this round (substring_dup_stats, substring_dedup_clean,
+    # quantized_cosine_topk, bpe_token_stats — never driver-checked,
+    # sf0.01-replayed green via tools/replay_contract.py), then (2) the
+    # 14 r6-green names that spilled past slot 50 in the r8 window (their
+    # latest driver row is CORRECTNESS_r06), then (3) the alphabetically
+    # first 32 of the 50 r7-greens.  The remaining 18 r7 names spill past
+    # slot 50 and head the r10 rotation; every r8-window name was verified
+    # THIS round-cycle and sits at the tail.
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "quantized_cosine_topk",
+    "bpe_token_stats",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "simple_query_parser_topk",
+    "spell_suggest",
+    "stats_over_hits",
+    "suggest_infix_pruned",
+    "surround_query_docs",
+    "sweet_spot_topk",
+    "taxonomy_drill_sideways",
+    "taxonomy_facet_drilldown",
+    "taxonomy_sum_associations",
+    "token_stats",
+    "unordered_near",
+    "xml_query_docs",
+    "analyzing_parser_docs",
+    "analyzing_suggest",
+    "block_join_children",
+    "block_join_grouped_hits",
+    "chargram_phrase_docs",
+    "classic_bool_topk",
+    "common_grams_topk",
+    "common_terms_topk",
+    "compound_subword_docs",
+    "custom_score_topk",
+    "date_math_facet",
+    "decontaminate_train",
+    "dedup_components",
+    "dfr_gl2_topk",
+    "dfr_inl2_topk",
+    "dismax_topk",
+    "doc_lm_score",
+    "edge_ngram_prefix_docs",
+    "edismax_topk",
+    "es_stem_docs",
+    "expand_topn",
+    "facet_by_source",
+    "facet_range_histogram",
+    "folded_match_docs",
+    "freetext_suggest",
+    "fuzzy_docs",
+    "fuzzy_suggest",
+    "group_top2_per_source",
+    "html_strip_topk",
+    "hunspell_stem_topk",
+    "interval_range_filter",
+    "lm_dirichlet_topk",
 ]
 
 
