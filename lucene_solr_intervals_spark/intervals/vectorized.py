@@ -375,6 +375,179 @@ def classic_sloppy_k(
     return docs[sel], n_match[sel], freq[sel]
 
 
+def classic_sloppy_rpt(
+    term_keys: dict[str, np.ndarray],
+    terms: tuple[str, ...],
+    slop: int,
+    stride: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SloppyPhraseScorer walk for a phrase with REPEATED terms (singleton
+    slots), vectorized across docs in lockstep — the last serializing case
+    of the classic walk (csloppy2 covered 2 distinct, csloppyk covered k
+    distinct; repeats previously took the per-doc Python transcription in
+    search/sloppy.py because collision groups serialize the walk).
+
+    Key observations that make repeats vectorizable:
+
+    * Two PhrasePositions of the same repeated term iterate the SAME
+      occurrence list (offsets differ), so a collision
+      (SloppyPhraseScorer.collide — equal tpPos) is exactly "equal
+      occurrence INDEX", an int compare, never a position decode.
+    * At a collision both pps sit at the same tpPos, so
+      ``lesser`` (by position = tpPos - offset, then offset) is always the
+      LARGER-offset member — the cascade target is branch-free.
+    * advanceRpts' re-heapify is subsumed by recomputing argmin over the
+      (position, offset) composite at the next pop, and phraseFreq's
+      ``next`` is intentionally kept STALE across the cascade exactly like
+      the reference (captured at pop time).
+
+    Unlike csloppy2/csloppyk there is no segment trick (a collision can
+    strike mid-segment), so the walk advances ONE position per lockstep
+    step — per-doc cost is O(#positions) numpy-batch steps shared across
+    the whole batch instead of O(#positions) interpreted steps per doc.
+
+    term_keys are RAW (doc*stride + pos) arrays — offsets are applied
+    internally (positions may go negative; the composite key handles it).
+    Init follows initSimple (SloppyPhraseScorer.java:256-283): group
+    member j starts j occurrences in; a doc whose tf(t) < multiplicity(t)
+    can never place the group and scores 0.  Equality with the transcribed
+    walk is property-pinned in tests/test_classic_sloppy_vectorized.py.
+
+    Returns (docs, n_matches, sloppy_freq) for docs with >= 1 match.
+    """
+    k = len(terms)
+    empty = _EMPTY, _EMPTY, np.empty(0, dtype=np.float64)
+    uterms = sorted(set(terms))
+    arrs = {t: term_keys.get(t, _EMPTY) for t in uterms}
+    if any(a.size == 0 for a in arrs.values()):
+        return empty
+    mult = {t: terms.count(t) for t in uterms}
+    docs = None
+    for t in uterms:
+        d = arrs[t] // stride
+        uniq, counts = np.unique(d, return_counts=True)
+        dd = uniq[counts >= mult[t]]
+        docs = dd if docs is None else np.intersect1d(docs, dd)
+        if docs.size == 0:
+            return empty
+    n = docs.size
+    base = docs * stride
+    SENT = np.iinfo(np.int64).max
+    # per-slot occurrence cursors (absolute indices into the term's array)
+    slots_of = {t: [j for j, x in enumerate(terms) if x == t] for t in uterms}
+    idx = np.empty((k, n), dtype=np.int64)
+    HI = np.empty((k, n), dtype=np.int64)
+    for t in uterms:
+        lo_t = np.searchsorted(arrs[t], base, side="left")
+        hi_t = np.searchsorted(arrs[t], base + stride, side="left")
+        for r, j in enumerate(slots_of[t]):
+            idx[j] = lo_t + r  # initSimple: member r advances r times
+            HI[j] = hi_t
+    offs = np.arange(k, dtype=np.int64).reshape(k, 1)
+    P = np.empty((k, n), dtype=np.int64)
+    for j, t in enumerate(terms):
+        P[j] = arrs[t][idx[j]] - base - j
+    end = P.max(axis=0)
+    rpt_slot = np.array([mult[t] > 1 for t in terms])
+
+    rng_n = np.arange(n)
+    comp = P * k + offs
+    cur = np.argmin(comp, axis=0)  # pop: (position, offset) min
+    tmp = comp.copy()
+    tmp[cur, rng_n] = SENT
+    nxt = P[np.argmin(tmp, axis=0), rng_n]  # queue top's position
+    ml = end - P[cur, rng_n]
+    n_match = np.zeros(n, dtype=np.int64)
+    freq = np.zeros(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+
+    def _final(rows: np.ndarray) -> None:
+        """loop exit (exhaustion anywhere): score the pending match."""
+        if rows.size:
+            h = ml[rows] <= slop
+            hr = rows[h]
+            n_match[hr] += 1
+            freq[hr] += 1.0 / (ml[hr] + 1.0)
+            active[rows] = False
+
+    def _advance(slots: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """advancePP for (slot, doc) pairs: bump cursor, refresh P and end;
+        returns the surviving (non-exhausted) selector into rows."""
+        newidx = idx[slots, rows] + 1
+        exh = newidx >= HI[slots, rows]
+        _final(rows[exh])
+        keep = ~exh
+        rows_k, slots_k, newidx_k = rows[keep], slots[keep], newidx[keep]
+        if rows_k.size:
+            idx[slots_k, rows_k] = newidx_k
+            for j in range(k):
+                m = slots_k == j
+                if m.any():
+                    r2 = rows_k[m]
+                    P[j, r2] = arrs[terms[j]][idx[j, r2]] - base[r2] - j
+            end[rows_k] = np.maximum(end[rows_k], P[slots_k, rows_k])
+        return keep
+
+    while active.any():
+        ai = np.flatnonzero(active)
+        cs = cur[ai]
+        keep = _advance(cs, ai)
+        ai, cs = ai[keep], cs[keep]
+        if ai.size == 0:
+            continue
+        # advanceRpts cascade for docs whose advanced pp is in a repeat group
+        cm = rpt_slot[cs]
+        crows, cptr = ai[cm], cs[cm]
+        while crows.size:
+            coll = np.full(crows.size, -1, dtype=np.int64)
+            for j in range(k):
+                if not rpt_slot[j]:
+                    continue
+                m = cptr == j
+                if not m.any():
+                    continue
+                rows = crows[m]
+                cj = np.full(rows.size, -1, dtype=np.int64)
+                for s in slots_of[terms[j]]:  # ascending offset = rg order
+                    if s == j:
+                        continue
+                    eq = (idx[s, rows] == idx[j, rows]) & (cj == -1)
+                    cj[eq] = s
+                coll[m] = cj
+            has = coll >= 0
+            if not has.any():
+                break
+            rows, a_, b_ = crows[has], cptr[has], coll[has]
+            lesser = np.maximum(a_, b_)  # equal tpPos: larger offset is lesser
+            keep = _advance(lesser, rows)
+            crows, cptr = rows[keep], lesser[keep]
+        # crossing test (pp may itself have advanced during the cascade)
+        ai = ai[active[ai]]
+        if ai.size == 0:
+            continue
+        ppos = P[cur[ai], ai]
+        crossed = ppos > nxt[ai]
+        xr = ai[crossed]
+        if xr.size:
+            h = ml[xr] <= slop
+            hr = xr[h]
+            n_match[hr] += 1
+            freq[hr] += 1.0 / (ml[hr] + 1.0)
+            compx = P[:, xr] * k + offs
+            rngm = np.arange(xr.size)
+            newcur = np.argmin(compx, axis=0)
+            cur[xr] = newcur
+            tmpx = compx.copy()
+            tmpx[newcur, rngm] = SENT
+            nxt[xr] = P[np.argmin(tmpx, axis=0), xr]
+            ml[xr] = end[xr] - P[newcur, xr]
+        nr = ai[~crossed]
+        if nr.size:
+            ml[nr] = np.minimum(ml[nr], end[nr] - P[cur[nr], nr])
+    sel = n_match > 0
+    return docs[sel], n_match[sel], freq[sel]
+
+
 # --------------------------------------------------------------- dispatch
 
 
@@ -405,19 +578,27 @@ def fast_shape(q) -> tuple | None:
             and getattr(q, "scorer", "classic") == "classic"
         ):
             # k distinct terms never collide -> the repeat-free walk
-            # vectorizes (classic_sloppy_k); repeats keep the per-doc
-            # transcription (collision groups serialize the walk)
+            # vectorizes (classic_sloppy_k)
             return ("csloppyk", tuple(q.terms), q.slop)
+        if (
+            q.slop > 0
+            and len(q.terms) >= 2
+            and getattr(q, "scorer", "classic") == "classic"
+        ):
+            # repeated terms: lockstep walk with vectorized collision
+            # cascades (classic_sloppy_rpt)
+            return ("csloppyr", tuple(q.terms), q.slop)
         return None
     if isinstance(q, Q.MultiPhrase) and q.slop > 0:
-        # singleton all-distinct slots degenerate to the k-term phrase walk
-        if all(len(s) == 1 for s in q.slots) and len(
-            {next(iter(s)) for s in q.slots}
-        ) == len(q.slots):
+        # singleton slots degenerate to the k-term phrase walk (distinct ->
+        # csloppy2/csloppyk, repeated -> the collision-cascade walk)
+        if all(len(s) == 1 for s in q.slots):
             terms = tuple(next(iter(s)) for s in q.slots)
-            if len(terms) == 2:
-                return ("csloppy2", terms[0], terms[1], q.slop)
-            return ("csloppyk", terms, q.slop)
+            if len(set(terms)) == len(terms):
+                if len(terms) == 2:
+                    return ("csloppy2", terms[0], terms[1], q.slop)
+                return ("csloppyk", terms, q.slop)
+            return ("csloppyr", terms, q.slop)
         return None
     if isinstance(q, Q.NGramPhrase):
         return ("phrase_off", q.kept_slots(), len(q.terms))
@@ -568,6 +749,9 @@ def run_shape(
             for j, t in enumerate(terms)
         ]
         return classic_sloppy_k(keys, slop, stride)
+    if kind == "csloppyr":
+        # repeated terms: RAW keys, offsets applied inside the kernel
+        return classic_sloppy_rpt(term_keys, shape[1], shape[2], stride)
     a = term_keys.get(shape[1], _EMPTY)
     b = term_keys.get(shape[2], _EMPTY)
     slop = shape[3]

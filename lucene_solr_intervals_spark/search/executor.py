@@ -958,9 +958,9 @@ class Searcher:
         query = q  # closure capture (dataclasses pickle fine)
         shape = VK.fast_shape(q)
         if freq_mode == "classic_sloppy" and (
-            shape is None or shape[0] not in ("csloppy2", "csloppyk")
+            shape is None or shape[0] not in ("csloppy2", "csloppyk", "csloppyr")
         ):
-            shape = None  # repeats / multi-term slots: Python walk
+            shape = None  # multi-term slots: Python walk
 
         if freq_mode == "classic_sloppy" and shape is None:
             # SloppyPhraseScorer walk per doc (search/sloppy.py); MultiPhrase

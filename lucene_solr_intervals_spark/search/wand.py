@@ -768,8 +768,10 @@ class SegmentSearcher:
             classic_slots = [frozenset(s) for s in q.slots]
         classic_phrase = classic_slots is not None
         shape = VK.fast_shape(q)
-        if classic_phrase and (shape is None or shape[0] != "csloppy2"):
-            shape = None  # repeats / k-term / multi-term slots: Python walk
+        if classic_phrase and (
+            shape is None or shape[0] not in ("csloppy2", "csloppyk", "csloppyr")
+        ):
+            shape = None  # multi-term slots: Python walk
         if classic_phrase and shape is not None:
             freq_mode = "sloppy"  # kernel returns the walk's sloppyFreq
         codec = self.codec

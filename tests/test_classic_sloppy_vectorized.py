@@ -93,17 +93,20 @@ def test_kernel_tie_and_crossing_cases():
 def test_fast_shape_routing():
     # classic 2-distinct-term phrase -> vectorized classic walk
     assert fast_shape(Q.Phrase(("a", "b"), slop=2))[0] == "csloppy2"
-    # repeats keep the transcribed Python walk (LUCENE-3412 territory)
-    assert fast_shape(Q.Phrase(("a", "a"), slop=2)) is None
-    assert fast_shape(Q.Phrase(("a", "b", "a"), slop=2)) is None
+    # repeats -> the collision-cascade lockstep walk (LUCENE-3412 territory,
+    # vectorized in round 9)
+    assert fast_shape(Q.Phrase(("a", "a"), slop=2))[0] == "csloppyr"
+    assert fast_shape(Q.Phrase(("a", "b", "a"), slop=2))[0] == "csloppyr"
     # k distinct terms -> the k-pointer vectorized walk
     assert fast_shape(Q.Phrase(("a", "b", "c"), slop=2))[0] == "csloppyk"
     # intervals-scorer phrase keeps the intervals-module kernel
     assert fast_shape(Q.Phrase(("a", "b"), slop=2, scorer="intervals"))[0] == "sloppy2"
     assert fast_shape(Q.Phrase(("a", "b", "c"), slop=2, scorer="intervals")) is None
-    # MultiPhrase: singleton all-distinct slots degenerate to the term walk
+    assert fast_shape(Q.Phrase(("a", "b", "a"), slop=2, scorer="intervals")) is None
+    # MultiPhrase: singleton slots degenerate to the term walk
     assert fast_shape(Q.MultiPhrase((("a",), ("b",)), slop=3))[0] == "csloppy2"
     assert fast_shape(Q.MultiPhrase((("a",), ("b",), ("c",)), slop=3))[0] == "csloppyk"
+    assert fast_shape(Q.MultiPhrase((("a",), ("b",), ("a",)), slop=3))[0] == "csloppyr"
     assert fast_shape(Q.MultiPhrase((("a", "x"), ("b",)), slop=3)) is None
 
 
