@@ -269,9 +269,16 @@ def term_map_flat(texts, keep_offsets, probe, lower=True, scalar_fns=None,
     has_c = c_occ > 0
     idx = np.arange(n_occ, dtype=np.int64)
     masked = np.where(has_c, idx, n_occ)
-    safe_first = np.minimum(doc_first, n_occ - 1)
-    red = np.minimum.reduceat(masked, safe_first) if n_occ else masked
-    # docs with no tokens / no emissions never contribute rows; clamp
+    safe_first = np.minimum(doc_first, max(n_occ - 1, 0))
+    if n_occ:
+        # sentinel so a trailing empty doc's boundary (== n_occ) is a valid
+        # reduceat index WITHOUT clamping it into the previous doc's
+        # segment (clamping truncated that doc's min and lost its leading
+        # hole when the batch ended in empty docs)
+        red = np.minimum.reduceat(np.append(masked, n_occ), doc_first)
+    else:
+        red = masked
+    # docs with no tokens / no emissions never contribute rows
     lead = np.maximum(red - doc_first, 0)
     lead[doc_first >= n_occ] = 0
 

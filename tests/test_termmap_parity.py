@@ -41,6 +41,14 @@ DOCS = [
     "x y z single letters",
     "500-42 1,000 3.14.15",
     "ALLCAPS MixedCase lowercase",
+    # regression (round 9): a doc whose leading token is all-delimiter,
+    # followed by EMPTY/None docs at the batch tail — the reduceat boundary
+    # clamp truncated the previous doc's leading-hole count
+    "_ 9",
+    "",
+    "- leading then empties",
+    "",
+    None,
 ]
 
 
