@@ -43,9 +43,9 @@ import time
 
 import pandas as pd
 
-# the tree the round-7 driver bench measured (r7 final commit) — re-pinned
+# the tree the round-8 driver bench measured (r8 final commit) — re-pinned
 # each round so the in-window ratio always answers "did THIS round regress"
-CONTROL_COMMIT = "3ac624f"
+CONTROL_COMMIT = "fa66e1a"
 
 
 def _cpu_probe() -> float:
