@@ -27,6 +27,7 @@ from .index.builder import InvertedIndex, build_index
 from .ops import dedup as D
 from .ops import multimodal as M
 from .ops import similarity as SIM
+from .ops import sampling as SAMP
 from .ops import text as TX
 from .search import queries as Q
 from .search.executor import Searcher
@@ -3990,6 +3991,55 @@ def bpe_token_stats(spark, sf_dir):
     return TX.bpe_token_stats(get_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# --------------------------------------- round 9: deterministic splits/mixing
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def _hash_split_oracle() -> str:
+    from .ops.sampling import hash_split_sql
+
+    return f"""
+SELECT doc_id, {hash_split_sql(_SPLIT_WEIGHTS)} AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("hash_split_assign", _hash_split_oracle())
+def hash_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by 48-bit id hash — stable
+    under re-runs/repartitioning/appends (no RNG state), the standard
+    100 TB split mechanism.  Every row's assignment is value-checked."""
+    return SAMP.hash_split(get_docs(spark, sf_dir), _SPLIT_WEIGHTS)
+
+
+def _stratified_sample_oracle() -> str:
+    from .ops.sampling import HASH_SPACE, bucket_sql
+
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * HASH_SPACE)}"
+        for s, r in _MIX_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {bucket_sql('doc_id', 'sample')} < (CASE {arms} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+@register("stratified_sample_docs", _stratified_sample_oracle())
+def stratified_sample_docs(spark, sf_dir):
+    """Per-source deterministic downsampling (training-data mixing: keep
+    100%/50%/25% of three sources, drop the rest) — integer hash-threshold
+    filter, engine-exact."""
+    return (
+        SAMP.stratified_sample(get_docs(spark, sf_dir), _MIX_RATES)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ check window
 # The driver verifies the FIRST 50 registered queries each round.  Rotate
 # the window so queries without a green CORRECTNESS row yet come first;
@@ -4000,14 +4050,19 @@ def bpe_token_stats(spark, sf_dir):
 _CHECK_PRIORITY = [
     # round 9 rotation: the r8 window (50 names, all green in
     # CORRECTNESS_r08.json) rotates OUT; in come (1) the four queries
-    # REGISTERED this round (substring_dup_stats, substring_dedup_clean,
+    # REGISTERED this round (hash_split_assign, stratified_sample_docs,
+    # substring_dup_stats, substring_dedup_clean,
     # quantized_cosine_topk, bpe_token_stats — never driver-checked,
     # sf0.01-replayed green via tools/replay_contract.py), then (2) the
     # 14 r6-green names that spilled past slot 50 in the r8 window (their
     # latest driver row is CORRECTNESS_r06), then (3) the alphabetically
-    # first 32 of the 50 r7-greens.  The remaining 18 r7 names spill past
+    # first 30 of the 50 r7-greens.  The remaining 20 r7 names spill past
     # slot 50 and head the r10 rotation; every r8-window name was verified
-    # THIS round-cycle and sits at the tail.
+    # THIS round-cycle and sits at the tail.  (Two late-round additions —
+    # hash_split_assign, stratified_sample_docs — joined the head, pushing
+    # interval_range_filter / lm_dirichlet_topk into the r10 spill.)
+    "hash_split_assign",
+    "stratified_sample_docs",
     "substring_dup_stats",
     "substring_dedup_clean",
     "quantized_cosine_topk",
@@ -4056,8 +4111,6 @@ _CHECK_PRIORITY = [
     "group_top2_per_source",
     "html_strip_topk",
     "hunspell_stem_topk",
-    "interval_range_filter",
-    "lm_dirichlet_topk",
 ]
 
 

@@ -9,6 +9,8 @@ import math
 import re
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from lucene_solr_intervals_spark.ops.dedup import (
     duplicate_span_marks,
@@ -159,3 +161,82 @@ def test_bpe_token_stats_vs_python_re(spark):
         assert got[doc_id]["chars_per_bpe_token"] == pytest.approx(
             round(len(text) / max(len(toks), 1), 4)
         )
+
+
+# ------------------------------------------------ brute-force shadow fuzz
+
+
+def _brute_span_stats(texts: list[str], L: int, min_df: int):
+    """Pure-Python shadow of duplicate_span_stats: enumerate every L-token
+    window, count distinct docs per gram, mark covered positions as a SET
+    (the union semantics the gaps-and-islands plan must reproduce)."""
+    import re as _re
+    from collections import defaultdict
+
+    toks = [
+        [t for t in _re.split(r"[^a-z0-9_]+", s.lower()) if t] for s in texts
+    ]
+    docs_of = defaultdict(set)
+    for d, ts in enumerate(toks):
+        for i in range(len(ts) - L + 1):
+            docs_of[tuple(ts[i : i + L])].add(d)
+    dup = {g for g, ds in docs_of.items() if len(ds) >= min_df}
+    out = {}
+    for d, ts in enumerate(toks):
+        covered = set()
+        spans = 0
+        prev_end = -1
+        for i in range(len(ts) - L + 1):
+            if tuple(ts[i : i + L]) in dup:
+                if i >= prev_end:
+                    spans += 1
+                covered.update(range(i, i + L))
+                prev_end = max(prev_end, i + L)
+        out[d] = (len(ts), spans, len(covered))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    L=st.sampled_from([2, 3]),
+)
+@settings(max_examples=60, deadline=None)
+def test_span_stats_brute_shadow(spark, texts, L):
+    """Tiny vocab + short L force dense cross-doc collisions — the regime
+    where island merging and distinct-doc df counting can go wrong."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+        for r in duplicate_span_stats(df, L=L, min_doc_freq=2).collect()
+    }
+    assert got == _brute_span_stats(texts, L, 2)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_remove_spans_brute_shadow(spark, texts):
+    import re as _re
+
+    L = 2
+    brute = _brute_span_stats(texts, L, 2)
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"])
+        for r in remove_duplicate_spans(df, L=L, min_doc_freq=2).collect()
+    }
+    want = {d: (n, n - cov) for d, (n, _sp, cov) in brute.items()}
+    assert got == want
