@@ -460,12 +460,23 @@ def duplicate_span_marks(
     L: int = 8,
     min_doc_freq: int = 2,
     seed: int = 0,
+    reuse: str = "persist",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_id, pos): start positions of every L-token window whose
     fingerprint occurs in >= `min_doc_freq` DISTINCT documents — the
     duplicate-span candidates of exact-substring deduplication
     (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     Better", arXiv:2107.06499 §4.1).
+
+    reuse="persist" (default) caches the narrow (doc_id, pos, h) gram
+    relation: it feeds BOTH the fingerprint aggregate and the semi-join
+    left side, and without the cache Spark recomputes the whole
+    tokenize+explode+md5 chain twice (measured 1.5x end-to-end at 50k
+    docs).  ~24 bytes/gram cached vs re-running the string-churn phase;
+    at 100 TB prefer reuse="persist" with StorageLevel DISK spill (the
+    default MEMORY_AND_DISK does) or "recompute" when executor memory is
+    the scarcer resource.
 
     The paper builds one monolithic suffix array; that is a single-machine
     design.  Re-expressed for Spark: every L-token window is fingerprinted
@@ -496,8 +507,10 @@ def duplicate_span_marks(
     g = (
         t.where(F.col("n_tokens") >= L)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", "pos", hash48(F.col("gram"), seed).alias("h"))
+        .select("doc_id", "pos", hash_fn(F.col("gram"), seed, hash_family).alias("h"))
     )
+    if reuse == "persist":
+        g = g.persist()
     dup = (
         g.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -513,13 +526,15 @@ def duplicate_span_stats(
     text_col: str = "text",
     L: int = 8,
     min_doc_freq: int = 2,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Per-document duplicate-span coverage: (doc_id, n_tokens, dup_spans,
     dup_tokens, dup_ratio).  dup_tokens = token positions covered by the
     UNION of duplicated L-windows (overlapping windows merged via
     gaps-and-islands — lag + running sum inside one doc_id window, one
     shuffle)."""
-    marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq)
+    marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq,
+                                 hash_family=hash_family)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     isl = marks.withColumn(
@@ -560,6 +575,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     L: int = 8,
     min_doc_freq: int = 2,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """The removal half of exact-substring dedup: drop every token position
     covered by a duplicated L-window and re-assemble the surviving text.
@@ -570,7 +586,8 @@ def remove_duplicate_spans(
     Positions covered = marks exploded to [pos, pos+L) then distinct — one
     linear explode (x L), never a range join; removal is a left-anti join
     on (doc_id, pos)."""
-    marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq)
+    marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq,
+                                 hash_family=hash_family)
     covered = marks.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (L - 1))).alias("pos")
     ).distinct()

@@ -44,6 +44,8 @@ def hash_split(
     (doc_id, split).  weights need not sum to 1; the remainder falls into
     the LAST split (thresholds are cumulative integer boundaries)."""
     names = list(weights)
+    if not names:
+        raise ValueError("hash_split needs at least one named split")
     bounds = []
     acc = 0.0
     for n in names[:-1]:

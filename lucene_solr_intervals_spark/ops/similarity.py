@@ -301,6 +301,8 @@ def scalar_quantize_params(
         F.min(F.array_min(vec_col)).alias("mn"), F.max(F.array_max(vec_col)).alias("mx")
     ).head()
     mn, mx = float(row["mn"]), float(row["mx"])
+    if mx == mn:  # degenerate constant space: every code becomes 0
+        return mn, 0.0
     return mn, float(levels) / (mx - mn)
 
 

@@ -240,3 +240,13 @@ def test_remove_spans_brute_shadow(spark, texts):
     }
     want = {d: (n, n - cov) for d, (n, _sp, cov) in brute.items()}
     assert got == want
+
+
+def test_span_marks_hash_family_invariant(spark, span_docs):
+    """The xxhash64 production fingerprint makes the same dup decisions as
+    the oracle-mode md5 chain (collisions aside, the families must agree)."""
+    md5_marks = {(r["doc_id"], r["pos"])
+                 for r in duplicate_span_marks(span_docs, L=8).collect()}
+    xx_marks = {(r["doc_id"], r["pos"])
+                for r in duplicate_span_marks(span_docs, L=8, hash_family="xxhash64").collect()}
+    assert md5_marks == xx_marks
