@@ -3930,6 +3930,58 @@ FROM nt LEFT JOIN res USING (doc_id) ORDER BY doc_id
     )
 
 
+def _dup_span_stats_tok_oracle(L: int, min_df: int) -> str:
+    """The tokenhash (rolling-polynomial) fingerprint variant's oracle: the
+    string-free scale path is ALSO value-checked end to end."""
+    fp = D.span_fp_sql(L)
+    return (
+        _PRELUDE
+        + f"""
+, nt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT doc_id, pos, {fp} AS h
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE h IS NOT NULL
+),
+duph AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= {min_df}),
+m AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM duph)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w >= {L} THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + {L} AS e
+          FROM isl2 GROUP BY 1, 2),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+               CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(cov.dup_spans, 0) AS dup_spans,
+       coalesce(cov.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+             / greatest(nt.n_tokens, 1), 4) AS dup_ratio
+FROM nt LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+"""
+    )
+
+
+@register("substring_dup_stats_tok", _dup_span_stats_tok_oracle(_DUP_SPAN_L, 2))
+def substring_dup_stats_tok(spark, sf_dir):
+    """Exact-substring dedup, tokenhash-fingerprint SCALE variant: each
+    token is hashed once and the window fingerprint is a Rabin-Karp-style
+    polynomial mod 2^56 — never materializes the 8x-token gram strings
+    (the measured allocation wall of the gram variant).  Same islands
+    pipeline; the DuckDB oracle replicates the polynomial bit-for-bit."""
+    return D.duplicate_span_stats(
+        get_docs(spark, sf_dir), L=_DUP_SPAN_L, min_doc_freq=2, fingerprint="tokenhash"
+    )
+
+
 @register("substring_dedup_clean", _dup_span_clean_oracle(_DUP_SPAN_L, 2))
 def substring_dedup_clean(spark, sf_dir):
     """Exact-substring dedup, removal half: drop every token covered by a
@@ -4051,7 +4103,7 @@ _CHECK_PRIORITY = [
     # round 9 rotation: the r8 window (50 names, all green in
     # CORRECTNESS_r08.json) rotates OUT; in come (1) the four queries
     # REGISTERED this round (hash_split_assign, stratified_sample_docs,
-    # substring_dup_stats, substring_dedup_clean,
+    # substring_dup_stats, substring_dup_stats_tok, substring_dedup_clean,
     # quantized_cosine_topk, bpe_token_stats — never driver-checked,
     # sf0.01-replayed green via tools/replay_contract.py), then (2) the
     # 14 r6-green names that spilled past slot 50 in the r8 window (their
@@ -4059,11 +4111,13 @@ _CHECK_PRIORITY = [
     # first 30 of the 50 r7-greens.  The remaining 20 r7 names spill past
     # slot 50 and head the r10 rotation; every r8-window name was verified
     # THIS round-cycle and sits at the tail.  (Two late-round additions —
-    # hash_split_assign, stratified_sample_docs — joined the head, pushing
-    # interval_range_filter / lm_dirichlet_topk into the r10 spill.)
+    # hash_split_assign, stratified_sample_docs, substring_dup_stats_tok —
+    # joined the head, pushing interval_range_filter / lm_dirichlet_topk /
+    # hunspell_stem_topk into the r10 spill.)
     "hash_split_assign",
     "stratified_sample_docs",
     "substring_dup_stats",
+    "substring_dup_stats_tok",
     "substring_dedup_clean",
     "quantized_cosine_topk",
     "bpe_token_stats",
@@ -4110,7 +4164,6 @@ _CHECK_PRIORITY = [
     "fuzzy_suggest",
     "group_top2_per_source",
     "html_strip_topk",
-    "hunspell_stem_topk",
 ]
 
 

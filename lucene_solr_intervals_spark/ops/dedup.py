@@ -49,6 +49,20 @@ def hash48_sql(expr: str, seed: int) -> str:
     return f"CAST(('0x' || substr(md5({expr} || '#{seed}'), 1, 12)) AS BIGINT)"
 
 
+FP_MOD = 1 << 56  # rolling-fingerprint modulus: acc*31 stays < 2^63
+
+
+def span_fp_sql(L: int, seed: int = 0) -> str:
+    """DuckDB twin of the fingerprint="tokenhash" rolling polynomial over a
+    `tok(doc_id, term, pos)` CTE: same hash48 token hashes, same fold order,
+    same 2^56 modulus (all values nonnegative, so `%` == pmod).  Expects a
+    WINDOW named w AS (PARTITION BY doc_id ORDER BY pos)."""
+    acc = hash48_sql("term", seed)
+    for j in range(1, L):
+        acc = f"((({acc}) * 31) % {FP_MOD} + lead({hash48_sql('term', seed)}, {j}) OVER w) % {FP_MOD}"
+    return acc
+
+
 def hash_fn(col: Column, seed: int, family: str = "md5") -> Column:
     """Seeded integer hash for sketching.  family="md5" is the oracle mode
     (hash48 — DuckDB-replicable, CORRECTNESS hash-match); family="xxhash64"
@@ -462,6 +476,7 @@ def duplicate_span_marks(
     seed: int = 0,
     reuse: str = "persist",
     hash_family: str = "md5",
+    fingerprint: str = "gram",
 ) -> DataFrame:
     """(doc_id, pos): start positions of every L-token window whose
     fingerprint occurs in >= `min_doc_freq` DISTINCT documents — the
@@ -494,21 +509,49 @@ def duplicate_span_marks(
     value check stays exact; swap hash_fn(..., family="xxhash64") for
     production throughput.
     """
-    toks = tokens_col(F.col(text_col))
-    t = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        toks.alias("toks"),
-        F.size(toks).alias("n_tokens"),
-    )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.col("n_tokens") - L),
-        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, L)),
-    )
-    g = (
-        t.where(F.col("n_tokens") >= L)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", "pos", hash_fn(F.col("gram"), seed, hash_family).alias("h"))
-    )
+    if fingerprint == "tokenhash":
+        # string-free rolling fingerprint: hash each TOKEN once, then the
+        # window fingerprint is an L-term polynomial over the token hashes
+        # (Rabin-Karp family) mod 2^56 — never materializes the 8x-token
+        # gram strings whose construction is the measured allocation wall
+        # (28.1 -> 19.5 s fingerprint phase at 50k docs).  The polynomial
+        # folds L-1 lead() terms inside ONE doc_id window (the islands
+        # window downstream shares that partitioning).  2^56 keeps
+        # acc*31 < 2^63 overflow-free in BOTH engines while false-dup
+        # collisions stay ~n_grams^2/2^57 (verified mark-identical to the
+        # gram-string family on the 50k zipf corpus and pinned by test);
+        # DuckDB replicates it exactly (span_fp_sql_terms), so this fast
+        # path is oracle-checkable too.
+        tok = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
+        ).select("doc_id", "pos", hash_fn(F.col("term"), seed, hash_family).alias("th"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        acc = F.col("th")
+        for j in range(1, L):
+            acc = F.pmod(
+                F.pmod(acc * 31, F.lit(FP_MOD)) + F.lead("th", j).over(w),
+                F.lit(FP_MOD),
+            )
+        g = tok.select("doc_id", "pos", acc.alias("h")).where(F.col("h").isNotNull())
+    else:
+        toks = tokens_col(F.col(text_col))
+        t = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            toks.alias("toks"),
+            F.size(toks).alias("n_tokens"),
+        )
+        grams = F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - L),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, L)),
+        )
+        g = (
+            t.where(F.col("n_tokens") >= L)
+            .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+            .select(
+                "doc_id", "pos", hash_fn(F.col("gram"), seed, hash_family).alias("h")
+            )
+        )
     if reuse == "persist":
         g = g.persist()
     dup = (
@@ -527,6 +570,7 @@ def duplicate_span_stats(
     L: int = 8,
     min_doc_freq: int = 2,
     hash_family: str = "md5",
+    fingerprint: str = "gram",
 ) -> DataFrame:
     """Per-document duplicate-span coverage: (doc_id, n_tokens, dup_spans,
     dup_tokens, dup_ratio).  dup_tokens = token positions covered by the
@@ -534,7 +578,7 @@ def duplicate_span_stats(
     gaps-and-islands — lag + running sum inside one doc_id window, one
     shuffle)."""
     marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq,
-                                 hash_family=hash_family)
+                                 hash_family=hash_family, fingerprint=fingerprint)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     isl = marks.withColumn(

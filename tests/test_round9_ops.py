@@ -250,3 +250,32 @@ def test_span_marks_hash_family_invariant(spark, span_docs):
     xx_marks = {(r["doc_id"], r["pos"])
                 for r in duplicate_span_marks(span_docs, L=8, hash_family="xxhash64").collect()}
     assert md5_marks == xx_marks
+
+
+def test_span_marks_tokenhash_equals_gram(spark, span_docs):
+    """The string-free rolling-polynomial fingerprint marks the same spans
+    as the gram-string family (collision probability ~n^2/2^57)."""
+    gram = {(r["doc_id"], r["pos"])
+            for r in duplicate_span_marks(span_docs, L=8).collect()}
+    tokh = {(r["doc_id"], r["pos"])
+            for r in duplicate_span_marks(span_docs, L=8, fingerprint="tokenhash").collect()}
+    assert gram == tokh
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_span_stats_tokenhash_fuzz(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    a = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
+         for r in duplicate_span_stats(df, L=3).collect()}
+    b = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
+         for r in duplicate_span_stats(df, L=3, fingerprint="tokenhash").collect()}
+    assert a == b
