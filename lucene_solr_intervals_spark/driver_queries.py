@@ -953,6 +953,26 @@ def suggest_prefix(spark, sf_dir):
 
 
 @register(
+    "wfst_suggest",
+    _PRELUDE
+    + """
+SELECT term AS suggestion, CAST(df AS BIGINT) AS weight
+FROM dfp WHERE term LIKE 'a%'
+ORDER BY CASE WHEN term = 'a' THEN 1 ELSE 0 END DESC, df DESC, term ASC
+LIMIT 1
+""",
+)
+def wfst_suggest(spark, sf_dir):
+    """WFSTCompletionLookup (WFSTCompletionLookup.java:40 exactFirst):
+    k=1 so the check is LOAD-BEARING — the exact key 'a' must beat the
+    HEAVIER completion 'agg' (df 880 vs 901 at sf0.01) for the single
+    slot; without exactFirst the value-hash would differ."""
+    from .search.suggest import suggest_prefix as _sp
+
+    return _sp(get_index(spark, sf_dir), "a", k=1, exact_first=True)
+
+
+@register(
     "freetext_suggest",
     _PRELUDE
     + """
@@ -4121,6 +4141,7 @@ _CHECK_PRIORITY = [
     "substring_dedup_clean",
     "quantized_cosine_topk",
     "bpe_token_stats",
+    "wfst_suggest",
     "simhash_near_pairs",
     "simhash_signatures",
     "simple_query_parser_topk",
@@ -4163,7 +4184,6 @@ _CHECK_PRIORITY = [
     "fuzzy_docs",
     "fuzzy_suggest",
     "group_top2_per_source",
-    "html_strip_topk",
 ]
 
 

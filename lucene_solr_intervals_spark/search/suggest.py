@@ -28,19 +28,29 @@ from pyspark.sql import functions as F
 
 
 def suggest_prefix(
-    index, prefix: str, k: int = 10, field: str | None = None
+    index, prefix: str, k: int = 10, field: str | None = None,
+    exact_first: bool = False,
 ) -> DataFrame:
     """Top-k (suggestion, weight) completions of `prefix`, weight = df,
-    ordered weight desc then suggestion asc (SortedInputIterator order)."""
+    ordered weight desc then suggestion asc (SortedInputIterator order).
+
+    exact_first=True is the WFSTCompletionLookup mode
+    (lucene/suggest/src/java/org/apache/lucene/search/suggest/fst/
+    WFSTCompletionLookup.java:40 `exactFirst` ctor flag): an exact key
+    match is returned FIRST even when heavier completions exist, then the
+    remaining completions by weight."""
     f = field or getattr(index, "default_field", "text")
     ts = index.term_stats.where(F.col("field") == f)
+    order = [F.desc("weight"), F.asc("suggestion")]
+    if exact_first:
+        order = [F.desc((F.col("suggestion") == prefix).cast("int"))] + order
     return (
         ts.where(F.col("term").startswith(prefix))
         .select(
             F.col("term").alias("suggestion"),
             F.col("df").cast("long").alias("weight"),
         )
-        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .orderBy(*order)
         .limit(k)
     )
 

@@ -279,3 +279,19 @@ def test_span_stats_tokenhash_fuzz(spark, texts):
     b = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
          for r in duplicate_span_stats(df, L=3, fingerprint="tokenhash").collect()}
     assert a == b
+
+
+def test_wfst_exact_first(spark):
+    """WFSTCompletionLookup exactFirst: exact key beats heavier completions."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search.suggest import suggest_prefix
+
+    corpus = spark.createDataFrame(
+        [(0, "a agg agg"), (1, "agg agg a"), (2, "agg")], ["doc_id", "text"]
+    )
+    idx = build_index(corpus, analyzer="code")
+    plain = [r["suggestion"] for r in suggest_prefix(idx, "a", k=2).collect()]
+    exact = [r["suggestion"] for r in suggest_prefix(idx, "a", k=2, exact_first=True).collect()]
+    assert plain == ["agg", "a"]  # df 3 vs 2
+    assert exact == ["a", "agg"]
+    idx.unpersist()
