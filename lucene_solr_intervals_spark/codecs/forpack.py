@@ -250,16 +250,12 @@ def for_encode_batch(values: np.ndarray, group_offsets: np.ndarray) -> list[byte
     return [raw[grp_start[i] : grp_end[i]] for i in range(n_groups)]
 
 
-def for_decode(buf: bytes) -> np.ndarray:
-    """Decode a concatenation of whole for128 streams (each block
-    self-delimiting).  Header walk is a thin Python loop over BLOCKS
-    (n/128 iterations); all value work is per-width tensor ops."""
+def _walk_headers(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sequential header walk over a concatenation of whole for128 streams:
+    (bytes_view, header_offsets, widths, counts) — the only per-block Python
+    in the decode path (data-dependent offsets; Python-bytes indexing is
+    ~3x numpy scalar indexing here)."""
     b = np.frombuffer(buf, dtype=np.uint8)
-    if b.size == 0:
-        return np.empty(0, dtype=np.uint64)
-    # sequential header walk (data-dependent offsets); Python-bytes indexing
-    # is ~3x numpy scalar indexing here, and the walk is the only per-block
-    # Python in the decode
     bb = buf if isinstance(buf, bytes) else bytes(buf)
     hdr_off: list[int] = []
     widths: list[int] = []
@@ -277,9 +273,28 @@ def for_decode(buf: bytes) -> np.ndarray:
         pos += 2 + ((c * w + 7) >> 3)
     if pos != n:
         raise ValueError("for128: truncated or misaligned stream")
-    bw = np.asarray(widths, dtype=np.int64)
-    cnt = np.asarray(counts, dtype=np.int64)
-    off = np.asarray(hdr_off, dtype=np.int64)
+    return (
+        b,
+        np.asarray(hdr_off, dtype=np.int64),
+        np.asarray(widths, dtype=np.int64),
+        np.asarray(counts, dtype=np.int64),
+    )
+
+
+def for_decode(buf: bytes) -> np.ndarray:
+    """Decode a concatenation of whole for128 streams (each block
+    self-delimiting).  Header walk is a thin Python loop over BLOCKS
+    (n/128 iterations); all value work is per-width tensor ops."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    b, off, bw, cnt = _walk_headers(buf)
+    return _unpack_blocks(b, off, bw, cnt)
+
+
+def _unpack_blocks(
+    b: np.ndarray, off: np.ndarray, bw: np.ndarray, cnt: np.ndarray
+) -> np.ndarray:
     out_ends = np.cumsum(cnt)
     out = np.zeros(int(out_ends[-1]), dtype=np.uint64)
     out_starts = out_ends - cnt
@@ -306,6 +321,30 @@ def for_decode(buf: bytes) -> np.ndarray:
                 dst = (out_starts[csel][:, None] + np.arange(c)[None, :]).reshape(-1)
                 out[dst] = vals.reshape(-1)
     return out
+
+
+def for_decode_concat(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY whole for128 streams in ONE pass: (values, counts) where
+    counts[i] is stream i's decoded value count (empty streams count 0).
+
+    One header walk + one width-class unpack over the concatenation instead
+    of a per-stream for_decode call — the per-call fixed cost (~0.1-0.3 ms:
+    walk setup, np.unique over widths, per-class dispatch) dominates when
+    streams are short, which is exactly the verify/check shape (one stream
+    per posting row).  Blocks never span streams, so each block's header
+    offset maps it to its owning stream."""
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs))
+    if int(lens.sum()) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(lens.size, dtype=np.int64)
+    buf = b"".join(bytes(x) for x in bufs)
+    b, off, bw, cnt = _walk_headers(buf)
+    vals = _unpack_blocks(b, off, bw, cnt)
+    ends = np.cumsum(lens)
+    # block at header offset o belongs to the first stream whose end > o
+    blk_stream = np.searchsorted(ends, off, side="right")
+    counts = np.zeros(lens.size, dtype=np.int64)
+    np.add.at(counts, blk_stream, cnt)
+    return vals, counts
 
 
 def for_nbytes(values: np.ndarray) -> np.ndarray:

@@ -55,6 +55,9 @@ class IntStreamCodec:
     # nbytes(values) is already correct for any grouping (varbyte, plain32);
     # block codecs whose layout restarts per stream must supply it.
     nbytes_batch: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None
+    # Batched decode of MANY whole streams: (values, per_stream_counts).
+    # None -> decode_grouped falls back to one decode() call per stream.
+    decode_concat: Callable[[list], tuple] | None = None
 
 
 def nbytes_grouped(
@@ -64,6 +67,21 @@ def nbytes_grouped(
     if codec.nbytes_batch is not None:
         return codec.nbytes_batch(values, group_offsets)
     return codec.nbytes(values)
+
+
+def decode_grouped(codec: IntStreamCodec, bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """(values, per_stream_counts) for a LIST of whole streams — one
+    vectorized pass when the codec supplies decode_concat, else a per-stream
+    loop.  The per-call fixed decode cost is what the batched form removes
+    (verify's postings check measured ~1 ms/row on per-row decode)."""
+    if codec.decode_concat is not None:
+        return codec.decode_concat(bufs)
+    parts = [codec.decode(bytes(b)) for b in bufs]
+    counts = np.fromiter((p.size for p in parts), dtype=np.int64, count=len(parts))
+    vals = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    )
+    return vals, counts
 
 
 # ------------------------------------------------------------------ plain32
@@ -90,12 +108,21 @@ def _p32_nbytes(values: np.ndarray) -> np.ndarray:
     return np.full(np.asarray(values).size, 4, dtype=np.int64)
 
 
+def _p32_decode_concat(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs))
+    vals = np.frombuffer(b"".join(bytes(x) for x in bufs), dtype="<u4").astype(
+        np.uint64
+    )
+    return vals, lens // 4
+
+
 VARBYTE = IntStreamCodec(
     name="varbyte",
     encode=_vb.vb_encode,
     encode_batch=_vb.vb_encode_batch,
     decode=_vb.vb_decode,
     nbytes=_vb.vb_nbytes,
+    decode_concat=_vb.vb_decode_concat,
 )
 
 PLAIN32 = IntStreamCodec(
@@ -104,6 +131,7 @@ PLAIN32 = IntStreamCodec(
     encode_batch=_p32_encode_batch,
     decode=_p32_decode,
     nbytes=_p32_nbytes,
+    decode_concat=_p32_decode_concat,
 )
 
 from . import forpack as _for  # noqa: E402
@@ -115,6 +143,7 @@ FOR128 = IntStreamCodec(
     decode=_for.for_decode,
     nbytes=_for.for_nbytes,
     nbytes_batch=_for.for_nbytes_batch,
+    decode_concat=_for.for_decode_concat,
 )
 
 CODECS: dict[str, IntStreamCodec] = {c.name: c for c in (VARBYTE, PLAIN32, FOR128)}

@@ -92,6 +92,24 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def vb_decode_concat(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY whole varbyte streams in ONE pass: (values, counts)
+    where counts[i] is stream i's value count (= its terminator bytes) —
+    the batched twin of vb_decode for per-row stream columns (verify)."""
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs))
+    if int(lens.sum()) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(lens.size, dtype=np.int64)
+    buf = b"".join(bytes(x) for x in bufs)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    vals = vb_decode(buf)
+    is_last = ((b & 0x80) == 0).astype(np.int64)
+    cum = np.zeros(b.size + 1, dtype=np.int64)
+    np.cumsum(is_last, out=cum[1:])
+    ends = np.cumsum(lens)
+    counts = cum[ends] - cum[ends - lens]
+    return vals, counts
+
+
 def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
     """Strictly/weakly increasing ints -> first value + gaps (docDelta :281-287)."""
     a = np.asarray(sorted_values, dtype=np.int64)

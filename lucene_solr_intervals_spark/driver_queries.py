@@ -4121,7 +4121,7 @@ def stratified_sample_docs(spark, sf_dir):
 # (verified only in an older round), then a rotating tail of current-green.
 _CHECK_PRIORITY = [
     # round 9 rotation: the r8 window (50 names, all green in
-    # CORRECTNESS_r08.json) rotates OUT; in come (1) the four queries
+    # CORRECTNESS_r08.json) rotates OUT; in come (1) the seven queries
     # REGISTERED this round (hash_split_assign, stratified_sample_docs,
     # substring_dup_stats, substring_dup_stats_tok, substring_dedup_clean,
     # quantized_cosine_topk, bpe_token_stats — never driver-checked,

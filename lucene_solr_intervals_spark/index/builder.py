@@ -245,6 +245,13 @@ def build_index(
     tokenized = per_field[0]
     for p in per_field[1:]:
         tokenized = tokenized.unionByName(p)
+    # Cache the tokenizer output: docs and postings have separate lineages
+    # through `tokenized`, and the two materializing actions below (field
+    # row counts, term-stats sums) would otherwise each run the Arrow
+    # tokenizer UDF over the whole corpus — the dominant build cost paid
+    # twice (guide §5: persist exactly what is reused).  Unpersisted after
+    # the downstream relations are materialized.
+    tokenized = tokenized.persist()
 
     docs = tokenized.select("doc_id", "field", "doclen", "norm_byte")
 
@@ -328,6 +335,9 @@ def build_index(
         .agg(F.coalesce(F.sum("ttf"), F.lit(0)).alias("s"))
         .collect()
     )
+    # both actions above have materialized the persisted postings / docs /
+    # term_stats relations; the tokenizer cache has served its purpose
+    tokenized.unpersist()
     sum_by_field = {r["field"]: 0 for r in rows}
     sum_by_field.update({r["field"]: int(r["s"]) for r in stat_rows})
     avgdl_by_field = {

@@ -48,7 +48,6 @@ from ..codecs.varbyte import (
     pack_doc_ids,
     pack_tfs,
     unpack_doc_ids,
-    unpack_positions,
     unpack_tfs,
     vb_decode,
     vb_encode,
@@ -1238,6 +1237,85 @@ def plan_merges(manifest: dict, segs_per_tier: int = 10) -> list[list[int]]:
 # ------------------------------------------------------------------ verify
 
 
+def _check_rows_loop(codec, doc_ids, tfs, positions, dfv, ttfv) -> pd.Series:
+    """Per-row postings checks — the error-localizing slow path (also the
+    historical implementation): exact per-row messages whatever is broken."""
+    from ..codecs.varbyte import unpack_positions_flat
+
+    out = []
+    for db, tb, pb, dfx, ttfx in zip(doc_ids, tfs, positions, dfv, ttfv):
+        try:
+            ids = unpack_doc_ids(db, codec)
+            tf = unpack_tfs(tb, codec)
+            msgs = []
+            if ids.size != dfx:
+                msgs.append(f"df {dfx} != {ids.size}")
+            if int(tf.sum()) != ttfx:
+                msgs.append(f"ttf {ttfx} != {int(tf.sum())}")
+            if ids.size > 1 and not bool(np.all(np.diff(ids) > 0)):
+                msgs.append("doc_ids not strictly increasing")
+            # flat decode + doc-boundary mask instead of the historical
+            # per-doc list split (same checks, no per-doc Python loop)
+            flat, offs = unpack_positions_flat(pb, tf, codec)
+            if flat.size != int(tf.sum()):
+                msgs.append("positions count != ttf")
+            if flat.size > 1:
+                bad = np.diff(flat) < 0
+                # negative steps at doc starts are boundary artifacts,
+                # not within-doc disorder
+                bad[offs[1:-1][(offs[1:-1] > 0) & (offs[1:-1] < flat.size)] - 1] = False
+                if bool(bad.any()):
+                    msgs.append("positions not sorted")
+        except Exception as e:  # undecodable blob = broken row
+            msgs = [f"decode error: {type(e).__name__}"]
+        out.append(";".join(msgs))
+    return pd.Series(out)
+
+
+def _check_rows_batched(codec, doc_ids, tfs, positions, dfv, ttfv):
+    """Vectorized green path: decode EVERY stream of the batch in three
+    concatenated codec passes (registry.decode_grouped — true per-stream
+    counts, independent of the claimed df/ttf) and evaluate all invariants
+    as whole-batch array ops.  Returns a Series of "" when the whole batch
+    is clean, or None to hand off to the per-row loop for exact messages —
+    so healthy indexes never pay per-row Python (measured ~1 ms/row, 6.5 s
+    of the 8 s verify phase at sf0.1), and broken ones keep the historical
+    diagnostics."""
+    from ..codecs.registry import decode_grouped
+
+    n = len(doc_ids)
+    gaps, id_counts = decode_grouped(codec, list(doc_ids))
+    tf_vals, tf_counts = decode_grouped(codec, list(tfs))
+    pos_deltas, pos_counts = decode_grouped(codec, list(positions))
+
+    if not bool(np.array_equal(id_counts, dfv.to_numpy(dtype=np.int64))):
+        return None  # some df mismatch -> per-row messages
+    if not bool(np.array_equal(id_counts, tf_counts)):
+        return None  # tf stream length disagrees with doc count
+    # per-row ttf sums over the concatenated tf stream
+    tf_ends = np.cumsum(tf_counts)
+    cum = np.zeros(tf_vals.size + 1, dtype=np.int64)
+    np.cumsum(tf_vals.astype(np.int64), out=cum[1:])
+    ttf_sums = cum[tf_ends] - cum[tf_ends - tf_counts]
+    if not bool(np.array_equal(ttf_sums, ttfv.to_numpy(dtype=np.int64))):
+        return None
+    # doc_ids strictly increasing within a row == every non-first gap > 0
+    g = gaps.astype(np.int64)
+    nonpos = g <= 0
+    row_starts = np.cumsum(id_counts) - id_counts
+    nonpos[row_starts[id_counts > 0]] = False  # first value is absolute
+    if bool(nonpos.any()):
+        return None
+    # positions count per row == ttf; deltas are unsigned so within-doc
+    # order holds by construction — a negative int64 view means a >2^63
+    # raw delta, which the per-row path would also surface
+    if not bool(np.array_equal(pos_counts, ttf_sums)):
+        return None
+    if bool((pos_deltas.astype(np.int64) < 0).any()):
+        return None
+    return pd.Series([""] * n)
+
+
 def _postings_check_udf(codec_name: str):
     """Per-row postings invariants (shared by verify_index / repair_index)."""
 
@@ -1247,29 +1325,15 @@ def _postings_check_udf(codec_name: str):
         from ..codecs.registry import get_codec
 
         codec = get_codec(codec_name)
-        out = []
-        for db, tb, pb, dfx, ttfx in zip(doc_ids, tfs, positions, dfv, ttfv):
-            try:
-                ids = unpack_doc_ids(db, codec)
-                tf = unpack_tfs(tb, codec)
-                msgs = []
-                if ids.size != dfx:
-                    msgs.append(f"df {dfx} != {ids.size}")
-                if int(tf.sum()) != ttfx:
-                    msgs.append(f"ttf {ttfx} != {int(tf.sum())}")
-                if ids.size > 1 and not bool(np.all(np.diff(ids) > 0)):
-                    msgs.append("doc_ids not strictly increasing")
-                pos = unpack_positions(pb, tf, codec)
-                if sum(len(p) for p in pos) != int(tf.sum()):
-                    msgs.append("positions count != ttf")
-                if any(
-                    (len(p) > 1 and not bool(np.all(np.diff(p) >= 0))) for p in pos
-                ):
-                    msgs.append("positions not sorted")
-            except Exception as e:  # undecodable blob = broken row
-                msgs = [f"decode error: {type(e).__name__}"]
-            out.append(";".join(msgs))
-        return pd.Series(out)
+        if len(doc_ids) == 0:
+            return pd.Series([], dtype=object)
+        try:
+            out = _check_rows_batched(codec, doc_ids, tfs, positions, dfv, ttfv)
+        except Exception:
+            out = None  # undecodable somewhere in the batch -> localize
+        if out is not None:
+            return out
+        return _check_rows_loop(codec, doc_ids, tfs, positions, dfv, ttfv)
 
     return _check
 

@@ -630,7 +630,12 @@ def interval_shape(q) -> tuple | None:
         and q.terms[0] != q.terms[1]
     ):
         return ("sloppy2", q.terms[0], q.terms[1], q.slop)
-    return fast_shape(q)
+    s = fast_shape(q)
+    # classic-walk SCORING shapes have no endpoint extractor, and intervals
+    # semantics differ from the walk anyway -> iterator fallback
+    if s is not None and s[0] in ("csloppy2", "csloppyk", "csloppyr"):
+        return None
+    return s
 
 
 def run_shape_intervals(

@@ -89,7 +89,14 @@ def shingles_df(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, shingle): distinct n-gram token shingles per doc (lead-window
-    construction so the DuckDB oracle can replicate it verbatim)."""
+    construction so the DuckDB oracle can replicate it verbatim).
+
+    Shape note (r10, measured): an array-slice rewrite (transform+slice+
+    concat_ws, no doc_id window) produces identical values without the
+    window shuffle, but higher-order functions evaluate interpreted (no
+    whole-stage codegen) and benched SLOWER end to end (noop-isolated
+    0.76-1.27 s window vs 1.20-1.42 s slice at sf0.1, BENCH/ab_r10.py),
+    so the window form stays."""
     toks = tokens_col(F.col(text_col))
     exploded = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.posexplode(toks).alias("pos", "term")
@@ -108,7 +115,14 @@ def _exact_jaccard(
     """Exact shingle Jaccard for candidate pairs: join the (small) candidate
     set TO the shingle table — one row per (pair, common shingle) — never an
     unconstrained shingle-shingle self-join.  A stop-grade shingle with df=d
-    costs d rows here, not d^2."""
+    costs d rows here, not d^2.
+
+    Shape note (r10, measured): a one-join formulation (union pair
+    membership, count per (pair, shingle), inter = #(count==2), union =
+    #distinct) is value-identical with 3 fewer joins but benched 2.3x
+    SLOWER noop-isolated (1.6 s vs 0.65 s at sf0.1, BENCH/ab_r10 notes) —
+    the string-keyed two-level aggregate costs more than these joins,
+    which AQE runs as broadcasts.  The join form stays."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("sa")
@@ -520,7 +534,7 @@ def duplicate_span_marks(
         # acc*31 < 2^63 overflow-free in BOTH engines while false-dup
         # collisions stay ~n_grams^2/2^57 (verified mark-identical to the
         # gram-string family on the 50k zipf corpus and pinned by test);
-        # DuckDB replicates it exactly (span_fp_sql_terms), so this fast
+        # DuckDB replicates it exactly (span_fp_sql), so this fast
         # path is oracle-checkable too.
         tok = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -620,6 +634,7 @@ def remove_duplicate_spans(
     L: int = 8,
     min_doc_freq: int = 2,
     hash_family: str = "md5",
+    fingerprint: str = "gram",
 ) -> DataFrame:
     """The removal half of exact-substring dedup: drop every token position
     covered by a duplicated L-window and re-assemble the surviving text.
@@ -629,9 +644,15 @@ def remove_duplicate_spans(
 
     Positions covered = marks exploded to [pos, pos+L) then distinct — one
     linear explode (x L), never a range join; removal is a left-anti join
-    on (doc_id, pos)."""
+    on (doc_id, pos).
+
+    fingerprint="tokenhash" routes the marks pass through the string-free
+    rolling-polynomial family (duplicate_span_marks docstring) — the
+    production-throughput mode for the REMOVAL half too; "gram" (default)
+    stays the gram-string family the substring_dedup_clean oracle replays."""
     marks = duplicate_span_marks(docs, id_col, text_col, L, min_doc_freq,
-                                 hash_family=hash_family)
+                                 hash_family=hash_family,
+                                 fingerprint=fingerprint)
     covered = marks.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (L - 1))).alias("pos")
     ).distinct()

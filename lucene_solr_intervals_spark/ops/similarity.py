@@ -320,14 +320,23 @@ def quantized_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 127,
+    params: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Top-k by INTEGER dot product over scalar-quantized vectors:
     (vec_id, qdot).  The 100 TB story: int8 codes are 4x fewer bytes than
     float32 (the dominant cost of a brute scan is bandwidth), the integer
     dot is exact and engine-independent (no float summation order issues),
     and the same codes feed IVF/LSH rerank stages.  Ties break on vec_id
-    like every other top-k in the engine."""
-    mn, scale = scalar_quantize_params(embeddings, vec_col, levels)
+    like every other top-k in the engine.
+
+    `params=(mn, scale)` supplies a PRE-TRAINED quantizer (Lucene persists
+    ScalarQuantizer params with the segment) and skips the stats scan —
+    the query then reads the embeddings relation exactly once.  Derive
+    them once per immutable embedding set with scalar_quantize_params."""
+    mn, scale = (
+        params if params is not None
+        else scalar_quantize_params(embeddings, vec_col, levels)
+    )
     import math
 
     qq = [int(math.floor((float(v) - mn) * scale + 0.5)) for v in query_vec]

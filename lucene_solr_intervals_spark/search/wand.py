@@ -625,6 +625,13 @@ class SegmentSearcher:
             # spilled deletes join the norms relation: each segment's kernel
             # receives its own slice via the existing seg-cogroup
             norms = norms.join(tomb_df, "seg", "left")
+        # NOTE (r10, measured): do NOT persist this pre-partitioned on seg.
+        # A repartition(shuffle_partitions, "seg").persist() removes the
+        # norms-side Exchange from every query plan (InMemoryRelation
+        # preserves outputPartitioning) and looked ~8% faster sequentially,
+        # but without the Exchange there is no AQE coalescing either, so
+        # every query's kernel stage ran at the full partition count —
+        # 24 concurrent queries went 4.6 s -> 8-12 s (BENCH/ab_r10 notes).
         self.norms = norms.persist()
         self.norms.count()
         self.tombstones = frozenset(self.manifest.get("tombstones", []))
@@ -1226,28 +1233,29 @@ class SegmentSearcher:
     def search(
         self, terms: list[str], k: int = 10, mode: str = "wand", conjunctive: bool = False
     ) -> DataFrame:
-        """Top-k for one query, ONE Spark job: global term stats are
-        aggregated in-plan from the same pruned scan and broadcast-joined
-        back (like search_many), so no separate stats job runs — weights
-        are derived inside the kernel from the df_total column."""
+        """Top-k for one query: weights come from the per-snapshot _dfs
+        memo (one tiny pruned-scan collect per UNSEEN term — bounded by the
+        query workload, never the vocabulary), then the kernel job runs
+        with them in its closure.
+
+        Shape note (r10, measured): the r9 in-plan variant (stats
+        aggregated in the same job and broadcast-joined back) re-priced
+        every query at ~0.85 s vs 0.15 s stats + 0.62 s kernel separate at
+        sf0.1 — the broadcast exchange + AQE replan inside the query job
+        cost more than a driver round-trip, and the memo makes repeated
+        terms (an interactive workload's common case) skip the stats job
+        entirely.  Weight VALUES are identical either way (missing terms
+        have no postings rows, so their weight never multiplies anything)."""
+        weights = self._weights(terms)
         cache = self.cache
         tombstones = self.tombstones
-        n_docs = self.n_docs
         codec = self.codec
         postings = self.postings.where(F.col("term").isin(terms))
         cands = self.candidate_segs(terms)
         if cands is not None and len(cands) < len(self.live):
             postings = postings.where(F.col("seg").isin(cands))
-        stats = postings.groupBy("term").agg(F.sum("df").alias("df_total"))
-        postings = postings.join(F.broadcast(stats), "term")
 
         def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
-            weights = {
-                t: (idf32(int(d), n_docs) * np.float32(2.2)).astype(np.float32)
-                for t, d in zip(pdf["term"], pdf["df_total"])
-            }
-            for t in terms:
-                weights.setdefault(t, np.float32(0.0))
             return segment_topk_kernel(
                 pdf, npdf, weights, cache, k, mode, conjunctive, tombstones, codec
             )

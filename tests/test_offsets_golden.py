@@ -191,3 +191,18 @@ def test_packed_offsets_vectorized_equals_fallback(spark, tmp_path):
             VK.interval_shape = orig
         assert fast == slow, q
         assert fast, q  # non-vacuous on this corpus
+
+    # classic-walk scoring shapes (csloppy2/csloppyk/csloppyr) have no
+    # endpoint extractor: interval_shape must route them to the iterator
+    # path (None), not crash run_shape_intervals — notably the
+    # repeated-term sloppy phrase, which fast_shape now classifies csloppyr
+    for q in [
+        Q.Phrase(("pea", "pod", "pea"), slop=2),       # csloppyr
+        Q.Phrase(("nine", "days", "old"), slop=2),     # csloppyk
+        Q.MultiPhrase((("hot",), ("cold",)), slop=1),
+    ]:
+        s = VK.fast_shape(q)
+        assert s is not None and s[0] in ("csloppy2", "csloppyk", "csloppyr"), q
+        assert VK.interval_shape(q) is None, q
+        rows = ss.intervals_with_offsets(q).collect()  # iterator path, no crash
+        assert isinstance(rows, list)

@@ -1,0 +1,102 @@
+"""Round-10 optimization pins: batched codec decode + the vectorized
+postings-check green path must be invisible (same outputs, same error
+messages) relative to the per-row implementations they replace."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_intervals_spark.codecs.registry import (
+    CODECS,
+    decode_grouped,
+    get_codec,
+)
+
+
+@pytest.mark.parametrize("codec_name", sorted(CODECS))
+def test_decode_grouped_matches_per_stream(codec_name):
+    c = get_codec(codec_name)
+    rng = random.Random(11)
+    streams = [
+        np.array(
+            [rng.randrange(0, 2**31) for _ in range(n)], dtype=np.uint64
+        )
+        for n in (0, 1, 5, 127, 128, 129, 257, 777)
+    ]
+    bufs = [c.encode(s) for s in streams]
+    vals, counts = decode_grouped(c, bufs)
+    assert list(counts) == [s.size for s in streams]
+    assert np.array_equal(vals, np.concatenate(streams))
+    # per-stream split equals per-stream decode
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for i, s in enumerate(streams):
+        assert np.array_equal(vals[offs[i]:offs[i + 1]], s)
+
+
+def _mk_row(codec, rng, n_docs):
+    from lucene_solr_intervals_spark.codecs.varbyte import (
+        pack_doc_ids, pack_positions, pack_tfs,
+    )
+
+    ids = np.sort(
+        np.array(rng.sample(range(0, 10 * n_docs + 10), n_docs), dtype=np.int64)
+    )
+    tfs = np.array([rng.randrange(1, 5) for _ in range(n_docs)], dtype=np.int64)
+    pos = [
+        np.sort(np.array(rng.sample(range(0, 500), int(t)), dtype=np.int64))
+        for t in tfs
+    ]
+    return {
+        "doc_ids": pack_doc_ids(ids, codec),
+        "tfs": pack_tfs(tfs, codec),
+        "positions": pack_positions(pos, codec),
+        "df": int(ids.size),
+        "ttf": int(tfs.sum()),
+    }
+
+
+@pytest.mark.parametrize("codec_name", sorted(CODECS))
+def test_batched_check_parity_green_and_corrupt(codec_name):
+    """The batched green path returns all-clean exactly when the per-row
+    loop does; any corruption falls back to the per-row loop's messages."""
+    from lucene_solr_intervals_spark.index.segment import (
+        _check_rows_batched, _check_rows_loop,
+    )
+
+    codec = get_codec(codec_name)
+    rng = random.Random(13)
+    rows = [_mk_row(codec, rng, n) for n in (1, 2, 7, 130, 300)]
+
+    def cols(rws):
+        return (
+            pd.Series([r["doc_ids"] for r in rws]),
+            pd.Series([r["tfs"] for r in rws]),
+            pd.Series([r["positions"] for r in rws]),
+            pd.Series([r["df"] for r in rws]),
+            pd.Series([r["ttf"] for r in rws]),
+        )
+
+    out = _check_rows_batched(codec, *cols(rows))
+    assert out is not None and list(out) == [""] * len(rows)
+    assert list(_check_rows_loop(codec, *cols(rows))) == [""] * len(rows)
+
+    # corrupt variants: wrong df, wrong ttf, truncated positions buffer
+    for mutate in (
+        lambda r: r.update(df=r["df"] + 1),
+        lambda r: r.update(ttf=r["ttf"] + 3),
+        lambda r: r.update(positions=r["positions"][:-1]),
+    ):
+        bad = [dict(r) for r in rows]
+        mutate(bad[2])
+        try:
+            b = _check_rows_batched(codec, *cols(bad))
+        except Exception:
+            b = None
+        assert b is None  # batched path must hand off, never green-wash
+        loop_out = list(_check_rows_loop(codec, *cols(bad)))
+        assert loop_out[2] != ""  # the per-row loop localizes the break
+        assert all(m == "" for i, m in enumerate(loop_out) if i != 2)
