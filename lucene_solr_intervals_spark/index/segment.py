@@ -641,19 +641,34 @@ def build_segments(
         .where(F.col("term") == DOCS_MARKER)
         .persist()
     )
+    sidecar.count()  # materialize the cache once, before concurrent readers
     docs_df = sidecar.mapInPandas(
         lambda it: (_docs_from_sidecar(p) for p in it), DOCS_SCHEMA
     )
-    docs_df.write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
-
     norms = sidecar.mapInPandas(
         lambda it: (_norms_from_sidecar(p) for p in it), NORMS_SCHEMA
     ).persist()
     final_norms = os.path.join(index_dir, "norms")
-    # partitioned by seg so merges/NRT can commit one partition at a time
-    norms.write.mode("overwrite").partitionBy("seg").parquet(final_norms)
+
+    # docs and norms derive independently from the cached sidecar: run the
+    # two writes as concurrent jobs (guide §2.6 — actions are sequential
+    # only because driver code calls them sequentially); each is mostly
+    # fixed job/commit overhead at any scale, so overlapping them removes
+    # ~min(docs, norms) from the build tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_docs():
+        docs_df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
+
+    def _write_norms():
+        # partitioned by seg so merges/NRT can commit one partition at a time
+        norms.write.mode("overwrite").partitionBy("seg").parquet(final_norms)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(_write_docs), ex.submit(_write_norms)]:
+            f.result()
 
     # manifest: per-segment doc stats from the sidecar aggregates;
     # doc_base comes from the already-computed (cached) norms relation —
@@ -1001,6 +1016,147 @@ def _merge_group(
     )
 
 
+def _merge_partition_batched(pdf: pd.DataFrame, codec=None) -> pd.DataFrame:
+    """Vectorized multi-term merge — the tombstone-free twin of
+    _merge_group over a WHOLE partition of term-clustered postings rows.
+
+    _merge_group pays ~10-25 ms of fixed numpy/codec dispatch per term
+    (16 per-stream decodes, per-term block_meta loop, two encodes);
+    at vocabulary scale that cost dominates the merge (measured 3.2 s of
+    the 5 s merge_tier phase at sf0.1).  Here every (term, new_seg) group
+    in the partition is merged in a handful of batched array passes:
+    ONE decode_grouped over all doc-id streams, ONE over all tf streams,
+    segmented cumsum -> per-group re-delta -> ONE encode_batch each, and
+    block metadata via the same reduceat machinery _invert_occurrences
+    uses.  Positions/offsets stay raw byte concatenation (the
+    SegmentMerger bulk-copy fast path), exactly like _merge_group.
+    Output rows are byte-identical to _merge_group's (pinned by test)."""
+    if codec is None:
+        from ..codecs.registry import VARBYTE as codec  # noqa: N813
+    from ..codecs.registry import decode_grouped, nbytes_grouped
+
+    if pdf.empty:
+        return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    pdf = pdf.sort_values(["term", "new_seg", "seg"], kind="mergesort")
+    n_rows = len(pdf)
+    id_bufs = [bytes(b) for b in pdf["doc_ids"]]
+    tf_bufs = [bytes(b) for b in pdf["tfs"]]
+    gaps, s_cnt = decode_grouped(codec, id_bufs)
+    tf_vals, s_cnt_tf = decode_grouped(codec, tf_bufs)
+    # absolute doc ids: per-stream cumsum (first value of each stream is
+    # absolute, the rest are gaps) — streams are seg slices in doc order
+    from ..codecs.varbyte import _segmented_cumsum
+
+    ids, s_offs = _segmented_cumsum(gaps.astype(np.int64), s_cnt)
+    tf64 = tf_vals.astype(np.int64)
+
+    # group boundaries over the sorted rows: (term, new_seg) changes
+    terms = pdf["term"].to_numpy()
+    nsegs = pdf["new_seg"].to_numpy(dtype=np.int64)
+    new_grp = np.empty(n_rows, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (terms[1:] != terms[:-1]) | (nsegs[1:] != nsegs[:-1])
+    grp_first_row = np.nonzero(new_grp)[0]
+    n_grps = grp_first_row.size
+    grp_row_ends = np.append(grp_first_row[1:], n_rows)
+    # per-VALUE offsets of each group = stream offsets at its row bounds
+    grp_val_offsets = np.concatenate(
+        [s_offs[grp_first_row], [int(s_offs[n_rows])]]
+    ).astype(np.int64)
+    grp_sizes = np.diff(grp_val_offsets)
+
+    # re-delta WITHIN each group (the merged posting's doc-id stream)
+    deltas = np.empty_like(ids)
+    if ids.size:
+        deltas[0] = ids[0]
+        deltas[1:] = ids[1:] - ids[:-1]
+        starts = grp_val_offsets[:-1][grp_sizes > 0]
+        deltas[starts] = ids[starts]
+    ids_bufs = codec.encode_batch(deltas.astype(np.uint64), grp_val_offsets)
+    tfs_bufs = codec.encode_batch(tf_vals, grp_val_offsets)
+
+    # per-128-value block metadata per group (block_meta vectorized)
+    val_grp_start = np.repeat(grp_val_offsets[:-1], grp_sizes)
+    rel = np.arange(ids.size, dtype=np.int64) - val_grp_start
+    bstart_mask = (rel % BLOCK_SIZE) == 0
+    bstarts = np.nonzero(bstart_mask)[0]
+    bends = np.append(bstarts[1:], ids.size)
+    blk_last = ids[bends - 1] if bstarts.size else np.empty(0, dtype=np.int64)
+    blk_max_tf = (
+        np.maximum.reduceat(tf64, bstarts).astype(np.int32)
+        if bstarts.size
+        else np.empty(0, dtype=np.int32)
+    )
+    grp_of_val = np.repeat(np.arange(n_grps, dtype=np.int64), grp_sizes)
+    blk_grp = grp_of_val[bstarts] if bstarts.size else np.empty(0, dtype=np.int64)
+    grp_blk_offsets = np.append(
+        np.searchsorted(blk_grp, np.arange(n_grps)), blk_grp.size
+    )
+
+    # skip data: byte offsets of each block within its group's stream
+    id_nb = nbytes_grouped(codec, deltas.astype(np.uint64), grp_val_offsets)
+    tf_nb = nbytes_grouped(codec, tf_vals, grp_val_offsets)
+    id_bs = np.zeros(ids.size, dtype=np.int64)
+    tf_bs = np.zeros(ids.size, dtype=np.int64)
+    if ids.size:
+        id_bs[1:] = np.cumsum(id_nb)[:-1]
+        tf_bs[1:] = np.cumsum(tf_nb)[:-1]
+    blk_id_off = id_bs[bstarts] - id_bs[val_grp_start[bstarts]] if bstarts.size else np.empty(0, np.int64)
+    blk_tf_off = tf_bs[bstarts] - tf_bs[val_grp_start[bstarts]] if bstarts.size else np.empty(0, np.int64)
+
+    # groups are nonempty by construction (every posting row has df >= 1),
+    # so reduceat at group starts aligns 1:1 with groups
+    ttf_all = np.add.reduceat(tf64, grp_val_offsets[:-1])
+
+    # per-row block_max_nb maxes -> per-group max (two-level reduceat)
+    nb_cat = np.concatenate(
+        [np.frombuffer(b, dtype=np.int32) for b in pdf["block_max_nb"]]
+    )
+    nb_lens = np.fromiter(
+        (len(b) // 4 for b in pdf["block_max_nb"]), dtype=np.int64, count=n_rows
+    )
+    row_nb_starts = np.zeros(n_rows, dtype=np.int64)
+    row_nb_starts[1:] = np.cumsum(nb_lens)[:-1]
+    row_max = np.maximum.reduceat(nb_cat, row_nb_starts)
+    grp_max_nb = np.maximum.reduceat(row_max, grp_first_row)
+
+    pos_list = pdf["positions"].tolist()
+    has_off_col = "offsets" in pdf.columns
+    off_list = pdf["offsets"].tolist() if has_off_col else None
+    term_of_grp = terms[grp_first_row]
+    seg_of_grp = nsegs[grp_first_row]
+
+    rows = []
+    for g in range(n_grps):
+        r0, r1 = grp_first_row[g], grp_row_ends[g]
+        ba, bb = grp_blk_offsets[g], grp_blk_offsets[g + 1]
+        n_blocks = bb - ba
+        if has_off_col and all(len(off_list[i]) > 0 for i in range(r0, r1)):
+            off_buf = b"".join(bytes(off_list[i]) for i in range(r0, r1))
+        else:
+            off_buf = b""
+        rows.append(
+            {
+                "seg": int(seg_of_grp[g]),
+                "term": term_of_grp[g],
+                "df": int(grp_sizes[g]),
+                "ttf": int(ttf_all[g]),
+                "doc_ids": ids_bufs[g],
+                "tfs": tfs_bufs[g],
+                "positions": b"".join(bytes(pos_list[i]) for i in range(r0, r1)),
+                "block_last": blk_last[ba:bb].astype(np.int64).tobytes(),
+                "block_max_tf": blk_max_tf[ba:bb].tobytes(),
+                "block_max_nb": np.full(
+                    n_blocks, grp_max_nb[g], dtype=np.int32
+                ).tobytes(),
+                "block_id_offs": blk_id_off[ba:bb].tobytes(),
+                "block_tf_offs": blk_tf_off[ba:bb].tobytes(),
+                "offsets": off_buf,
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+
 def _stage_partition(df: DataFrame, root: str, seg: int) -> None:
     """Write df (carrying a constant `seg` column) as partition seg=<seg>
     under `root` via a private staging dir + atomic rename.
@@ -1073,6 +1229,27 @@ def merge_segments(
     def _mg(pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_group(pdf, tombstones=reclaim, codec=merge_codec)
 
+    def _grouped_merge(src: DataFrame, keys: list[str], n_part: int) -> DataFrame:
+        """One merged row per (term[, new_seg]) group.  Tombstone-free
+        merges take the batched whole-partition kernel (one mapInPandas
+        over the range shuffle — no per-term applyInPandas dispatch);
+        reclaiming merges keep the per-group kernel, which drops dead
+        docs from every stream."""
+        clustered = src.repartitionByRange(n_part, *keys)
+        if not reclaim:
+
+            def _fn(batches):
+                # a group can span arrow batches: concatenate the whole
+                # partition first (the _fused_build_fn pattern)
+                parts = list(batches)
+                if parts:
+                    yield _merge_partition_batched(
+                        pd.concat(parts, ignore_index=True), codec=merge_codec
+                    )
+
+            return clustered.mapInPandas(_fn, POSTINGS_SCHEMA)
+        return clustered.groupBy(*keys).applyInPandas(_mg, POSTINGS_SCHEMA)
+
     postings = load_postings(spark, index_dir).where(F.col("seg").isin(seg_ids))
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     if salt > 1:
@@ -1084,24 +1261,17 @@ def merge_segments(
         mapping = F.create_map(
             *[F.lit(x) for kv in group_of.items() for x in kv]
         )
-        partial = (
-            postings.withColumn("new_seg", mapping[F.col("seg")].cast("int"))
-            .repartitionByRange(n_part, "term", "new_seg")
-            .groupBy("term", "new_seg")
-            .applyInPandas(_mg, POSTINGS_SCHEMA)
+        partial = _grouped_merge(
+            postings.withColumn("new_seg", mapping[F.col("seg")].cast("int")),
+            ["term", "new_seg"],
+            n_part,
         )
-        merged = (
-            partial.withColumn("new_seg", F.lit(new_seg))
-            .repartitionByRange(n_part, "term")
-            .groupBy("term")
-            .applyInPandas(_mg, POSTINGS_SCHEMA)
+        merged = _grouped_merge(
+            partial.withColumn("new_seg", F.lit(new_seg)), ["term"], n_part
         )
     else:
-        merged = (
-            postings.withColumn("new_seg", F.lit(new_seg))
-            .repartitionByRange(n_part, "term")
-            .groupBy("term")
-            .applyInPandas(_mg, POSTINGS_SCHEMA)
+        merged = _grouped_merge(
+            postings.withColumn("new_seg", F.lit(new_seg)), ["term"], n_part
         )
 
     docs = load_docs(spark, index_dir).where(F.col("seg").isin(seg_ids))
@@ -1126,21 +1296,40 @@ def merge_segments(
         removed_ttf = int(agg["t"])
         docs = docs.where(~F.col("doc_id").isin(sorted(reclaim)))
     docs_new = docs.withColumn("seg", F.lit(new_seg)).persist()
+    docs_new.count()  # materialize once before concurrent consumers
 
     # sidecar row derived from the SAME frame (docs/norms stay derivable)
     sidecar = docs_new.groupBy("seg").applyInPandas(_sidecar_from_docs, POSTINGS_SCHEMA)
-    _stage_partition(
-        merged.unionByName(sidecar), os.path.join(index_dir, "postings"), new_seg
-    )
-    _stage_partition(docs_new, os.path.join(index_dir, "docs"), new_seg)
-    # norms for the NEW segment only — a merge never rescans other segments'
-    # docs (the old rebuild_norms full pass does not scale past a few tiers)
     norms_new = (
         docs_new.select("seg", "doc_id", "norm_byte")
         .groupBy("seg")
         .applyInPandas(lambda p: _norms_blob(p), NORMS_SCHEMA)
     )
-    _stage_partition(norms_new, os.path.join(index_dir, "norms"), new_seg)
+
+    # the three staged writes are independent jobs over the cached
+    # docs_new / the merged plan: overlap them (guide §2.6) — the docs and
+    # norms jobs fit entirely inside the postings merge's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futures = [
+            ex.submit(
+                _stage_partition,
+                merged.unionByName(sidecar),
+                os.path.join(index_dir, "postings"),
+                new_seg,
+            ),
+            ex.submit(
+                _stage_partition, docs_new, os.path.join(index_dir, "docs"), new_seg
+            ),
+            # norms for the NEW segment only — a merge never rescans other
+            # segments' docs (a full rebuild_norms pass does not scale)
+            ex.submit(
+                _stage_partition, norms_new, os.path.join(index_dir, "norms"), new_seg
+            ),
+        ]
+        for f in futures:
+            f.result()
     docs_new.unpersist()
     if manifest.get("bloom"):
         # bloom sidecar for the merged segment (atomic rename, like the

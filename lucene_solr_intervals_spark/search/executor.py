@@ -267,6 +267,10 @@ class Searcher:
             + (["positions"] if with_positions else [])
             + (["payloads"] if with_payloads else [])
         )
+        # stats stay an in-plan subquery broadcast: a createDataFrame
+        # literal from the _stats_of memo was tried in r10 and measured
+        # ~0.25 s SLOWER per query (LocalRelation planning + conversion
+        # beats the cached-table scan it replaced — BENCH/ab_r10 notes)
         stats = idx.term_stats.where(
             (F.col("field") == f) & F.col("term").isin(terms)
         ).select("term", "df", "ttf")
@@ -433,16 +437,26 @@ class Searcher:
 
     def _df_of(self, field: str, term: str) -> int:
         """Driver-side point df lookup (memoized; query-term-bounded)."""
+        return self._stats_of(field, [term])[term][0]
+
+    def _stats_of(self, field: str, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Bulk driver-side (df, ttf) lookup, memoized per searcher: ONE
+        pruned collect for the still-unseen terms of a query instead of a
+        stats subquery (scan + broadcast build) inside every query job.
+        Bounded by the observed query workload, never the vocabulary —
+        the same memo contract as SegmentSearcher._dfs."""
         memo = getattr(self, "_df_point_memo", None)
         if memo is None:
             memo = self._df_point_memo = {}
-        key = (field, term)
-        if key not in memo:
+        missing = [t for t in terms if (field, t) not in memo]
+        if missing:
             rows = self.index.term_stats.where(
-                (F.col("field") == field) & (F.col("term") == term)
-            ).collect()
-            memo[key] = int(rows[0]["df"]) if rows else 0
-        return memo[key]
+                (F.col("field") == field) & F.col("term").isin(missing)
+            ).select("term", "df", "ttf").collect()
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                memo[(field, t)] = found.get(t, (0, 0))
+        return {t: memo[(field, t)] for t in terms}
 
     def _scored_raw(self, q: Q.Query) -> DataFrame:
         if isinstance(q, Q.Term):
@@ -591,24 +605,54 @@ class Searcher:
                     F.lit(0.0).alias("score"),
                 )
             )
-        parts = []
-        for c in q.must:
-            parts.append(
-                self._scored_raw(c).select(
-                    "doc_id", "score", F.lit(1).alias("is_must"), F.lit(0).alias("is_should")
-                )
-            )
-        for c in q.should:
-            parts.append(
-                self._scored_raw(c).select(
-                    "doc_id", "score", F.lit(0).alias("is_must"), F.lit(1).alias("is_should")
-                )
-            )
-        if not parts:
+        pos_clauses = [(c, 1, 0) for c in q.must] + [(c, 0, 1) for c in q.should]
+        if not pos_clauses:
             raise ValueError("boolean query with no positive clauses")
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
+        terms_list = [c.term for c, _, _ in pos_clauses if isinstance(c, Q.Term)]
+        if (
+            len(terms_list) == len(pos_clauses)
+            and len(set(terms_list)) == len(terms_list)
+            and len({self._field_of(c) for c, _, _ in pos_clauses}) == 1
+        ):
+            # Batched all-Term form (r10, measured: df_bool_or 2.8 -> 2.2 s
+            # at sf0.1): ONE term_hits scan for every clause term instead of
+            # one scan + broadcast-join pair PER clause, with the clause
+            # attributes (is_must, is_should, boost) re-attached by a
+            # codegen CASE chain on term — no extra relation, no join.
+            # Terms must be distinct across clauses so score*boost stays the
+            # bit-identical single product the per-clause union computed
+            # (a repeated term falls back to the union below).
+            f = self._field_of(pos_clauses[0][0])
+            hits = self.term_hits(sorted(terms_list), field=f)
+
+            def chain(val_of):
+                expr = None
+                for c, m, s in pos_clauses:
+                    cond = F.col("term") == c.term
+                    v = val_of(c, m, s)
+                    expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+                return expr
+
+            u = hits.select(
+                "doc_id",
+                (F.col("score") * chain(lambda c, m, s: F.lit(float(c.boost)))).alias(
+                    "score"
+                ),
+                chain(lambda c, m, s: F.lit(m)).alias("is_must"),
+                chain(lambda c, m, s: F.lit(s)).alias("is_should"),
+            )
+        else:
+            parts = []
+            for c, m, s in pos_clauses:
+                parts.append(
+                    self._scored_raw(c).select(
+                        "doc_id", "score",
+                        F.lit(m).alias("is_must"), F.lit(s).alias("is_should"),
+                    )
+                )
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
         agg = u.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
             F.sum("is_must").alias("n_must"),
@@ -1048,11 +1092,10 @@ class Searcher:
         evaluated = per_doc.withColumn("res", _kernel(F.col("tp"))).where(F.col("res.n") > 0)
 
         # summed idf over leaf terms (IntervalFilterQuery.getSimWeight:135-151)
+        # — dfs from the per-searcher memo (one pruned collect per unseen
+        # term set; repeated phrase/near terms cost no job at all)
         stats = {
-            r["term"]: int(r["df"])
-            for r in self.index.term_stats.where(
-                (F.col("field") == pfield) & F.col("term").isin(leaf_terms)
-            ).collect()
+            t: d for t, (d, _ttf) in self._stats_of(pfield, leaf_terms).items()
         }
         n = self.index.max_doc
         # idfExplain sums per-term float32 idfs in float32

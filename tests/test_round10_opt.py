@@ -37,6 +37,78 @@ def test_decode_grouped_matches_per_stream(codec_name):
         assert np.array_equal(vals[offs[i]:offs[i + 1]], s)
 
 
+@pytest.mark.parametrize("codec_name", sorted(CODECS))
+def test_merge_partition_batched_matches_merge_group(codec_name):
+    """The vectorized multi-term merge must emit BYTE-identical rows to the
+    per-term _merge_group kernel (block metadata included) — WAND's skip
+    offsets depend on exact bytes."""
+    from lucene_solr_intervals_spark.codecs.varbyte import (
+        block_byte_starts, block_meta, delta_encode, pack_doc_ids,
+        pack_positions, pack_tfs,
+    )
+    from lucene_solr_intervals_spark.index.segment import (
+        POSTINGS_SCHEMA, _merge_group, _merge_partition_batched,
+    )
+
+    codec = get_codec(codec_name)
+    rng = random.Random(29)
+    rows = []
+    base = 0
+    for seg in range(4):  # disjoint ascending doc ranges per seg
+        for term in ["alpha", "beta", "gamma", "delta"]:
+            if term == "delta" and seg == 2:
+                continue  # a term missing from one segment
+            n = rng.randrange(1, 200)
+            ids = np.sort(
+                np.array(rng.sample(range(base, base + 1000), n), dtype=np.int64)
+            )
+            tfs = np.array([rng.randrange(1, 4) for _ in range(n)], dtype=np.int64)
+            pos = [
+                np.sort(np.array(rng.sample(range(0, 300), int(t)), dtype=np.int64))
+                for t in tfs
+            ]
+            nbm = np.array(
+                [rng.randrange(20, 120) for _ in range((n + 127) // 128)],
+                dtype=np.int32,
+            )
+            last_b, max_b = block_meta(ids, tfs)
+            rows.append(
+                {
+                    "seg": seg,
+                    "term": term,
+                    "df": int(n),
+                    "ttf": int(tfs.sum()),
+                    "doc_ids": pack_doc_ids(ids, codec),
+                    "tfs": pack_tfs(tfs, codec),
+                    "positions": pack_positions(pos, codec),
+                    "block_last": last_b,
+                    "block_max_tf": max_b,
+                    "block_max_nb": nbm.tobytes(),
+                    "block_id_offs": b"",
+                    "block_tf_offs": b"",
+                    "offsets": b"",
+                    "new_seg": 99,
+                }
+            )
+        base += 1000
+    pdf = pd.DataFrame(rows)
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    batched = _merge_partition_batched(pdf, codec=codec)
+    per_term = pd.concat(
+        [
+            _merge_group(g, tombstones=frozenset(), codec=codec)
+            for _, g in pdf.groupby("term", sort=True)
+        ],
+        ignore_index=True,
+    )
+    batched = batched.sort_values("term").reset_index(drop=True)[cols]
+    per_term = per_term.sort_values("term").reset_index(drop=True)[cols]
+    assert list(batched["term"]) == list(per_term["term"])
+    for c in cols:
+        for i in range(len(batched)):
+            assert batched[c][i] == per_term[c][i], (c, batched["term"][i])
+
+
 def _mk_row(codec, rng, n_docs):
     from lucene_solr_intervals_spark.codecs.varbyte import (
         pack_doc_ids, pack_positions, pack_tfs,
