@@ -44,7 +44,7 @@ def main():
 
     for name in (
         "bool_or_topk", "bool_and_topk", "bool_min_should_match",
-        "classic_bool_topk", "phrase_topk",
+        "classic_bool_topk", "phrase_topk", "dismax_topk",
     ):
         save(name, QUERIES[name](spark, sf_dir))
 

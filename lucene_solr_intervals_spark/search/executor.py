@@ -518,12 +518,32 @@ class Searcher:
             return self._scored_boolean(q)
 
         if isinstance(q, Q.DisjunctionMax):
-            parts = [
-                self._scored_raw(sub).select("doc_id", "score") for sub in q.subs
-            ]
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
+            sub_terms = [s.term for s in q.subs if isinstance(s, Q.Term)]
+            if (
+                len(sub_terms) == len(q.subs)
+                and len(set(sub_terms)) == len(sub_terms)
+                and len({self._field_of(s) for s in q.subs}) == 1
+            ):
+                # batched all-Term DisMax: one term_hits scan, per-clause
+                # boost re-attached by a CASE chain (same shape and
+                # equivalence argument as the Boolean fast path below)
+                f = self._field_of(q.subs[0])
+                hits = self.term_hits(sorted(sub_terms), field=f)
+                bexpr = None
+                for s in q.subs:
+                    cond = F.col("term") == s.term
+                    v = F.lit(float(s.boost))
+                    bexpr = F.when(cond, v) if bexpr is None else bexpr.when(cond, v)
+                u = hits.select(
+                    "doc_id", (F.col("score") * bexpr).alias("score")
+                )
+            else:
+                parts = [
+                    self._scored_raw(sub).select("doc_id", "score") for sub in q.subs
+                ]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
             agg = u.groupBy("doc_id").agg(
                 F.max("score").alias("mx"), F.sum("score").alias("sm")
             )

@@ -49,6 +49,24 @@ TOPK_SCHEMA = T.StructType(
     ]
 )
 
+# Columns the SCORING kernels actually read.  An applyInPandas cogroup is
+# opaque to Catalyst, so without an explicit projection every query ships
+# (and reads from parquet) the positions/offsets binaries — the largest
+# posting columns — that only the interval/offsets paths consume
+# (guide §2.3: project before the exchange).
+SCORING_COLS = [
+    "seg", "term", "df", "doc_ids", "tfs", "block_last",
+    "block_max_tf", "block_max_nb", "block_id_offs", "block_tf_offs",
+]
+
+
+def _scoring_cols(postings: DataFrame, *extra: str) -> list:
+    """SCORING_COLS restricted to what the relation actually has — the
+    kernels degrade gracefully on indexes without block-max sidecars
+    (pre-skip-data segments), so the projection must too."""
+    have = set(postings.columns)
+    return [c for c in SCORING_COLS if c in have] + list(extra)
+
 
 def _exact_scores(rows, norms_by_doc, weights, cache):
     """Concatenate per-term (doc, partial score) and sum per doc."""
@@ -592,7 +610,8 @@ def search_segments(
     # doc-count bytes (~1 TB at 10^12 docs); cogroup keeps per-task memory
     # bounded by one segment regardless of corpus size.
     per_seg = (
-        postings.groupBy("seg")
+        postings.select(*_scoring_cols(postings))
+        .groupBy("seg")
         .cogroup(norms.groupBy("seg"))
         .applyInPandas(_run, TOPK_SCHEMA)
     )
@@ -1220,7 +1239,8 @@ class SegmentSearcher:
             )
 
         per_seg = (
-            postings.groupBy("seg")
+            postings.select(*_scoring_cols(postings, "df_total"))
+            .groupBy("seg")
             .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, schema)
         )
@@ -1261,7 +1281,8 @@ class SegmentSearcher:
             )
 
         per_seg = (
-            postings.groupBy("seg")
+            postings.select(*_scoring_cols(postings))
+            .groupBy("seg")
             .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, TOPK_SCHEMA)
         )
@@ -1303,7 +1324,8 @@ class SegmentSearcher:
             return pd.DataFrame({"n": [int(u.size)]})
 
         per_seg = (
-            postings.groupBy("seg")
+            postings.select("seg", "term", "doc_ids")
+            .groupBy("seg")
             .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, schema)
         )
@@ -1334,7 +1356,8 @@ class SegmentSearcher:
             )
 
         return (
-            postings.groupBy("seg")
+            postings.select(*_scoring_cols(postings))
+            .groupBy("seg")
             .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, TOPK_SCHEMA)
         )
