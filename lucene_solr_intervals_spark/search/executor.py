@@ -980,6 +980,19 @@ class Searcher:
             return Q.Boolean(tuple(must), tuple(should), tuple(must_not), q.min_should_match, q.boost)
         return q
 
+    def _required_filter_helps(
+        self, field: str, leaf_terms: list[str], required: set
+    ) -> bool:
+        """Should the required-terms semi-filter run before the positions
+        groupBy?  Best case it keeps len(leaf_terms) * min(required df) of
+        the sum(df) hit rows; when that bound cannot even halve the
+        shuffle, the extra aggregate + semi-join stages cost more than
+        they save at every scale."""
+        leaf_dfs = self._stats_of(field, leaf_terms)
+        sum_df = sum(d for d, _ in leaf_dfs.values())
+        min_req = min(leaf_dfs.get(t, (0, 0))[0] for t in required)
+        return min_req * len(leaf_terms) * 2 <= sum_df
+
     def _scored_positional(self, q: Q.Query, freq_mode: str) -> DataFrame:
         """Interval-kernel execution: gather per-doc positions for the leaf
         terms (pre-filtered to candidate docs by a required-term semi-join),
@@ -1003,17 +1016,30 @@ class Searcher:
             "doc_id", "term", "positions", "doclen", "norm_byte", "df"
         )
         if required:
-            # docs must contain every required term: count-distinct semi-filter
-            req = (
-                self.index.postings.where(
-                    (F.col("field") == pfield) & F.col("term").isin(sorted(required))
+            # docs must contain every required term: count-distinct
+            # semi-filter BEFORE the positions groupBy, so non-candidate
+            # docs' position arrays never shuffle.  Stats-driven (r10, the
+            # CommonTermsQuery df-split idea): the filter costs an extra
+            # aggregate + semi-join stage, and its best case keeps
+            # len(leaf_terms) * min(required df) of the sum(df) hit rows —
+            # when that bound cannot even halve the shuffle (unselective
+            # conjunctions of similarly-common terms, e.g. a 2-term phrase
+            # of head words), the stages cost more than they save at every
+            # scale, so skip it.  dfs come from the memoized _stats_of
+            # lookup; the filter is purely an optimization (the kernel
+            # emits n=0 for docs missing a required term), so skipping it
+            # is result-identical.
+            if self._required_filter_helps(pfield, leaf_terms, required):
+                req = (
+                    self.index.postings.where(
+                        (F.col("field") == pfield) & F.col("term").isin(sorted(required))
+                    )
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("nreq"))
+                    .where(F.col("nreq") == len(required))
+                    .select("doc_id")
                 )
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("nreq"))
-                .where(F.col("nreq") == len(required))
-                .select("doc_id")
-            )
-            hits = hits.join(req, "doc_id", "left_semi")
+                hits = hits.join(req, "doc_id", "left_semi")
 
         per_doc = hits.groupBy("doc_id", "doclen", "norm_byte").agg(
             F.collect_list(F.struct("term", "positions")).alias("tp")

@@ -131,6 +131,48 @@ def _mk_row(codec, rng, n_docs):
     }
 
 
+def test_positional_required_filter_branches_identical(spark):
+    """The required-terms semi-filter is an optimization only: forcing it
+    ON and OFF must produce identical positional results (rows + scores),
+    whatever the stats-driven default picks."""
+    from lucene_solr_intervals_spark.index.builder import build_index
+    from lucene_solr_intervals_spark.search import queries as Q
+    from lucene_solr_intervals_spark.search.executor import Searcher
+
+    rng = random.Random(41)
+    vocab = ["hot", "cold", "pea", "pod", "rare"]
+    rows = [
+        (i, " ".join(rng.choice(vocab[:4]) for _ in range(rng.randint(4, 25)))
+         + (" rare pod" if i % 9 == 0 else ""))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, analyzer="code")
+    try:
+        queries = [
+            Q.Phrase(("hot", "cold")),                      # balanced dfs
+            Q.Phrase(("rare", "pod"), slop=2),              # skewed dfs
+            Q.OrderedNear(3, (Q.Term("pea"), Q.Term("pod"))),
+            Q.UnorderedNear(2, (Q.Term("hot"), Q.Term("rare"))),
+        ]
+        for mode in ("sql", "lucene"):
+            s = Searcher(idx, mode=mode)
+            for q in queries:
+                outs = []
+                for force in (True, False):
+                    s._required_filter_helps = (
+                        lambda *_a, _f=force, **_k: _f
+                    )
+                    outs.append(sorted(
+                        (r["doc_id"], round(float(r["score"]), 6))
+                        for r in s.scored(q).collect()
+                    ))
+                assert outs[0] == outs[1], (mode, q)
+                assert outs[0], (mode, q)  # non-vacuous
+    finally:
+        idx.unpersist()
+
+
 @pytest.mark.parametrize("codec_name", sorted(CODECS))
 def test_batched_check_parity_green_and_corrupt(codec_name):
     """The batched green path returns all-clean exactly when the per-row
