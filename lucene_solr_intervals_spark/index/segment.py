@@ -1667,45 +1667,63 @@ def verify_index(spark: SparkSession, index_dir: str, corpus: DataFrame | None =
             out.append(";".join(msgs))
         return pd.Series(out)
 
-    errs = (
-        postings.select(
-            _check("doc_ids", "tfs", "positions", "df", "ttf").alias("err")
-        )
-        .where(F.col("err") != "")
-        .limit(20)
-        .collect()
-    )
-    problems = [r["err"] for r in errs]
+    docs = load_docs(spark, index_dir).where(F.col("seg").isin(live))
 
-    if manifest.get("offsets"):
-        oerrs = (
-            postings.select(_check_offsets("offsets", "tfs").alias("err"))
+    # the check sweep, the docs count, and the sha-parity join are
+    # independent jobs over different relations — run them concurrently
+    # (guide §2.6); each is dominated by fixed scan/job overhead here
+    def _postings_errs() -> list:
+        errs = (
+            postings.select(
+                _check("doc_ids", "tfs", "positions", "df", "ttf").alias("err")
+            )
             .where(F.col("err") != "")
             .limit(20)
             .collect()
         )
-        problems.extend(r["err"] for r in oerrs)
+        out = [r["err"] for r in errs]
+        if manifest.get("offsets"):
+            oerrs = (
+                postings.select(_check_offsets("offsets", "tfs").alias("err"))
+                .where(F.col("err") != "")
+                .limit(20)
+                .collect()
+            )
+            out.extend(r["err"] for r in oerrs)
+        return out
 
-    docs = load_docs(spark, index_dir).where(F.col("seg").isin(live))
-    n_docs = docs.count()
+    def _sha_mismatches() -> int | None:
+        if corpus is None:
+            return None
+        # per-row content sha256 parity (BASELINE.json per-row invariant)
+        src = corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("sha_src"),
+        )
+        return (
+            docs.select("doc_id", "sha256")
+            .join(src, "doc_id", "inner")
+            .where(F.col("sha256") != F.col("sha_src"))
+            .count()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_errs = ex.submit(_postings_errs)
+        f_ndocs = ex.submit(docs.count)
+        f_sha = ex.submit(_sha_mismatches)
+        problems = f_errs.result()
+        n_docs = f_ndocs.result()
+        mismatches = f_sha.result()
+
     if n_docs != manifest["n_docs"] and not any(
         s.get("status") == "merged" for s in manifest["segments"]
     ):
         problems.append(f"manifest n_docs {manifest['n_docs']} != docs table {n_docs}")
 
     sha_ok = None
-    if corpus is not None:
-        # per-row content sha256 parity (BASELINE.json per-row invariant)
-        src = corpus.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.sha2(F.col(text_col).cast("binary"), 256).alias("sha_src"),
-        )
-        mismatches = (
-            docs.select("doc_id", "sha256")
-            .join(src, "doc_id", "inner")
-            .where(F.col("sha256") != F.col("sha_src"))
-            .count()
-        )
+    if mismatches is not None:
         sha_ok = mismatches == 0
         if not sha_ok:
             problems.append(f"{mismatches} sha256 mismatches")
