@@ -433,8 +433,9 @@ def segment_topk_kernel(
 ) -> pd.DataFrame:
     """Per-segment top-k. term_rows: packed posting rows for the query terms;
     norms_row: this segment's single norms row (doc_base, norm_bytes) —
-    delivered by a seg-cogroup, never broadcast (the full norms relation is
-    corpus-doc-count bytes; only this segment's blob may reach the task)."""
+    read task-side from the seg-partitioned sidecar (_seg_norms_pdf), never
+    broadcast (the full norms relation is corpus-doc-count bytes; only this
+    segment's blob may reach the task)."""
     if term_rows.empty:
         return pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float32"}
@@ -564,8 +565,8 @@ def search_segments(
     mode: str = "wand",
     conjunctive: bool = False,
 ) -> DataFrame:
-    """Distributed top-k over the packed index: per-segment kernels via
-    cogroup(postings, docs) + a driver-side ordered merge (LIMIT k).
+    """Distributed top-k over the packed index: per-segment kernels over
+    the grouped postings + a driver-side ordered merge (LIMIT k).
 
     The postings scan is pruned two ways: partition pruning on seg (live
     set from the manifest) and Parquet predicate pushdown on `term`.
@@ -580,7 +581,6 @@ def search_segments(
         .where(F.col("seg").isin(live))
         .where(F.col("term").isin(terms))
     )
-    norms = load_norms(spark, index_dir).where(F.col("seg").isin(live))
 
     # global stats -> float32 weights (idf * (k1+1)), broadcast via closure
     stats = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
@@ -600,19 +600,20 @@ def search_segments(
         weights.setdefault(t, np.float32(0.0))
     cache = norm_cache(avgdl)
 
-    def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        npdf = _seg_norms_pdf(index_dir, int(pdf["seg"].iloc[0]), False)
         return segment_topk_kernel(
             pdf, npdf, weights, cache, k, mode, conjunctive, codec=codec
         )
 
-    # norms arrive via seg-cogroup: one small row shuffled to exactly its
-    # segment's task.  NEVER broadcast norms — the relation is total-corpus
-    # doc-count bytes (~1 TB at 10^12 docs); cogroup keeps per-task memory
-    # bounded by one segment regardless of corpus size.
+    # norms are read task-side from the seg-partitioned sidecar
+    # (_seg_norms_pdf): NEVER broadcast norms — the relation is total-corpus
+    # doc-count bytes (~1 TB at 10^12 docs); the per-segment read keeps
+    # per-task memory bounded by one segment regardless of corpus size,
+    # without shuffling the relation at all.
     per_seg = (
         postings.select(*_scoring_cols(postings))
         .groupBy("seg")
-        .cogroup(norms.groupBy("seg"))
         .applyInPandas(_run, TOPK_SCHEMA)
     )
     return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -620,6 +621,62 @@ def search_segments(
 
 def _live_segments(manifest: dict) -> list[int]:
     return [s["seg"] for s in manifest["segments"] if s.get("status") == "done"]
+
+
+def _seg_norms_pdf(
+    index_dir: str, seg: int, spilled: bool, with_norms: bool = True
+) -> pd.DataFrame:
+    """Task-side read of ONE segment's norms row (and, when the index has
+    spilled tombstones, that segment's delete slice) straight from the
+    index directory — the co-locate alternative (guide §8) to shipping the
+    norms relation through a per-query Exchange.  Norms are written
+    partitionBy("seg"), so the task reads exactly its own segment's bytes:
+    per-task memory stays one segment's blob at any corpus size, and the
+    per-query plan loses the norms-side scan + Exchange + cogroup barrier
+    (at 10^12 docs the norms RELATION is ~1 TB; the cogroup re-shuffled
+    all of it on every query, this reads only candidate segments' blobs).
+    Uses ParquetFile, not the dataset API (~0.2 ms vs ~270 ms first-call
+    machinery per worker, measured)."""
+    import pyarrow.parquet as pq
+
+    data: dict = {"seg": [seg]}
+    if with_norms:
+        seg_dir = os.path.join(index_dir, "norms", f"seg={seg}")
+        tabs = [
+            pq.ParquetFile(os.path.join(seg_dir, f)).read(
+                columns=["doc_base", "span", "norm_bytes"]
+            )
+            for f in sorted(os.listdir(seg_dir))
+            if f.endswith(".parquet")
+        ]
+        rows = [t for t in tabs if t.num_rows]
+        if not rows:
+            # same contract the cogroup had: postings without a norms row
+            # is a corrupt segment (segment_topk_kernel raises on it)
+            data.update({"doc_base": [], "span": [], "norm_bytes": [], "seg": []})
+            return pd.DataFrame(data)
+        t = rows[0]
+        data["doc_base"] = [t["doc_base"][0].as_py()]
+        data["span"] = [t["span"][0].as_py()]
+        data["norm_bytes"] = [t["norm_bytes"][0].as_py()]
+    if spilled:
+        path = os.path.join(index_dir, "tombstones", "tombstones.parquet")
+        pf = pq.ParquetFile(path)
+        names = pf.schema_arrow.names
+        seg_col = names.index("seg")
+        groups = []
+        for i in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(i).column(seg_col).statistics
+            if st is None or not st.has_min_max or (st.min <= seg <= st.max):
+                groups.append(i)
+        tomb: list[int] = []
+        if groups:
+            tt = pf.read_row_groups(groups, columns=["seg", "doc_id"])
+            import pyarrow.compute as pc
+
+            tomb = tt.filter(pc.equal(tt["seg"], seg))["doc_id"].to_pylist()
+        data["tomb"] = [tomb]
+    return pd.DataFrame(data)
 
 
 class SegmentSearcher:
@@ -631,28 +688,18 @@ class SegmentSearcher:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str):
-        from ..index.segment import load_tombstones_per_seg
-
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         self.live = _live_segments(self.manifest)
         self.postings = load_postings(spark, index_dir).where(F.col("seg").isin(self.live))
-        norms = load_norms(spark, index_dir).where(F.col("seg").isin(self.live))
-        tomb_df = load_tombstones_per_seg(spark, index_dir, self.manifest)
-        if tomb_df is not None:
-            # spilled deletes join the norms relation: each segment's kernel
-            # receives its own slice via the existing seg-cogroup
-            norms = norms.join(tomb_df, "seg", "left")
-        # NOTE (r10, measured): do NOT persist this pre-partitioned on seg.
-        # A repartition(shuffle_partitions, "seg").persist() removes the
-        # norms-side Exchange from every query plan (InMemoryRelation
-        # preserves outputPartitioning) and looked ~8% faster sequentially,
-        # but without the Exchange there is no AQE coalescing either, so
-        # every query's kernel stage ran at the full partition count —
-        # 24 concurrent queries went 4.6 s -> 8-12 s (BENCH/ab_r10 notes).
-        self.norms = norms.persist()
-        self.norms.count()
+        # norms no longer ride a per-query cogroup: every kernel task reads
+        # its own segment's norms blob (and spilled-tombstone slice) straight
+        # from the partitioned sidecar via _seg_norms_pdf — see the helper's
+        # docstring.  The norms DataFrame survives only as the lazy `norms`
+        # property for callers that still want the relation.
+        self._spilled = bool(self.manifest.get("tombstones_spilled"))
+        self._norms_df = None
         self.tombstones = frozenset(self.manifest.get("tombstones", []))
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = (
@@ -668,6 +715,35 @@ class SegmentSearcher:
 
         self.codec = get_codec(self.manifest.get("codec", "varbyte"))
         self._blooms: dict | None = None  # lazy per-segment term blooms
+
+    @property
+    def norms(self) -> DataFrame:
+        """The per-segment norms relation (with spilled tombstones joined
+        on), built and persisted on first access.  Query paths read norms
+        task-side via _seg_norms_pdf instead; this stays for callers that
+        want the relation itself (plan probes, ad-hoc joins).
+
+        NOTE (r10, measured): do NOT persist this pre-partitioned on seg.
+        A repartition(shuffle_partitions, "seg").persist() removes the
+        norms-side Exchange from cogroup plans (InMemoryRelation preserves
+        outputPartitioning) and looked ~8% faster sequentially, but without
+        the Exchange there is no AQE coalescing either, so every query's
+        kernel stage ran at the full partition count — 24 concurrent
+        queries went 4.6 s -> 8-12 s (BENCH/ab_r10 notes)."""
+        if self._norms_df is None:
+            from ..index.segment import load_tombstones_per_seg
+
+            norms = load_norms(self.spark, self.index_dir).where(
+                F.col("seg").isin(self.live)
+            )
+            tomb_df = load_tombstones_per_seg(
+                self.spark, self.index_dir, self.manifest
+            )
+            if tomb_df is not None:
+                norms = norms.join(tomb_df, "seg", "left")
+            self._norms_df = norms.persist()
+            self._norms_df.count()
+        return self._norms_df
 
     def _load_blooms(self) -> dict:
         """Per-segment term-dictionary blooms (BloomFilteringPostingsFormat
@@ -802,8 +878,15 @@ class SegmentSearcher:
             freq_mode = "sloppy"  # kernel returns the walk's sloppyFreq
         codec = self.codec
 
-        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf.empty or npdf.empty:
+        index_dir, spilled = self.index_dir, self._spilled
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float32"}
+                )
+            npdf = _seg_norms_pdf(index_dir, int(pdf["seg"].iloc[0]), spilled)
+            if npdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": "int64", "score": "float32"}
                 )
@@ -898,11 +981,7 @@ class SegmentSearcher:
             )
 
         postings = self.postings.where(F.col("term").isin(leaf_terms))
-        per_seg = (
-            postings.groupBy("seg")
-            .cogroup(self.norms.groupBy("seg"))
-            .applyInPandas(_run, TOPK_SCHEMA)
-        )
+        per_seg = postings.groupBy("seg").applyInPandas(_run, TOPK_SCHEMA)
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def intervals_with_offsets(self, query) -> DataFrame:
@@ -935,14 +1014,19 @@ class SegmentSearcher:
             ]
         )
 
-        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        index_dir, spilled = self.index_dir, self._spilled
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
                 {c: [] for c in ["doc_id", "begin", "end", "offset_begin", "offset_end"]}
             ).astype("int64")
             if pdf.empty:
                 return empty
             tombs = tombstones
-            if not npdf.empty and "tomb" in npdf.columns:
+            if spilled:
+                npdf = _seg_norms_pdf(
+                    index_dir, int(pdf["seg"].iloc[0]), True, with_norms=False
+                )
                 tv = npdf["tomb"].iloc[0]
                 if tv is not None and len(tv):
                     tombs = frozenset(tombs) | {int(x) for x in tv}
@@ -1036,11 +1120,7 @@ class SegmentSearcher:
             )
 
         postings = self.postings.where(F.col("term").isin(leaf_terms))
-        return (
-            postings.groupBy("seg")
-            .cogroup(self.norms.groupBy("seg"))
-            .applyInPandas(_run, schema)
-        )
+        return postings.groupBy("seg").applyInPandas(_run, schema)
 
     def search_many(
         self,
@@ -1102,11 +1182,16 @@ class SegmentSearcher:
         # callers choose with search_many(..., prune_df=2048).
         SMALL_DF = prune_df if prune_df is not None else (1 << 62)
 
-        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        index_dir, spilled = self.index_dir, self._spilled
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"query_term": [], "doc_id": [], "score": []}).astype(
                 {"query_term": "object", "doc_id": "int64", "score": "float32"}
             )
-            if pdf.empty or npdf.empty:
+            if pdf.empty:
+                return empty
+            npdf = _seg_norms_pdf(index_dir, int(pdf["seg"].iloc[0]), spilled)
+            if npdf.empty:
                 return empty
             base = int(npdf["doc_base"].iloc[0])
             norms = np.frombuffer(npdf["norm_bytes"].iloc[0], dtype=np.uint8)
@@ -1241,7 +1326,6 @@ class SegmentSearcher:
         per_seg = (
             postings.select(*_scoring_cols(postings, "df_total"))
             .groupBy("seg")
-            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, schema)
         )
         w = Window.partitionBy("query_term").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1275,7 +1359,10 @@ class SegmentSearcher:
         if cands is not None and len(cands) < len(self.live):
             postings = postings.where(F.col("seg").isin(cands))
 
-        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        index_dir, spilled = self.index_dir, self._spilled
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            npdf = _seg_norms_pdf(index_dir, int(pdf["seg"].iloc[0]), spilled)
             return segment_topk_kernel(
                 pdf, npdf, weights, cache, k, mode, conjunctive, tombstones, codec
             )
@@ -1283,7 +1370,6 @@ class SegmentSearcher:
         per_seg = (
             postings.select(*_scoring_cols(postings))
             .groupBy("seg")
-            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, TOPK_SCHEMA)
         )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1303,11 +1389,16 @@ class SegmentSearcher:
         postings = self.postings.where(F.col("term").isin(terms))
         schema = T.StructType([T.StructField("n", T.LongType())])
 
-        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        index_dir, spilled = self.index_dir, self._spilled
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
                 return pd.DataFrame({"n": pd.Series([], dtype="int64")})
             tombs = tombstones
-            if not npdf.empty and "tomb" in npdf.columns:
+            if spilled:
+                npdf = _seg_norms_pdf(
+                    index_dir, int(pdf["seg"].iloc[0]), True, with_norms=False
+                )
                 tv = npdf["tomb"].iloc[0]
                 if tv is not None and len(tv):
                     tombs = frozenset(tombs) | {int(x) for x in tv}
@@ -1326,7 +1417,6 @@ class SegmentSearcher:
         per_seg = (
             postings.select("seg", "term", "doc_ids")
             .groupBy("seg")
-            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, schema)
         )
         total = per_seg.agg(F.sum("n").alias("n")).collect()[0]["n"]
@@ -1349,8 +1439,10 @@ class SegmentSearcher:
         tombstones = self.tombstones
         codec = self.codec
         postings = self.postings.where(F.col("term").isin(terms))
+        index_dir, spilled = self.index_dir, self._spilled
 
-        def _run(pdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            npdf = _seg_norms_pdf(index_dir, int(pdf["seg"].iloc[0]), spilled)
             return segment_topk_kernel(
                 pdf, npdf, weights, cache, k, mode, conjunctive, tombstones, codec
             )
@@ -1358,6 +1450,5 @@ class SegmentSearcher:
         return (
             postings.select(*_scoring_cols(postings))
             .groupBy("seg")
-            .cogroup(self.norms.groupBy("seg"))
             .applyInPandas(_run, TOPK_SCHEMA)
         )

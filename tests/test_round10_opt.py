@@ -214,3 +214,52 @@ def test_batched_check_parity_green_and_corrupt(codec_name):
         loop_out = list(_check_rows_loop(codec, *cols(bad)))
         assert loop_out[2] != ""  # the per-row loop localizes the break
         assert all(m == "" for i, m in enumerate(loop_out) if i != 2)
+
+
+def test_seg_norms_pdf_matches_relation(spark, tmp_path):
+    """The task-side norms read (_seg_norms_pdf) must deliver exactly what
+    the old per-query norms cogroup delivered: the segment's (doc_base,
+    span, norm_bytes) row plus, when tombstones are spilled, that
+    segment's delete slice — and search results must mask spilled deletes
+    identically on every packed path."""
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search.wand import (
+        SegmentSearcher,
+        _seg_norms_pdf,
+    )
+    from lucene_solr_intervals_spark.streaming.nrt import delete_by_doc_ids
+
+    corpus = generate_corpus(spark, 400)
+    d = str(tmp_path / "norm_idx")
+    build_segments(corpus, d, n_segments=4, id_col="doc_id",
+                   text_col="content", n_docs_hint=400)
+    ss = SegmentSearcher(spark, d)
+    rel = {int(r["seg"]): r for r in ss.norms.collect()}
+    for seg in ss.live:
+        pdf = _seg_norms_pdf(d, seg, False)
+        assert int(pdf["doc_base"].iloc[0]) == int(rel[seg]["doc_base"])
+        assert int(pdf["span"].iloc[0]) == int(rel[seg]["span"])
+        assert bytes(pdf["norm_bytes"].iloc[0]) == bytes(rel[seg]["norm_bytes"])
+
+    # spill a big delete set and compare the per-segment slices too
+    victims = [r["doc_id"] for r in
+               ss.search(["get_index"], k=8, mode="exhaustive").collect()]
+    delete_by_doc_ids(d, victims, spill_threshold=0)
+    ss2 = SegmentSearcher(spark, d)
+    assert ss2._spilled
+    rel2 = {int(r["seg"]): r for r in ss2.norms.collect()}
+    for seg in ss2.live:
+        pdf = _seg_norms_pdf(d, seg, True)
+        want = sorted(rel2[seg]["tomb"] or [])
+        assert sorted(pdf["tomb"].iloc[0]) == [int(x) for x in want]
+        light = _seg_norms_pdf(d, seg, True, with_norms=False)
+        assert sorted(light["tomb"].iloc[0]) == [int(x) for x in want]
+    # deleted docs are masked on wand + exhaustive + count
+    for mode in ("wand", "exhaustive"):
+        got = [r["doc_id"] for r in
+               ss2.search(["get_index"], k=20, mode=mode).collect()]
+        assert not set(victims) & set(got)
+    n_before = ss.count(["get_index"])
+    n_after = ss2.count(["get_index"])
+    assert n_after == n_before - len(victims)
