@@ -263,3 +263,35 @@ def test_seg_norms_pdf_matches_relation(spark, tmp_path):
     n_before = ss.count(["get_index"])
     n_after = ss2.count(["get_index"])
     assert n_after == n_before - len(victims)
+
+
+def test_df_seek_matches_scan(spark, tmp_path):
+    """The driver-side term-dictionary seek must return exactly the df sums
+    the pruned Spark scan returns — present terms, absent terms, and terms
+    bloom-pruned in some segments — so memoized weights are bit-identical
+    whichever path populated them."""
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search.wand import SegmentSearcher
+    from pyspark.sql import functions as F
+
+    corpus = generate_corpus(spark, 600)
+    d = str(tmp_path / "seek_idx")
+    build_segments(corpus, d, n_segments=6, id_col="doc_id",
+                   text_col="content", n_docs_hint=600)
+    ss = SegmentSearcher(spark, d)
+    terms = ["get_index", "merge_posting", "scan_doc", "zz_absent_term"]
+    seek = ss._df_seek(terms)
+    rows = (
+        ss.postings.select("term", "df")
+        .where(F.col("term").isin(terms))
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    )
+    scan = {t: 0 for t in terms}
+    scan.update({r["term"]: int(r["df"]) for r in rows})
+    assert seek == scan
+    assert scan["get_index"] > 0          # non-vacuous
+    assert scan["zz_absent_term"] == 0
+    # and _dfs (the memoized front) agrees with the scan too
+    ss._df_memo = {}
+    assert ss._dfs(terms) == scan
