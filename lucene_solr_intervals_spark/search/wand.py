@@ -600,6 +600,21 @@ def search_segments(
         weights.setdefault(t, np.float32(0.0))
     cache = norm_cache(avgdl)
 
+    # coordinator-local fast path (bytes-gated, one in-flight slot) — the
+    # cold path keeps its historical no-tombstones contract either way
+    if _DRIVER_EXEC_SLOTS.acquire(blocking=False):
+        try:
+            rows = _driver_topk(
+                index_dir, live, terms, weights, cache, k, mode,
+                conjunctive, frozenset(), codec, False,
+            )
+        finally:
+            _DRIVER_EXEC_SLOTS.release()
+        if rows is not None:
+            # pandas + Arrow -> LocalTableScan: collect() without a job
+            # (~25 ms vs ~220 ms for the ExistingRDD tuple path, measured)
+            return spark.createDataFrame(rows, schema=TOPK_SCHEMA)
+
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         npdf = _seg_norms_pdf(index_dir, int(pdf["seg"].iloc[0]), False)
         return segment_topk_kernel(
@@ -677,6 +692,162 @@ def _seg_norms_pdf(
             tomb = tt.filter(pc.equal(tt["seg"], seg))["doc_id"].to_pylist()
         data["tomb"] = [tomb]
     return pd.DataFrame(data)
+
+
+# ---- coordinator-local small-query execution (IndexSearcher analog) ----
+# A single-term/few-term top-k over a small candidate set is one task's
+# worth of work; launching a Spark job for it pays scheduler + exchange +
+# Python-worker round trips (~0.5 s) to move ~10 MB.  When the candidate
+# row groups' SCORING-column bytes fit under the gate, the query runs in
+# the coordinator process instead — the exact same segment_topk_kernel
+# per segment, same norms/tombstone reads, same ordered merge, so results
+# are bit-identical (pinned by test_driver_path_matches_spark_path).
+# Scale-adaptive by construction: the gate is on BYTES, so the same query
+# routes to the cluster on a bigger corpus (at 100 TB any common term
+# blows the gate); under concurrent load the bounded in-flight slots send
+# overflow queries to the cluster too (coordinator CPU is one box).
+_DRIVER_QUERY_MAX_BYTES = int(
+    os.environ.get("LSI_DRIVER_QUERY_MAX_BYTES", str(32 << 20))
+)
+import threading as _threading
+
+# ONE slot: a second concurrent coordinator-local query would only fight
+# the first for the GIL (measured: 2+ interleaved driver executions run
+# slower than the same queries as Spark jobs); overflow goes distributed
+_DRIVER_EXEC_SLOTS = _threading.BoundedSemaphore(1)
+
+
+def _scoring_file_meta(fpath: str):
+    """Per-row-group (term_range, scoring_bytes) for one postings file:
+    range from the term column statistics (None = no usable stats, never
+    prunable), bytes = compressed size of the SCORING column chunks."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fpath)
+    md = pf.metadata
+    names = pf.schema_arrow.names
+    ti = names.index("term")
+    want = {c for c in SCORING_COLS if c != "seg"}
+    out = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        st = rg.column(ti).statistics
+        rng = (
+            (st.min, st.max)
+            if st is not None and st.has_min_max and isinstance(st.min, str)
+            else None
+        )
+        nbytes = 0
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if col.path_in_schema in want:
+                nbytes += col.total_compressed_size
+        out.append((rng, nbytes))
+    return out
+
+
+def _driver_topk(
+    index_dir: str,
+    segs: list[int],
+    terms: list[str],
+    weights: dict,
+    cache,
+    k: int,
+    mode: str,
+    conjunctive: bool,
+    tombstones: frozenset,
+    codec,
+    spilled: bool,
+    meta: dict | None = None,
+) -> pd.DataFrame | None:
+    """Run the per-segment kernels in the coordinator process and merge with
+    the (score desc, doc_id asc) order, returning the ordered top-k as a
+    pandas DataFrame (doc_id int64, score float32) — or None when the
+    candidate row groups exceed the byte gate (caller launches the Spark
+    job).  `meta` optionally caches _scoring_file_meta per file path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if not terms or not segs:
+        return _EMPTY_TOPK
+    if meta is None:
+        meta = {}
+    lo, hi = min(terms), max(terms)
+    # per SEGMENT: the files and row groups that may hold the query terms.
+    # A segment's rows must reach ONE kernel call even when they span
+    # several files (post-merge layouts): per-file kernels would split a
+    # doc's per-term partials across calls and break OR score sums.
+    plan: dict[int, list[tuple[str, list[int]]]] = {}
+    total = 0
+    try:
+        for seg in segs:
+            sd = os.path.join(index_dir, "postings", f"seg={seg}")
+            for fname in sorted(os.listdir(sd)):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(sd, fname)
+                fm = meta.get(fpath)
+                if fm is None:
+                    fm = meta[fpath] = _scoring_file_meta(fpath)
+                groups = [
+                    i
+                    for i, (rng, _b) in enumerate(fm)
+                    if rng is None or (rng[0] <= hi and lo <= rng[1])
+                ]
+                if groups:
+                    total += sum(fm[i][1] for i in groups)
+                    if total > _DRIVER_QUERY_MAX_BYTES:
+                        return None
+                    plan.setdefault(seg, []).append((fpath, groups))
+    except OSError:
+        return None
+
+    vset = pa.array(terms)
+    cols = [c for c in SCORING_COLS if c != "seg"]
+    outs = []
+    for seg, files in plan.items():
+        tabs = []
+        for fpath, groups in files:
+            tab = pq.ParquetFile(fpath).read_row_groups(groups, columns=cols)
+            tab = tab.filter(pc.is_in(tab["term"], value_set=vset))
+            if tab.num_rows:
+                tabs.append(tab)
+        if not tabs:
+            continue
+        pdf = (
+            pa.concat_tables(tabs).to_pandas() if len(tabs) > 1
+            else tabs[0].to_pandas()
+        )
+        pdf["seg"] = seg
+        npdf = _seg_norms_pdf(index_dir, seg, spilled)
+        outs.append(
+            segment_topk_kernel(
+                pdf, npdf, weights, cache, k, mode, conjunctive,
+                tombstones, codec,
+            )
+        )
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return _EMPTY_TOPK
+    allr = pd.concat(outs, ignore_index=True)
+    scores = allr["score"].to_numpy()
+    ids = allr["doc_id"].to_numpy()
+    order = np.lexsort((ids, -scores))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": ids[order].astype(np.int64),
+            "score": scores[order].astype(np.float32),
+        }
+    )
+
+
+_EMPTY_TOPK = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float32"),
+    }
+)
 
 
 class SegmentSearcher:
@@ -1467,8 +1638,30 @@ class SegmentSearcher:
         cache = self.cache
         tombstones = self.tombstones
         codec = self.codec
-        postings = self.postings.where(F.col("term").isin(terms))
         cands = self.candidate_segs(terms)
+        seg_list = cands if cands is not None else list(self.live)
+
+        # coordinator-local fast path: bytes-gated + one in-flight slot
+        # (see the _driver_topk block comment); falls through to the Spark
+        # job on a big candidate set, concurrent load, or unreadable layout
+        if _DRIVER_EXEC_SLOTS.acquire(blocking=False):
+            try:
+                fmeta = getattr(self, "_scoring_meta", None)
+                if fmeta is None:
+                    fmeta = self._scoring_meta = {}
+                rows = _driver_topk(
+                    self.index_dir, seg_list, terms, weights, cache, k,
+                    mode, conjunctive, tombstones, codec, self._spilled,
+                    fmeta,
+                )
+            finally:
+                _DRIVER_EXEC_SLOTS.release()
+            if rows is not None:
+                # pandas + Arrow -> LocalTableScan: collect() without
+                # a job (~25 ms vs ~220 ms tuple path, measured)
+                return self.spark.createDataFrame(rows, schema=TOPK_SCHEMA)
+
+        postings = self.postings.where(F.col("term").isin(terms))
         if cands is not None and len(cands) < len(self.live):
             postings = postings.where(F.col("seg").isin(cands))
 

@@ -295,3 +295,72 @@ def test_df_seek_matches_scan(spark, tmp_path):
     # and _dfs (the memoized front) agrees with the scan too
     ss._df_memo = {}
     assert ss._dfs(terms) == scan
+
+
+def test_driver_path_matches_spark_path(spark, tmp_path):
+    """The coordinator-local small-query execution must be output-identical
+    (rows, values, ORDER) to the distributed kernel path on every mode —
+    wand, exhaustive, conjunctive — with manifest AND spilled tombstones,
+    and the cold search_segments path likewise."""
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import build_segments
+    from lucene_solr_intervals_spark.search import wand as W
+    from lucene_solr_intervals_spark.streaming.nrt import delete_by_doc_ids
+
+    corpus = generate_corpus(spark, 900)
+    d = str(tmp_path / "dq_idx")
+    build_segments(corpus, d, n_segments=6, id_col="doc_id",
+                   text_col="content", n_docs_hint=900)
+
+    def both(fn):
+        old = W._DRIVER_QUERY_MAX_BYTES
+        try:
+            W._DRIVER_QUERY_MAX_BYTES = 1 << 30
+            drv = fn()
+            W._DRIVER_QUERY_MAX_BYTES = 0  # gate shut -> Spark job path
+            dist = fn()
+        finally:
+            W._DRIVER_QUERY_MAX_BYTES = old
+        return drv, dist
+
+    def rows(df):
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
+    for stage in ("plain", "merged", "deleted", "spilled"):
+        if stage == "merged":
+            # multi-file / merged segments: a segment's rows must reach ONE
+            # kernel call even when split across files (the r10 driver-path
+            # per-file bug this stage regression-pins)
+            from lucene_solr_intervals_spark.index.segment import (
+                merge_segments,
+                read_manifest,
+            )
+
+            live0 = [s["seg"] for s in read_manifest(d)["segments"]
+                     if s["status"] == "done"]
+            merge_segments(spark, d, live0[:3], new_seg=50)
+        elif stage == "deleted":
+            ss0 = W.SegmentSearcher(spark, d)
+            victims = [r["doc_id"] for r in
+                       ss0.search(["get_index"], k=5, mode="exhaustive").collect()]
+            delete_by_doc_ids(d, victims)
+        elif stage == "spilled":
+            delete_by_doc_ids(d, [1, 2, 3], spill_threshold=0)
+        ss = W.SegmentSearcher(spark, d)
+        cases = [
+            lambda: ss.search(["get_index"], k=10, mode="wand"),
+            lambda: ss.search(["get_index", "merge_posting"], k=10, mode="wand"),
+            lambda: ss.search(["get_index", "merge_posting"], k=10,
+                              mode="exhaustive"),
+            lambda: ss.search(["get_index", "merge_posting"], k=10,
+                              conjunctive=True),
+            lambda: ss.search(["zz_absent"], k=10),
+            lambda: W.search_segments(spark, d, ["get_index"], k=10,
+                                      mode="wand"),
+        ]
+        for i, fn in enumerate(cases):
+            drv, dist = both(fn)
+            rd, rs = rows(drv), rows(dist)
+            assert rd == rs, (stage, i, rd[:3], rs[:3])
+            if i == 0:
+                assert rd, (stage, "vacuous")

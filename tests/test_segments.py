@@ -331,13 +331,21 @@ def test_norms_never_broadcast(spark, index_dir):
     the per-query plan has ONE grouped-map node over the pruned postings
     scan, no norms scan, no norms Exchange, and trivially no
     BroadcastExchange of norms."""
+    from lucene_solr_intervals_spark.search import wand as W
     from lucene_solr_intervals_spark.search.wand import SegmentSearcher
 
     ss = SegmentSearcher(spark, index_dir)
-    for df in [
-        ss.search(["w0", "w1"], k=10),
-        ss.search_many(["w0", "w1", "w5"], k=10),
-    ]:
+    # shut the coordinator-local gate: this test pins the DISTRIBUTED plan
+    old_gate = W._DRIVER_QUERY_MAX_BYTES
+    W._DRIVER_QUERY_MAX_BYTES = 0
+    try:
+        dfs = [
+            ss.search(["w0", "w1"], k=10),
+            ss.search_many(["w0", "w1", "w5"], k=10),
+        ]
+    finally:
+        W._DRIVER_QUERY_MAX_BYTES = old_gate
+    for df in dfs:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "FlatMapGroupsInPandas" in plan, plan[:2000]
         # norms reach the kernel task-side, never through the plan — so
