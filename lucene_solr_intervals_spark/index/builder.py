@@ -134,6 +134,96 @@ def tokenize_expr(analyzer: str = "code", with_offsets: bool = False):
     return _tok
 
 
+TOKENIZED_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField("doclen", T.IntegerType()),
+        T.StructField("norm_byte", T.IntegerType()),
+    ]
+)
+
+
+def tokenize_agg_expr(analyzer: str = "code"):
+    """Arrow-batched tokenizer UDF that also performs the FreqProx per-doc
+    aggregation IN the batch: text -> (unique terms, tfs, per-term sorted
+    position lists, doclen, norm_byte).
+
+    This is the in-RAM invert of DefaultIndexingChain.PerField (the same
+    hash-agg FreqProxTermsWriterPerField does per doc) done vectorized per
+    Arrow batch — so the exploded build's postings need NO occurrence-level
+    shuffle at all: the groupBy(field, term, doc_id) + sort_array stage
+    (which shipped every position through an Exchange) becomes a plain
+    explode of already-aggregated rows.  Values are identical: tf is the
+    occurrence count and each position list is ascending (positions are
+    non-decreasing within a doc, and the stable grouping sort preserves
+    that order), exactly what sort_array(collect_list(pos)) produced —
+    pinned by test_build_index_aggregated_matches_groupby."""
+    from ..analysis.tokenizer import flat_tokenizer
+
+    ftok = flat_tokenizer(analyzer, keep_offsets=False)
+
+    @F.pandas_udf(TOKENIZED_AGG_SCHEMA)
+    def _tok_agg(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        flat = ftok(texts.tolist())
+        n_docs = len(texts)
+        doclens = flat["doclens"]
+        terms = flat["terms"]
+        ntok = terms.size if hasattr(terms, "size") else len(terms)
+        if n_docs == 0 or ntok == 0:
+            empty_obj = [np.empty(0, dtype=object)] * n_docs
+            empty_i32 = [np.empty(0, dtype=np.int32)] * n_docs
+            empty_ll = [[] for _ in range(n_docs)]
+            return pd.DataFrame(
+                {
+                    "terms": empty_obj,
+                    "tfs": empty_i32,
+                    "positions": empty_ll,
+                    "doclen": np.asarray(doclens, dtype=np.int32),
+                    "norm_byte": encode_norm(
+                        np.maximum(np.asarray(doclens), 1)
+                    ).astype(np.int32),
+                }
+            )
+        doc_idx = np.asarray(flat["doc_idx"], dtype=np.int64)
+        positions = np.asarray(flat["positions"], dtype=np.int32)
+        codes, uniques = pd.factorize(np.asarray(terms, dtype=object))
+        uniques = np.asarray(uniques, dtype=object)
+        # group key = (doc, term-code); stable sort keeps each group's
+        # positions in emission order (ascending within a doc)
+        key = doc_idx * np.int64(len(uniques)) + codes.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        tfs_all = np.diff(np.r_[starts, ks.size]).astype(np.int32)
+        gterm = uniques[codes[order][starts]]
+        gdoc = doc_idx[order][starts]
+        pos_groups = np.split(positions[order], starts[1:])
+        doc_bounds = np.searchsorted(gdoc, np.arange(1, n_docs))
+        out_terms = np.split(gterm, doc_bounds)
+        out_tfs = np.split(tfs_all, doc_bounds)
+        out_pos: list = []
+        b = np.r_[0, doc_bounds, len(pos_groups)]
+        for i in range(n_docs):
+            out_pos.append(pos_groups[b[i] : b[i + 1]])
+        return pd.DataFrame(
+            {
+                "terms": out_terms,
+                "tfs": out_tfs,
+                "positions": out_pos,
+                "doclen": np.asarray(doclens, dtype=np.int32),
+                "norm_byte": encode_norm(
+                    np.maximum(np.asarray(doclens), 1)
+                ).astype(np.int32),
+            }
+        )
+
+    return _tok_agg
+
+
 @dataclass
 class InvertedIndex:
     """Exploded multi-field inverted index.
@@ -228,6 +318,46 @@ def build_index(
         fields = {text_col: text_col}
     default_field = text_col if text_col in fields else sorted(fields)[0]
 
+    # default shape (positions, no offsets/payloads): per-doc FreqProx
+    # aggregation happens INSIDE the tokenizer batch (tokenize_agg_expr),
+    # so postings are an explode of already-aggregated rows — the
+    # occurrence-level groupBy shuffle (every position through an
+    # Exchange) is gone from the build entirely.  The offsets/payloads
+    # variants keep the relational aggregation below.
+    if keep_positions and not keep_offsets and payload is None:
+        tok_agg = tokenize_agg_expr(analyzer)
+        per_field = []
+        for fname, col in sorted(fields.items()):
+            per_field.append(
+                corpus.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.lit(fname).alias("field"),
+                    tok_agg(F.col(col)).alias("t"),
+                ).select(
+                    "doc_id", "field", "t.terms", "t.tfs", "t.positions",
+                    "t.doclen", "t.norm_byte",
+                )
+            )
+        tokenized = per_field[0]
+        for p in per_field[1:]:
+            tokenized = tokenized.unionByName(p)
+        tokenized = tokenized.persist()
+        docs = tokenized.select("doc_id", "field", "doclen", "norm_byte")
+        postings = tokenized.select(
+            "doc_id",
+            "field",
+            F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("o"),
+        ).select(
+            "field",
+            F.col("o.terms").alias("term"),
+            "doc_id",
+            F.col("o.tfs").alias("tf"),
+            F.col("o.positions").alias("positions"),
+        )
+        return _finish_index(
+            tokenized, docs, postings, persist, default_field
+        )
+
     tok = tokenize_expr(analyzer, with_offsets=keep_offsets)
     off_cols = ["t.starts", "t.ends"] if keep_offsets else []
     per_field = []
@@ -314,6 +444,16 @@ def build_index(
             F.count(F.lit(1)).cast("int").alias("tf")
         )
 
+    return _finish_index(tokenized, docs, postings, persist, default_field)
+
+
+def _finish_index(
+    tokenized: DataFrame,
+    docs: DataFrame,
+    postings: DataFrame,
+    persist: bool,
+    default_field: str,
+) -> InvertedIndex:
     term_stats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
     )

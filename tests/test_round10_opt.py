@@ -364,3 +364,75 @@ def test_driver_path_matches_spark_path(spark, tmp_path):
             assert rd == rs, (stage, i, rd[:3], rs[:3])
             if i == 0:
                 assert rd, (stage, "vacuous")
+
+
+def test_build_index_aggregated_matches_groupby(spark):
+    """The in-batch FreqProx aggregation (tokenize_agg_expr) must produce
+    postings value-identical to the relational explode + groupBy +
+    sort_array(collect_list) it replaces — including stop-word position
+    holes, empty documents, and docs/term_stats/avgdl bookkeeping."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_intervals_spark.index.builder import (
+        build_index,
+        tokenize_expr,
+    )
+
+    rows = [
+        (0, "the quick brown fox the quick"),
+        (1, ""),
+        (2, "over the lazy dog dog dog"),
+        (3, "a a a b b c"),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for analyzer in ("code", "stop", "en_stem"):
+        idx = build_index(docs, analyzer=analyzer)
+        try:
+            got = {
+                (r["field"], r["term"], r["doc_id"], r["tf"],
+                 tuple(r["positions"]))
+                for r in idx.postings.collect()
+            }
+            # reference: the historical relational aggregation
+            tok = tokenize_expr(analyzer)
+            tokenized = docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit("text").alias("field"),
+                tok(F.col("text")).alias("t"),
+            ).select("doc_id", "field", "t.terms", "t.positions",
+                     "t.doclen", "t.norm_byte")
+            occ = tokenized.select(
+                "doc_id", "field",
+                F.explode(F.arrays_zip("terms", "positions")).alias("o"),
+            ).select(
+                "doc_id", "field",
+                F.col("o.terms").alias("term"),
+                F.col("o.positions").alias("pos"),
+            )
+            ref_postings = occ.groupBy("field", "term", "doc_id").agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            want = {
+                (r["field"], r["term"], r["doc_id"], r["tf"],
+                 tuple(r["positions"]))
+                for r in ref_postings.collect()
+            }
+            assert got == want, (analyzer, got ^ want)
+            assert got, analyzer  # non-vacuous
+            ref_docs = {
+                (r["doc_id"], r["field"], r["doclen"], r["norm_byte"])
+                for r in tokenized.select(
+                    "doc_id", "field", "doclen", "norm_byte").collect()
+            }
+            got_docs = {
+                (r["doc_id"], r["field"], r["doclen"], r["norm_byte"])
+                for r in idx.docs.collect()
+            }
+            assert got_docs == ref_docs, analyzer
+            assert idx.max_doc == 5
+            ref_ttf = sum(tf for (_f, _t, _d, tf, _p) in want)
+            assert idx.sum_ttf == ref_ttf, analyzer
+        finally:
+            idx.unpersist()
