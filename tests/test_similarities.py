@@ -200,7 +200,11 @@ def test_similarity_plan_is_jvm_side(spark, tiny_index):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
     assert "FlatMapGroupsInPandas" not in plan  # no grouped-pandas kernel
     for m in re.finditer(r"ArrowEvalPython \[([a-zA-Z0-9_]+)\(", plan):
-        assert m.group(1) == "_tok", f"unexpected Python eval: {m.group(1)}"
+        # _tok / _tok_agg are the index-BUILD tokenizer variants (the r10
+        # aggregated build renamed the default one); scoring adds nothing
+        assert m.group(1) in ("_tok", "_tok_agg"), (
+            f"unexpected Python eval: {m.group(1)}"
+        )
 
 
 def test_sweet_spot_plateau_and_degenerate():
