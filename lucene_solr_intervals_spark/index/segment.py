@@ -513,6 +513,48 @@ def _norms_from_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _write_seg_partitioned(pdf: pd.DataFrame, path: str, kind: str) -> None:
+    """Driver-side write of a small docs/norms frame in the SAME seg=N
+    partition layout (and physical column types) Spark's
+    ``partitionBy("seg")`` produces, so every reader — Spark partitioned
+    scans, mergeSchema docs loads, and the task-side per-file norms read
+    (`wand._seg_norms_pdf`) — sees an identical table.  Used only by the
+    byte-gated driver tail of `build_segments`."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if kind == "docs":
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("doclen", pa.int32()),
+                ("n_tok", pa.int64()),
+                ("norm_byte", pa.int32()),
+                ("sha256", pa.string()),
+            ]
+        )
+    else:
+        schema = pa.schema(
+            [
+                ("doc_base", pa.int64()),
+                ("span", pa.int64()),
+                ("norm_bytes", pa.binary()),
+            ]
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cols = [f.name for f in schema]
+    for seg, g in pdf.groupby("seg", sort=True):
+        d = os.path.join(path, f"seg={int(seg)}")
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.Table.from_pandas(
+            g[cols].reset_index(drop=True), schema=schema, preserve_index=False
+        )
+        pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
+
+
 def assign_doc_ids(corpus: DataFrame, order_cols: tuple[str, ...]) -> DataFrame:
     """Deterministic dense doc ids = global rank by `order_cols`, WITHOUT a
     single-partition window (the F1 canonical ordering, FIXTURES.md).
@@ -630,61 +672,106 @@ def build_segments(
         "partitionOverwriteMode", overwrite_mode
     ).partitionBy("seg").parquet(os.path.join(index_dir, "postings"))
 
-    # derive docs + norms from the sidecar rows (one row per segment).
-    # persist the sidecar so its three consumers (docs write, norms write,
-    # manifest stats) share ONE postings scan instead of re-reading the
-    # whole postings table per job — this is driver-serial time that
-    # doesn't shrink with cores, so it goes straight into build-phase
-    # scaling efficiency
-    sidecar = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .where(F.col("term") == DOCS_MARKER)
-        .persist()
+    # derive docs + norms + manifest stats from the sidecar rows (one row
+    # per segment).  Two value-identical tails (pinned by
+    # test_build_tail_driver_matches_spark):
+    #
+    #   * driver tail (byte-gated): ONE pruned-column scan collects the
+    #     n_segments sidecar rows (~100 B/doc of packed streams), docs and
+    #     norms are expanded in pandas and written with pyarrow in the same
+    #     seg=N partition layout.  This removes the sidecar persist+count
+    #     job, both partitioned Spark write jobs and both manifest collects
+    #     — each of which is mostly fixed scheduler/commit latency that
+    #     dominates the build tail at small-corpus scale.
+    #   * Spark tail (the at-scale shape): docs is a corpus-sized relation,
+    #     so above the gate the sidecar is persisted and expanded by
+    #     distributed jobs exactly as before; the driver never holds a
+    #     per-doc row.
+    #
+    # The gate is bytes-based (like LSI_DRIVER_QUERY_MAX_BYTES): ~96 B/doc
+    # across the sidecar streams (the 64-byte sha dominates), so the same
+    # build goes distributed on a bigger corpus automatically.
+    driver_tail = n_total * 96 <= int(
+        os.environ.get("LSI_DRIVER_BUILD_MAX_BYTES", str(32 << 20))
     )
-    sidecar.count()  # materialize the cache once, before concurrent readers
-    docs_df = sidecar.mapInPandas(
-        lambda it: (_docs_from_sidecar(p) for p in it), DOCS_SCHEMA
-    )
-    norms = sidecar.mapInPandas(
-        lambda it: (_norms_from_sidecar(p) for p in it), NORMS_SCHEMA
-    ).persist()
-    final_norms = os.path.join(index_dir, "norms")
+    if driver_tail:
+        side_pdf = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .where(F.col("term") == DOCS_MARKER)
+            .select(
+                "seg", "df", "ttf", "doc_ids", "tfs", "positions",
+                "block_last", "block_max_tf",
+            )
+            .toPandas()
+            .sort_values("seg")
+            .reset_index(drop=True)
+        )
+        docs_pdf = _docs_from_sidecar(side_pdf)
+        norms_pdf = _norms_from_sidecar(side_pdf)
+        _write_seg_partitioned(docs_pdf, os.path.join(index_dir, "docs"), "docs")
+        _write_seg_partitioned(norms_pdf, os.path.join(index_dir, "norms"), "norms")
+        seg_stats = [
+            {
+                "seg": int(r["seg"]),
+                "n_docs": int(r["df"]),
+                "sum_doclen": int(r["ttf"]),
+                "ntok_blob": r["block_max_tf"],
+            }
+            for _, r in side_pdf.iterrows()
+        ]
+        base_by_seg = {
+            int(s): int(b) for s, b in zip(norms_pdf["seg"], norms_pdf["doc_base"])
+        }
+    else:
+        sidecar = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .where(F.col("term") == DOCS_MARKER)
+            .persist()
+        )
+        sidecar.count()  # materialize the cache once, before concurrent readers
+        docs_df = sidecar.mapInPandas(
+            lambda it: (_docs_from_sidecar(p) for p in it), DOCS_SCHEMA
+        )
+        norms = sidecar.mapInPandas(
+            lambda it: (_norms_from_sidecar(p) for p in it), NORMS_SCHEMA
+        ).persist()
+        final_norms = os.path.join(index_dir, "norms")
 
-    # docs and norms derive independently from the cached sidecar: run the
-    # two writes as concurrent jobs (guide §2.6 — actions are sequential
-    # only because driver code calls them sequentially); each is mostly
-    # fixed job/commit overhead at any scale, so overlapping them removes
-    # ~min(docs, norms) from the build tail
-    from concurrent.futures import ThreadPoolExecutor
+        # docs and norms derive independently from the cached sidecar: run the
+        # two writes as concurrent jobs (guide §2.6 — actions are sequential
+        # only because driver code calls them sequentially); each is mostly
+        # fixed job/commit overhead at any scale, so overlapping them removes
+        # ~min(docs, norms) from the build tail
+        from concurrent.futures import ThreadPoolExecutor
 
-    def _write_docs():
-        docs_df.write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
+        def _write_docs():
+            docs_df.write.mode("overwrite").option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("seg").parquet(os.path.join(index_dir, "docs"))
 
-    def _write_norms():
-        # partitioned by seg so merges/NRT can commit one partition at a time
-        norms.write.mode("overwrite").partitionBy("seg").parquet(final_norms)
+        def _write_norms():
+            # partitioned by seg so merges/NRT can commit one partition at a time
+            norms.write.mode("overwrite").partitionBy("seg").parquet(final_norms)
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for f in [ex.submit(_write_docs), ex.submit(_write_norms)]:
-            f.result()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(_write_docs), ex.submit(_write_norms)]:
+                f.result()
 
-    # manifest: per-segment doc stats from the sidecar aggregates;
-    # doc_base comes from the already-computed (cached) norms relation —
-    # no read-back of the just-written parquet
-    seg_stats = sidecar.select(
-        "seg",
-        F.col("df").alias("n_docs"),
-        F.col("ttf").alias("sum_doclen"),
-        F.col("block_max_tf").alias("ntok_blob"),
-    ).collect()
-    base_by_seg = {
-        int(r["seg"]): int(r["doc_base"])
-        for r in norms.select("seg", "doc_base").collect()
-    }
-    sidecar.unpersist()
-    norms.unpersist()
+        # manifest: per-segment doc stats from the sidecar aggregates;
+        # doc_base comes from the already-computed (cached) norms relation —
+        # no read-back of the just-written parquet
+        seg_stats = sidecar.select(
+            "seg",
+            F.col("df").alias("n_docs"),
+            F.col("ttf").alias("sum_doclen"),
+            F.col("block_max_tf").alias("ntok_blob"),
+        ).collect()
+        base_by_seg = {
+            int(r["seg"]): int(r["doc_base"])
+            for r in norms.select("seg", "doc_base").collect()
+        }
+        sidecar.unpersist()
+        norms.unpersist()
     wall = time.time() - t0
     segments = [
         {

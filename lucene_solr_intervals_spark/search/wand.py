@@ -709,6 +709,18 @@ def _seg_norms_pdf(
 _DRIVER_QUERY_MAX_BYTES = int(
     os.environ.get("LSI_DRIVER_QUERY_MAX_BYTES", str(32 << 20))
 )
+# cap on snapshot-cached norms blobs (1 byte/doc/segment) held by a warm
+# SegmentSearcher's coordinator-local path — see _driver_topk's `snap`
+_NORMS_CACHE_MAX_BYTES = int(
+    os.environ.get("LSI_NORMS_CACHE_MAX_BYTES", str(64 << 20))
+)
+# cap on snapshot-cached DECODED scoring row-groups (the hot-postings RAM
+# cache — Lucene leans on the OS page cache for exactly this); first query
+# touching a row group pays the parquet decode, later queries filter the
+# in-memory Arrow table
+_POSTINGS_CACHE_MAX_BYTES = int(
+    os.environ.get("LSI_POSTINGS_CACHE_MAX_BYTES", str(128 << 20))
+)
 import threading as _threading
 
 # ONE slot: a second concurrent coordinator-local query would only fight
@@ -759,12 +771,19 @@ def _driver_topk(
     codec,
     spilled: bool,
     meta: dict | None = None,
+    snap: dict | None = None,
 ) -> pd.DataFrame | None:
     """Run the per-segment kernels in the coordinator process and merge with
     the (score desc, doc_id asc) order, returning the ordered top-k as a
     pandas DataFrame (doc_id int64, score float32) — or None when the
     candidate row groups exceed the byte gate (caller launches the Spark
-    job).  `meta` optionally caches _scoring_file_meta per file path."""
+    job).  `meta` optionally caches _scoring_file_meta per file path.
+    `snap` optionally caches snapshot-immutable index data across queries
+    (a DirectoryReader holds exactly this in memory): per-segment norms
+    pdfs under snap["norms"] (byte-capped by LSI_NORMS_CACHE_MAX_BYTES so
+    a huge-corpus rare-term workload cannot accrete corpus-sized norms on
+    the driver) and parquet footer handles under snap["files"].  Index
+    DATA only — never query results."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -780,12 +799,18 @@ def _driver_topk(
     # doc's per-term partials across calls and break OR score sums.
     plan: dict[int, list[tuple[str, list[int]]]] = {}
     total = 0
+    listing = None if snap is None else snap.setdefault("listing", {})
     try:
         for seg in segs:
             sd = os.path.join(index_dir, "postings", f"seg={seg}")
-            for fname in sorted(os.listdir(sd)):
-                if not fname.endswith(".parquet"):
-                    continue
+            names = None if listing is None else listing.get(seg)
+            if names is None:
+                names = sorted(
+                    f for f in os.listdir(sd) if f.endswith(".parquet")
+                )
+                if listing is not None:
+                    listing[seg] = names
+            for fname in names:
                 fpath = os.path.join(sd, fname)
                 fm = meta.get(fpath)
                 if fm is None:
@@ -805,11 +830,30 @@ def _driver_topk(
 
     vset = pa.array(terms)
     cols = [c for c in SCORING_COLS if c != "seg"]
+    norms_cache = files_cache = tables_cache = None
+    if snap is not None:
+        norms_cache = snap.setdefault("norms", {})
+        files_cache = snap.setdefault("files", {})
+        tables_cache = snap.setdefault("tables", {})
     outs = []
     for seg, files in plan.items():
         tabs = []
         for fpath, groups in files:
-            tab = pq.ParquetFile(fpath).read_row_groups(groups, columns=cols)
+            tkey = (fpath, tuple(groups))
+            tab = None if tables_cache is None else tables_cache.get(tkey)
+            if tab is None:
+                pf = None if files_cache is None else files_cache.get(fpath)
+                if pf is None:
+                    pf = pq.ParquetFile(fpath)
+                    # footer handles are tiny but hold an fd each: cap count
+                    if files_cache is not None and len(files_cache) < 4096:
+                        files_cache[fpath] = pf
+                tab = pf.read_row_groups(groups, columns=cols)
+                if tables_cache is not None:
+                    tb = tables_cache.get("_bytes", 0) + tab.nbytes
+                    if tb <= _POSTINGS_CACHE_MAX_BYTES:
+                        tables_cache[tkey] = tab
+                        tables_cache["_bytes"] = tb
             tab = tab.filter(pc.is_in(tab["term"], value_set=vset))
             if tab.num_rows:
                 tabs.append(tab)
@@ -820,7 +864,16 @@ def _driver_topk(
             else tabs[0].to_pandas()
         )
         pdf["seg"] = seg
-        npdf = _seg_norms_pdf(index_dir, seg, spilled)
+        npdf = None if norms_cache is None else norms_cache.get(seg)
+        if npdf is None:
+            npdf = _seg_norms_pdf(index_dir, seg, spilled)
+            if norms_cache is not None:
+                nb = norms_cache.get("_bytes", 0) + (
+                    len(npdf["norm_bytes"].iloc[0]) if len(npdf) else 0
+                )
+                if nb <= _NORMS_CACHE_MAX_BYTES:
+                    norms_cache[seg] = npdf
+                    norms_cache["_bytes"] = nb
         outs.append(
             segment_topk_kernel(
                 pdf, npdf, weights, cache, k, mode, conjunctive,
@@ -1649,10 +1702,13 @@ class SegmentSearcher:
                 fmeta = getattr(self, "_scoring_meta", None)
                 if fmeta is None:
                     fmeta = self._scoring_meta = {}
+                snap = getattr(self, "_snap_cache", None)
+                if snap is None:
+                    snap = self._snap_cache = {}
                 rows = _driver_topk(
                     self.index_dir, seg_list, terms, weights, cache, k,
                     mode, conjunctive, tombstones, codec, self._spilled,
-                    fmeta,
+                    fmeta, snap,
                 )
             finally:
                 _DRIVER_EXEC_SLOTS.release()

@@ -436,3 +436,79 @@ def test_build_index_aggregated_matches_groupby(spark):
             assert idx.sum_ttf == ref_ttf, analyzer
         finally:
             idx.unpersist()
+
+
+def test_build_tail_driver_matches_spark(spark, tmp_path, monkeypatch):
+    """build_segments' byte-gated driver tail (sidecar collect + pandas
+    expand + pyarrow partitioned writes) must be invisible relative to the
+    distributed tail: identical manifest, identical docs and norms tables
+    (schema included), identical task-side per-file norms reads, and
+    identical search results over the two indexes."""
+    import json
+    import os
+
+    from lucene_solr_intervals_spark.corpus import generate_corpus
+    from lucene_solr_intervals_spark.index.segment import (
+        build_segments,
+        load_docs,
+        load_norms,
+        verify_index,
+    )
+    from lucene_solr_intervals_spark.search.wand import (
+        SegmentSearcher,
+        _seg_norms_pdf,
+    )
+
+    corpus = generate_corpus(spark, 400).persist()
+    corpus.count()
+    dirs = {}
+    for name, gate in (("spark", "0"), ("driver", str(1 << 30))):
+        monkeypatch.setenv("LSI_DRIVER_BUILD_MAX_BYTES", gate)
+        d = str(tmp_path / f"idx_{name}")
+        m = build_segments(
+            corpus, d, n_segments=4, id_col="doc_id", text_col="content",
+            analyzer="code", n_docs_hint=400, codec="for128",
+        )
+        dirs[name] = (d, m)
+    (d1, m1), (d2, m2) = dirs["spark"], dirs["driver"]
+
+    def strip(m):
+        m = json.loads(json.dumps(m))
+        m.pop("metrics")
+        for s in m["segments"]:
+            s.pop("built_at")
+        return m
+
+    assert strip(m1) == strip(m2)
+
+    docs1, docs2 = load_docs(spark, d1), load_docs(spark, d2)
+    assert docs1.schema == docs2.schema
+    rows1 = [tuple(r) for r in docs1.orderBy("doc_id").collect()]
+    rows2 = [tuple(r) for r in docs2.orderBy("doc_id").collect()]
+    assert rows1 and rows1 == rows2
+
+    n1 = {int(r["seg"]): r for r in load_norms(spark, d1).collect()}
+    n2 = {int(r["seg"]): r for r in load_norms(spark, d2).collect()}
+    assert set(n1) == set(n2) and n1
+    for seg in n1:
+        assert int(n1[seg]["doc_base"]) == int(n2[seg]["doc_base"])
+        assert int(n1[seg]["span"]) == int(n2[seg]["span"])
+        assert bytes(n1[seg]["norm_bytes"]) == bytes(n2[seg]["norm_bytes"])
+        # the task-side per-file read must work on both layouts
+        a, b = _seg_norms_pdf(d1, seg, False), _seg_norms_pdf(d2, seg, False)
+        assert bytes(a["norm_bytes"].iloc[0]) == bytes(b["norm_bytes"].iloc[0])
+        assert int(a["doc_base"].iloc[0]) == int(b["doc_base"].iloc[0])
+
+    s1, s2 = SegmentSearcher(spark, d1), SegmentSearcher(spark, d2)
+    for terms, kw in (
+        (["get_index"], {"mode": "wand"}),
+        (["get_index", "merge_posting"], {"mode": "exhaustive"}),
+    ):
+        r1 = [tuple(r) for r in s1.search(terms, k=10, **kw).collect()]
+        r2 = [tuple(r) for r in s2.search(terms, k=10, **kw).collect()]
+        assert r1 and r1 == r2
+
+    v = verify_index(spark, d2, corpus=corpus, text_col="content",
+                     id_col="doc_id")
+    assert v["ok"] and v["sha_ok"] is True
+    corpus.unpersist()
