@@ -726,7 +726,9 @@ import threading as _threading
 # ONE slot: a second concurrent coordinator-local query would only fight
 # the first for the GIL (measured: 2+ interleaved driver executions run
 # slower than the same queries as Spark jobs); overflow goes distributed
-_DRIVER_EXEC_SLOTS = _threading.BoundedSemaphore(1)
+_DRIVER_EXEC_SLOTS = _threading.BoundedSemaphore(
+    max(1, int(os.environ.get("LSI_DRIVER_EXEC_SLOTS", "1")))
+)
 
 
 def _scoring_file_meta(fpath: str):
