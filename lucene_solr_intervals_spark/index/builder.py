@@ -463,19 +463,39 @@ def _finish_index(
         docs = docs.persist()
         term_stats = term_stats.persist()
 
-    rows = docs.groupBy("field").agg(F.count(F.lit(1)).alias("n")).collect()
+    # per-field doc counts come from the tokenizer relation itself (docs is
+    # a straight column select of it — row counts per field are identical),
+    # so ONE job fills the tokenizer cache and yields max_doc ...
+    rows = tokenized.groupBy("field").agg(F.count(F.lit(1)).alias("n")).collect()
     # every field row-set covers every doc (tokenizer emits doclen 0 rows)
     max_doc = max((int(r["n"]) for r in rows), default=0)
+
+    # ... and the two remaining cache fills — docs, and postings/term_stats
+    # via the sumTotalTermFreq aggregation — share no lineage below the
+    # now-filled tokenizer cache, so they run as concurrent jobs
+    # (guide §2.6): the build tail loses min(docs-fill, stats-fill).
     # sumTotalTermFreq per field from the postings (BM25Similarity.java:82-89
     # avgFieldLength): counts EVERY emitted token, including posInc=0 synonym
     # overlaps — whereas docs.doclen is the overlap-DISCOUNTED norm length
     # (identical when the analyzer injects no overlaps).
-    stat_rows = (
-        term_stats.groupBy("field")
-        .agg(F.coalesce(F.sum("ttf"), F.lit(0)).alias("s"))
-        .collect()
-    )
-    # both actions above have materialized the persisted postings / docs /
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stats_fill():
+        return (
+            term_stats.groupBy("field")
+            .agg(F.coalesce(F.sum("ttf"), F.lit(0)).alias("s"))
+            .collect()
+        )
+
+    if persist:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fd = ex.submit(docs.count)
+            fs = ex.submit(_stats_fill)
+            fd.result()
+            stat_rows = fs.result()
+    else:
+        stat_rows = _stats_fill()
+    # the actions above have materialized the persisted postings / docs /
     # term_stats relations; the tokenizer cache has served its purpose
     tokenized.unpersist()
     sum_by_field = {r["field"]: 0 for r in rows}
